@@ -1,0 +1,13 @@
+"""Checkable query registry (driver contract).
+
+Importing this package imports every query module, which registers its
+queries as a side effect. ``queries()`` / ``oracle_sql()`` are re-exported
+for ``__spark_entry__``.
+"""
+
+from .registry import REGISTRY, oracle_sql, queries, query  # noqa: F401
+
+# Import order = SURVEY.md §7 milestone order; each module registers on import.
+from . import relational  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "queries", "oracle_sql", "query"]

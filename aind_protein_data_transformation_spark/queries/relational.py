@@ -1,0 +1,491 @@
+"""Relational core queries (SURVEY.md §2B: scan/filter/project, hash agg,
+joins incl. broadcast/semi/anti/theta, windows, set ops, sort/limit).
+
+Each query is the generalization of a reference operator (citations in
+docstrings point at /root/reference). All plans are declarative DataFrame
+compositions — Catalyst handles pushdown, pruning, join selection; dim
+tables get an explicit ``broadcast()`` hint where a 100-TB fact side
+makes shuffle joins wasteful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from .registry import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: scan -> pushed filter -> hash agg
+    (partial+final map-side combine) -> sort. Generalizes the reference's
+    windowed-mean aggregation stage (czi_to_zarr.py:342-386) to relational
+    grouping; the flagship end-to-end slice (SURVEY.md §7 M1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter -> fact joins -> agg -> global
+    top-k. customer is broadcast (tiny at every SF); orders⋈lineitem
+    shuffles on orderkey, which AQE sizes at runtime. Top-k via sort+limit
+    is a TakeOrderedAndProject — no full global sort materialization."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join. All dims (region/nation/supplier/
+    customer) broadcast; only orders⋈lineitem shuffles. At 100 TB the
+    star-join order matters: filter region first so dynamic partition
+    pruning / broadcast semi-reduction shrinks the fact scan."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q_semi_join_customers_with_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    SEMI JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000
+    ORDER BY c_custkey
+    """,
+)
+def q_semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one big order.
+    Semi join never duplicates the left side — at scale this avoids the
+    join-then-distinct anti-pattern entirely."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_anti_join_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    ANTI JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F'
+               AND o_totalprice > 150000) o
+        ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no big finished
+    order (predicate chosen so the result is non-empty at every SF —
+    a 0-row result would match the oracle vacuously). The null-safe
+    way to write NOT IN at scale: no tri-valued-logic trap, no
+    driver-side collect of the subquery."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_outer_join_order_fill",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.max_price, 0.0) AS max_price
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_outer_join_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join against a pre-aggregated subquery + COALESCE fill.
+    Aggregating BEFORE the join keeps the shuffle on the small aggregate,
+    not the raw fact table — the scalable shape for per-entity rollups."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("max_price", F.lit(0.0)).alias("max_price"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_theta_join_price_band",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_richer_customers
+    FROM supplier s
+    JOIN customer c ON c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY s_suppkey
+    """,
+)
+def q_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: broadcast nested-loop over the 10-row
+    supplier side. BNLJ is only sane when one side broadcasts — exactly
+    this shape; a fact-fact theta join would need banding (see the as-of
+    join operator for the banded pattern)."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_richer_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_window_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER w AS order_seq,
+           LAG(o_totalprice) OVER w AS prev_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window pack: row_number + lag + running sum over one window spec.
+    A single partitionBy keeps it to ONE shuffle; the frame runs inside
+    each partition. Generalizes the reference's deterministic round-robin
+    dealing (zeiss_job.py:33-44 uses index % n; here row_number)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.row_number().over(w).alias("order_seq"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .over(wsum)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    ORDER BY o_custkey, rk, o_orderkey
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank window — the distributed top-k idiom
+    (no per-group collect). Spark pushes a per-partition k-limit below
+    the shuffle (WindowGroupLimit) so the shuffle carries ≤k rows per
+    group, which is what makes this viable on 100 TB facts."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    )
+
+
+@query(
+    "q_ntile_wealth_deciles",
+    oracle="""
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+    FROM (
+        SELECT c_acctbal,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q_ntile_wealth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE deciles then re-aggregate. The unpartitioned ORDER BY window
+    is a single-reducer global sort — acceptable for dim-sized inputs;
+    for a 100-TB fact use approx percentiles instead (q_percentiles)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "q_set_ops_customer_segments",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'union' AS op, c_custkey FROM (SELECT * FROM building UNION SELECT * FROM rich)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+    ORDER BY op, c_custkey
+    """,
+)
+def q_set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over two predicates on customer, tagged
+    and stacked with UNION ALL (SURVEY.md §2B set ops)."""
+    c = load_table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    tagged = [
+        building.union(rich).distinct().select(F.lit("union").alias("op"), "c_custkey"),
+        building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey"),
+        building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("op", "c_custkey")
+
+
+@query(
+    "q_rollup_region_nation_revenue",
+    oracle=f"""
+    SELECT COALESCE(r.r_name, '<ALL>') AS region_name,
+           COALESCE(n.n_name, '<ALL>') AS nation_name,
+           {sql_dsum('c.c_acctbal', 'total_acctbal')},
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def q_rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy region -> nation -> grand total. Spark expands
+    grouping sets in a single aggregate (no query-per-level); NULL group
+    cells are coalesced to '<ALL>' so the oracle hash is unambiguous."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(dsum("c_acctbal", "total_acctbal"), F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("<ALL>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<ALL>")).alias("nation_name"),
+            "total_acctbal",
+            "n_customers",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@query(
+    "q_cube_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<ALL>') AS status,
+           COALESCE(o_orderpriority, '<ALL>') AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — all four grouping sets in one
+    pass (SURVEY.md §2B grouping sets)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<ALL>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<ALL>")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "q_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct in one aggregate. Spark expands this to an
+    Expand + two-phase agg — one plan, no self-joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

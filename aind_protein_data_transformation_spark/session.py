@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Tuned for the harness (single JVM, local[32], 128 GiB) but configured the
+way a 1000-executor cluster job would be: AQE on (runtime re-plan, skew
+join handling, partition coalescing), zstd parquet, UTC session timezone
+(the oracle compares timestamps naively), Arrow transfer for the pandas
+UDF paths.
+
+Reference parity: the reference hard-codes its parallelism (5 SLURM
+tasks, ``scripts/submit_job.sh:17-21``) and its write sizing
+(``compress/zarr_writer.py:51-120``); here both are delegated to Spark's
+scheduler + AQE (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for scale: AQE handles skew + partition sizing at any SF;
+#: shuffle partitions default to cores locally, thousands on a real cluster.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    # Keep broadcast autoselection on (dim tables region/nation/supplier/part
+    # are tiny at every SF); AQE can also convert SMJ->BHJ at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": "128m",
+}
+
+
+def get_spark(app_name: str = "aind-protein-data-transformation-spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract for
+    bench.py); unset -> ``local[*]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]" if cpus else "local[*]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = {**_BASE_CONF, **overrides}
+    for key, value in conf.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
