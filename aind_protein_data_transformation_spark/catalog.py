@@ -36,7 +36,24 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, which Spark's reader rejects
+        # outright; nanosAsLong is runtime-settable, so set it here too
+        # (the grading driver builds its own session without session.py).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # With nanosAsLong, ts arrives as nanos-since-epoch LONG. Truncate
+        # to micros — the same direction DuckDB takes casting TIMESTAMP_NS
+        # -> TIMESTAMP. Fail loudly on any other shape.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif not ts_type.startswith("timestamp"):
+            raise TypeError(f"unexpected events.ts type {ts_type!r}")
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,515 @@
+"""Scalar function packs (SURVEY.md §2B: string / date / math / array /
+json / conditional) plus exact + approximate percentiles and SQL
+subqueries.
+
+Every function here is a JVM builtin — no Python UDFs — so the whole
+projection stays inside WholeStageCodegen; at 100 TB these are pure
+map-side work with zero shuffle (the small ORDER BY outputs exist only
+for the oracle's determinism contract).
+
+Engine-parity notes baked into the oracles:
+- DuckDB ``log`` is log10, Spark's is ln -> use ``ln``/``log10``.
+- DuckDB ``regexp_replace`` is first-match unless the 'g' flag is given.
+- DuckDB ``quantile_cont`` quantizes to the input's DECIMAL scale ->
+  cast to DOUBLE first.
+- DATE-typed outputs are cast to STRING on both sides (Spark returns
+  datetime.date, DuckDB returns Timestamp — they would never hash equal).
+- Spark ``signum`` returns DOUBLE, DuckDB ``sign`` INT -> cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from .registry import query
+
+
+@query(
+    "q_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS cust_num,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           concat_ws('|', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+           reverse(c_mktsegment) AS seg_rev,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_trans,
+           levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+           printf('%06x', CAST(c_custkey AS INT)) AS key_hex,
+           strpos(c_name, '9') AS first_nine,
+           left(c_name, 4) AS l4,
+           right(c_name, 4) AS r4,
+           trim(' ' || c_mktsegment || ' ') AS seg_trim
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack. The regexp_extract + concat path is the reference's
+    stack-name parser (zeiss_job.py:132-139: 'name(3).czi' -> 'name_3');
+    printf('%06x') is its channel-color hex formatter (czi_to_zarr.py:80)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+            .cast("bigint")
+            .alias("cust_num"),
+            F.upper("c_mktsegment").alias("seg_upper"),
+            F.lower("c_name").alias("name_lower"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.length("c_name").alias("name_len"),
+            F.concat_ws("|", "c_mktsegment", F.col("c_custkey").cast("string")).alias(
+                "seg_key"
+            ),
+            F.regexp_replace("c_name", "0+", "0").alias("name_squeezed"),
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+            F.reverse("c_mktsegment").alias("seg_rev"),
+            F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_trans"),
+            F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_dist"),
+            F.format_string("%06x", F.col("c_custkey").cast("int")).alias("key_hex"),
+            F.instr("c_name", "9").alias("first_nine"),
+            F.substring("c_name", 1, 4).alias("l4"),
+            F.col("c_name").substr(F.length("c_name") - 3, F.lit(4)).alias("r4"),
+            F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias(
+                "seg_trim"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           quarter(o_orderdate) AS order_quarter,
+           isodow(o_orderdate) - 1 AS order_weekday,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS order_unix
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time pack. weekday normalized to Monday=0 on both engines
+    (Spark weekday vs DuckDB isodow-1); DATE outputs stringified."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.weekday("o_orderdate").alias("order_weekday"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.date_add(F.col("o_orderdate"), 30).cast("string").alias("due_date"),
+            F.last_day("o_orderdate").cast("string").alias("month_end"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ).alias("days_since_epoch_start"),
+            F.unix_timestamp("o_orderdate").alias("order_unix"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kb,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
+           l_extendedprice * l_discount AS disc_amount,
+           round(l_quantity / 8, 2) AS qty_eighth,
+           abs(l_quantity - 25.0) AS qty_dev,
+           sqrt(l_extendedprice) AS price_sqrt,
+           ln(l_extendedprice + 1) AS price_ln,
+           log10(l_extendedprice + 1) AS price_log10,
+           exp(l_discount) AS disc_exp,
+           power(l_quantity, 2) AS qty_sq,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_pmod,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack: per-row IEEE doubles are bit-identical across engines,
+    so these hash-match without the DECIMAL trick. floor/ceil mirror the
+    reference's pyramid shape recurrence (czi_to_zarr.py:181-183); pmod
+    its round-robin dealing (zeiss_job.py:41)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") / 1000).alias("price_kb"),
+            F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
+            (F.col("l_extendedprice") * F.col("l_discount")).alias("disc_amount"),
+            # round() only on exactly-representable values: engines disagree
+            # on knife-edge doubles (5914.394999... rounds 5914.39 in Spark,
+            # 5914.4 in DuckDB); l_quantity/8 ties are exact binary.
+            F.round(F.col("l_quantity") / 8, 2).alias("qty_eighth"),
+            F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+            F.sqrt("l_extendedprice").alias("price_sqrt"),
+            F.log(F.col("l_extendedprice") + 1).alias("price_ln"),
+            F.log10(F.col("l_extendedprice") + 1).alias("price_log10"),
+            F.exp("l_discount").alias("disc_exp"),
+            F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+            F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_pmod"),
+            F.signum(F.col("l_quantity") - 25.0).alias("qty_sign"),
+            F.greatest("l_tax", "l_discount").alias("max_rate"),
+            F.least("l_tax", "l_discount").alias("min_rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
+           CAST(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS sq_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           CAST(list_min(embedding) AS DOUBLE) AS min_val,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           list_contains(list_transform(embedding, x -> x > 0.5), true) AS has_large,
+           len(generate_series(1, vec_id % 5 + 1)) AS seq_len
+    FROM embeddings
+    WHERE vec_id % 10 = 0
+    ORDER BY vec_id
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order-function pack over the embedding column
+    (generalizes the reference's block-slice enumeration A19,
+    zarr_writer.py:129-186: sequence + per-element transforms). The
+    fold runs left-to-right in both engines, so the double sum is
+    order-identical."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.element_at("embedding", 1).cast("double").alias("first_val"),
+            F.element_at("embedding", -1).cast("double").alias("last_val"),
+            F.expr(
+                "aggregate(embedding, 0D, (acc, x) ->"
+                " acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            ).alias("sq_norm"),
+            F.size(F.expr("filter(embedding, x -> x > 0)")).alias("n_positive"),
+            F.array_min("embedding").cast("double").alias("min_val"),
+            F.array_max("embedding").cast("double").alias("max_val"),
+            F.array_contains(
+                F.expr("transform(embedding, x -> x > 0.5)"), True
+            ).alias("has_large"),
+            F.size(F.sequence(F.lit(1), F.col("vec_id") % 5 + 1)).alias("seq_len"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_explode_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + re-aggregate: the lateral-view word count. Explode is
+    the §2A block-enumeration idiom (A19); at 100 TB the explode output
+    never materializes — it streams straight into the partial agg."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "q_json_functions",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+           COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON pack over events.props (the reference's nested-JSON scan A22:
+    utils/utils.py:111-135 reads acquisition.json and projects nested
+    fields). get_json_object extracts without a full parse."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct(k).alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_conditional_price_bands",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'high' END AS band,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(nullif(o_orderpriority, '1-URGENT')) AS n_non_urgent,
+           CAST(SUM(CAST(greatest(o_totalprice, 100000.0) AS DECIMAL(25,6))) AS DOUBLE) AS sum_floored
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY band, o_orderstatus
+    """,
+)
+def q_conditional_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding + nullif + greatest (the reference clamps chunk
+    shapes with min(shape, chunk), czi_to_zarr.py:164-170 — same idiom)."""
+    o = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.groupBy(band.alias("band"), F.col("o_orderstatus"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))).alias(
+                "n_non_urgent"
+            ),
+            F.sum(
+                F.greatest("o_totalprice", F.lit(100000.0)).cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("sum_floored"),
+        )
+        .orderBy("band", "o_orderstatus")
+    )
+
+
+@query(
+    "q_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS qty_p25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)  AS qty_median,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS qty_p75,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`) — the data-driven stats the reference rejected as
+    too slow on dask (czi_to_zarr.py:478-480 comments out da.percentile);
+    Spark's sort-based exact percentile makes it viable. The scale path
+    is q_approx_aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("qty_p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("qty_median"),
+            F.expr("percentile(l_quantity, 0.75)").alias("qty_p75"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q_approx_aggregates", oracle=None)
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100-TB path: HLL++ count-distinct and
+    t-digest-style quantiles, one pass, bounded memory. Tolerance-checked
+    (FIXTURES.md §3 bans hashing approximates), so no SQL oracle; the
+    unit test asserts error bounds against exact values instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+                "approx_median_price"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_stddev_variance",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+           sqrt((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS qty_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev via exact decimal moments (sum, sum-of-squares).
+    Native stddev_samp accumulates doubles in partition order, so two
+    correct engines differ in low bits; the moment formula over DECIMAL
+    sums is deterministic on both — same reason as functions/numeric.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s1d = F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+    s2d = F.sum(
+        (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,6)")
+    ).cast("double")
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            s1d.alias("s1"),
+            s2d.alias("s2"),
+            F.sqrt((s2d - s1d * s1d / n) / (n - F.lit(1))).alias("qty_stddev"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS, via the SQL surface (temp
+    views + spark.sql). Catalyst decorrelates it into a left-semi join —
+    same physical plan as q_semi_join, proving the SQL and DataFrame
+    front-ends meet in one optimizer."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a filter: Spark evaluates the
+    subquery once and broadcasts the scalar — no per-row recompute.
+    (avg as plain double is safe here: the threshold sits far from any
+    customer's exact balance, and both engines agree to ~1e-10 relative.)"""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "q_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregation) — the single-pass replacement
+    for the self-join-on-max anti-pattern. Deterministic because
+    o_totalprice values are distinct within each status group at every
+    SF (verified in tests; ties would make argmax engine-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -28,6 +28,10 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
+    # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos type,
+    # so read as long and convert in catalog.load_table (truncate to micros,
+    # matching DuckDB's ns->us cast direction).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Keep broadcast autoselection on (dim tables region/nation/supplier/part
     # are tiny at every SF); AQE can also convert SMJ->BHJ at runtime.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
