@@ -1,0 +1,227 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All are pure DataFrame compositions (no Python UDFs) so they scale with
+the cluster and stay inside WholeStageCodegen. Hashes use the portable
+md5-based ``hash64`` (functions/text.py) so the DuckDB oracle reproduces
+every value bit-for-bit; swap in ``xxhash64`` for production throughput.
+
+Scale design (100 TB corpus):
+- exact dedup: one shuffle on the normalized hash; map-side partial agg.
+- MinHash: signatures are ONE aggregation pass (NUM_PERM min-columns,
+  partial+final) — never a row-per-permutation explosion on the Spark
+  side; only LSH band buckets shuffle, and candidate verification
+  touches only bucket-collision pairs (the oracle replays the same
+  arithmetic row-expanded, which is fine at check scale).
+- SimHash: token-bit matrix aggregates map-side; banding by 8-bit
+  chunks bounds the pair join (pigeonhole: hamming<=3 over 4 chunks
+  guarantees a shared chunk).
+- Jaccard: candidate pairs via shared-shingle equi-join (exact for
+  J>0), then one count per pair — skew-prone on stopword shingles, so
+  hot shingles can be dropped by document frequency before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import hash64, normalize_text, tokens, word_shingles
+
+# MinHash parameters — shared verbatim with the SQL oracle
+# (queries/llm_dedup.py interpolates the same constants).
+MINHASH_PERMS = 32
+LSH_BAND_SIZE = 4
+MINHASH_PRIME = 2147483647  # 2^31 - 1; (a*h + b) stays under 2^62
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic LCG-derived coefficients for permutation ``i``.
+
+    Same closed form on both engines; a is forced nonzero.
+    """
+    a = (1664525 * (i + 1) + 1013904223) % MINHASH_PRIME
+    b = (22695477 * (i + 1) + 7) % MINHASH_PRIME
+    return (a or 1, b)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: keep the smallest id per group.
+
+    Returns (doc_id, content_hash, group_size, is_kept). One shuffle on
+    the 256-bit content hash; survivors are chosen deterministically.
+    """
+    norm = normalize_text(text_col)
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        docs.select(id_col, F.sha2(norm, 256).alias("content_hash"))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("content_hash")))
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+    )
+
+
+def shingle_set(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-k-shingles per document: (doc_id, shingle, h)."""
+    return (
+        docs.select(
+            id_col, F.explode(word_shingles(tokens(text_col), k)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("h", hash64("shingle") % MINHASH_PRIME)
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature as MINHASH_PERMS columns m0..m{n-1}.
+
+    One aggregation pass: each permutation is an independent
+    min((a_i*h + b_i) mod P) — partial aggregation combines map-side,
+    so the shuffle carries one row per document regardless of corpus
+    size. This is the reason signatures are agg columns, not an
+    exploded (doc, perm) table.
+    """
+    aggs = []
+    for i in range(MINHASH_PERMS):
+        a, b = minhash_coeffs(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        )
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH banding -> distinct candidate pairs (doc_a < doc_b).
+
+    Band key is the comma-joined band of the signature; documents
+    sharing any band collide. The self-join shuffles on (band, key) —
+    bucket-local, so cost tracks collision count, not corpus^2.
+    """
+    n_bands = MINHASH_PERMS // LSH_BAND_SIZE
+    sig_arr = F.array(*[F.col(f"m{i}").cast("string") for i in range(MINHASH_PERMS)])
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.slice(sig_arr, b * LSH_BAND_SIZE + 1, LSH_BAND_SIZE), ","
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for candidate pairs via shared-shingle counting."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8-bit chunks; pigeonhole covers hamming <= 3
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document from distinct-token votes.
+
+    tokens x bits expands 32x then immediately aggregates (partial agg
+    map-side); the per-doc result is a single bigint.
+    """
+    tok = docs.select(
+        id_col, F.explode(F.array_distinct(tokens(text_col))).alias("token")
+    ).withColumn("h", hash64("token"))
+    votes = (
+        tok.select(
+            id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+        )
+        .withColumn(
+            # python F.shiftright only takes a literal shift; SQL form
+            # accepts a column
+            "vote",
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by hamming distance over 8-bit chunk blocking."""
+    chunked = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(255).alias("val"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", "ck.chunk", "ck.val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,306 @@
+"""Dedup queries (SURVEY.md §2B "LLM: dedup"; BASELINE.json north_star).
+
+The documents table has no natural duplicates, so each query first
+builds ``corpus`` = documents UNION mutated copies (dropped first word /
+case+whitespace noise) with doc_id+1,000,000 — the same construction on
+both engines — making every dedup check non-vacuous: the known mutant
+pairs MUST come out, and (for LSH/SimHash) random-soup pairs must not.
+
+Oracle SQL is generated from the very constants the Spark operators use
+(operators/dedup.py), so the MinHash permutations, band layout, and
+SimHash bit math are identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import normalize_text
+from ..operators.dedup import (
+    LSH_BAND_SIZE,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    exact_dedup,
+    jaccard_for_pairs,
+    lsh_candidate_pairs,
+    minhash_coeffs,
+    minhash_signatures,
+    shingle_set,
+    simhash,
+    simhash_near_pairs,
+)
+from .registry import query
+
+# ---------------------------------------------------------------- corpus
+
+_SQL_CORPUS_NEAR = """
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\\S+\\s+', '') AS text
+        FROM documents WHERE doc_id % 20 = 0
+    )
+"""
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-duplicate mutants (first word dropped)."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = base.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    return base.unionByName(mutants)
+
+
+# ---------------------------------------------------------------- exact
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               upper(text) || '   ' AS text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    normed AS (
+        SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+        FROM corpus
+    )
+    SELECT content_hash, MIN(doc_id) AS kept_doc, COUNT(*) AS group_size
+    FROM normed
+    GROUP BY content_hash
+    ORDER BY kept_doc
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text sha256: one shuffle on the content
+    hash, deterministic survivor (min doc_id). The mutants differ only
+    in case/whitespace, so every one of them collapses onto its source
+    (group_size 2) — verified by the oracle groups."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    corpus = base.unionByName(mutants)
+    deduped = exact_dedup(corpus)
+    return (
+        deduped.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("kept_doc"), F.count("*").alias("group_size"))
+        .orderBy("kept_doc")
+    )
+
+
+# ---------------------------------------------------------------- minhash lsh
+
+def _minhash_oracle() -> str:
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(MINHASH_PERMS))
+    )
+    p = MINHASH_PRIME
+    return f"""
+    WITH {_SQL_CORPUS_NEAR},
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM corpus
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN []
+                      ELSE list_transform(generate_series(1, len(t) - 2),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingle
+        FROM toks
+    ),
+    shh AS (
+        SELECT DISTINCT doc_id, shingle,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h
+        FROM sh_raw
+    ),
+    perms(i, a, b) AS (VALUES {perms}),
+    sig AS (
+        SELECT doc_id, i, MIN((a * h + b) % {p}) AS m
+        FROM shh CROSS JOIN perms
+        GROUP BY doc_id, i
+    ),
+    bands AS (
+        SELECT doc_id, i // {LSH_BAND_SIZE} AS band,
+               string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+        FROM sig GROUP BY doc_id, i // {LSH_BAND_SIZE}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS shared
+        FROM pairs p
+        JOIN shh a ON a.doc_id = p.doc_a
+        JOIN shh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) >= 0.4
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, then exact-Jaccard verification of
+    the LSH candidates only. Spark computes signatures as 32 min-agg
+    columns in ONE pass (no per-permutation row expansion — the oracle
+    replays it row-expanded, same arithmetic). Shingle k=3, 32 perms,
+    8 bands of 4; verified pairs filtered at J >= 0.4."""
+    corpus = _corpus_near(spark, sf_dir)
+    shingles = shingle_set(corpus, k=3)
+    sig = minhash_signatures(shingles)
+    pairs = lsh_candidate_pairs(sig)
+    return (
+        jaccard_for_pairs(pairs, shingles)
+        .filter(F.col("jaccard") >= 0.4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------- ngram jaccard
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_CORPUS_NEAR},
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM corpus
+    ),
+    sh_raw AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) < 3 THEN []
+                      ELSE list_transform(generate_series(1, len(t) - 2),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingle
+        FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) >= 0.4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive n-gram Jaccard: candidates = any shared 3-shingle
+    (complete for J > 0), one count per pair. The shared-shingle join
+    is skew-prone on hot shingles; the scale path caps document
+    frequency before pairing (operators/dedup.py notes) — here kept
+    exact so the oracle semantics are identical."""
+    corpus = _corpus_near(spark, sf_dir)
+    shingles = shingle_set(corpus, k=3).select("doc_id", "shingle")
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SQL_CORPUS_NEAR},
+    toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token
+        FROM corpus
+    ),
+    th AS (
+        SELECT doc_id, token,
+               ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) bits
+        GROUP BY doc_id, bit
+    ),
+    sims AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+        SELECT doc_id, simhash, c, (simhash >> (8 * c)) & 255 AS val
+        FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cs
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs at hamming <= 3, candidate-blocked
+    by 8-bit chunks (pigeonhole: 4 chunks cover distance 3). Mutant
+    docs differ by one word out of ~dozens of distinct tokens, so their
+    bit-majority votes stay close; random pairs sit near hamming 16."""
+    corpus = _corpus_near(spark, sf_dir)
+    sims = simhash(corpus)
+    return (
+        simhash_near_pairs(sims, max_hamming=3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
