@@ -1,0 +1,47 @@
+"""Vector column helpers for embedding similarity.
+
+Cross-engine determinism: Spark's ``aggregate`` (left fold) and
+DuckDB's ``list_sum`` produce bit-identical doubles for the same
+element order (verified on adversarial inputs), so dot products and
+norms computed this way hash-match without any decimal detour.
+
+Scale note: these are JVM higher-order functions — fine for 64-dim
+vectors. For 1k+-dim embeddings at 100 TB, swap in an Arrow-batched
+pandas UDF doing a single BLAS matmul per batch (same column contract);
+``operators/similarity.py`` documents the switch point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot` (same left-to-right element order)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"

@@ -11,5 +11,8 @@ from .registry import REGISTRY, oracle_sql, queries, query  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import scalar_packs  # noqa: E402,F401
 from . import llm_dedup  # noqa: E402,F401
+from . import llm_similarity  # noqa: E402,F401
+from . import llm_text  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "queries", "oracle_sql", "query"]

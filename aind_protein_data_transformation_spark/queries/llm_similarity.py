@@ -1,0 +1,186 @@
+"""Similarity-search queries over the embeddings table.
+
+The oracle replays the same dot-product fold (see functions/vector.py:
+Spark's aggregate and DuckDB's list_sum are bit-identical for the same
+element order), so even the ROW_NUMBER ranking on raw double cosines is
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.vector import cosine, norm, sql_cosine
+from ..operators.similarity import brute_force_topk, ivf_topk
+from .registry import query
+
+TOPK_NQUERIES = 5
+TOPK_K = 10
+IVF_CENTROID_STRIDE = 40
+IVF_NPROBE = 2
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {TOPK_NQUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    sims AS (
+        SELECT query_id, neighbor_id, {sql_cosine('qe', 'ce')} AS cosine
+        FROM q, c WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {TOPK_K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (the ANN baseline): broadcast the
+    query set over the corpus scan; WindowGroupLimit trims each
+    partition to k before the final shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    return (
+        brute_force_topk(queries, corpus, k=TOPK_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "similarity_ivf_ann",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid_vec
+        FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {TOPK_NQUERIES}),
+    corpus_assign AS (
+        SELECT neighbor_id, centroid_id AS bucket FROM (
+            SELECT c.neighbor_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+                       ORDER BY {sql_cosine('c.ce', 'cent.centroid_vec')} DESC,
+                                cent.centroid_id) AS rk
+            FROM corpus c, cent
+        ) WHERE rk = 1
+    ),
+    query_probes AS (
+        SELECT query_id, centroid_id AS bucket FROM (
+            SELECT q.query_id, cent.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {sql_cosine('q.qe', 'cent.centroid_vec')} DESC,
+                                cent.centroid_id) AS rk
+            FROM q, cent
+        ) WHERE rk <= {IVF_NPROBE}
+    ),
+    sims AS (
+        SELECT p.query_id, a.neighbor_id, {sql_cosine('q.qe', 'c.ce')} AS cosine
+        FROM query_probes p
+        JOIN corpus_assign a ON a.bucket = p.bucket
+        JOIN q ON q.query_id = p.query_id
+        JOIN corpus c ON c.neighbor_id = a.neighbor_id
+        WHERE p.query_id <> a.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM sims
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= {TOPK_K}
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate NN — the scale path: probe nprobe=2 of
+    the deterministic-subsample centroids, exact cosine only within the
+    probed buckets. Fully deterministic (subsample centroids + tie
+    breaks), so unlike most ANN this one IS oracle-checkable; recall
+    vs brute force is asserted in tests/test_llm.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    return (
+        ivf_topk(queries, corpus, centroids, k=TOPK_K, nprobe=IVF_NPROBE)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH perturbed AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(CAST(embedding[i] AS DOUBLE)
+                        + 0.02 * ((i % 3) - 1) AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM perturbed
+    ),
+    a AS (SELECT vec_id AS id_a, embedding AS ea FROM corpus),
+    b AS (SELECT vec_id AS id_b, embedding AS eb FROM corpus),
+    sims AS (
+        SELECT id_a, id_b, {sql_cosine('ea', 'eb')} AS cosine
+        FROM a, b WHERE id_a < id_b
+    )
+    SELECT id_a, id_b, cosine FROM sims
+    WHERE cosine >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (north_star dedup family): all pairs
+    with cosine >= 0.9. Random unit vectors concentrate near cosine 0,
+    so the query injects perturbed mutants (vec_id+1e6) that land near
+    0.999 — every mutant pair must surface, no random pair may. Brute
+    force at check scale; LSH/IVF blocking is the scale path
+    (operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: (
+                F.element_at("embedding", i).cast("double")
+                + 0.02 * ((i % 3) - 1)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(perturbed)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("ea", "eb").alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+        .orderBy("id_a", "id_b")
+    )

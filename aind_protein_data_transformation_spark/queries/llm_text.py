@@ -1,0 +1,259 @@
+"""Text-analysis queries (north_star: language-ID, quality scoring,
+token counting, document fingerprinting) over the documents table.
+
+All JVM builtins — regex, higher-order array functions, window frames —
+so the hot path is map-side and codegen'd; nothing here shuffles except
+the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.text import hash64, tokens
+from .registry import query
+
+# Stopword lists for the n-gram/stopword language heuristic. The synthetic
+# corpus is English-ish for every label, so the *mechanism* is what the
+# oracle checks; tests/test_llm.py asserts real discrimination on crafted
+# multilingual strings.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "was", "it", "for"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ich", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "je", "pas", "que"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "no", "que", "por"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def _sql_stopword_values() -> str:
+    rows = []
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        rows.extend(f"('{lang}', '{w}')" for w in words)
+    return ", ".join(rows)
+
+
+def _sql_en_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_unique_tokens,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len(t) AS avg_token_len,
+           len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+           len(regexp_extract_all(text, '\\d')) AS n_digits,
+           len(list_filter(t, x -> list_contains({_sql_en_list()}, x))) AS stopword_hits,
+           CAST(len(list_filter(t, x -> list_contains({_sql_en_list()}, x))) AS DOUBLE)
+               / len(t) AS stopword_ratio,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS lexical_diversity
+    FROM toks
+    WHERE len(t) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: char/token/unique-token counts,
+    average token length, punctuation & digit counts, stopword ratio,
+    lexical diversity — the standard pre-training quality-filter
+    feature set, computed in one codegen'd projection."""
+    d = load_table(spark, sf_dir, "documents")
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    t = tokens("text")
+    d = d.select("doc_id", "lang", "source", "text", t.alias("t")).filter(
+        F.size("t") > 0
+    )
+    stop_hits = F.size(F.filter("t", lambda x: F.array_contains(en, x)))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.length("text").alias("n_chars"),
+            F.size("t").alias("n_tokens"),
+            F.size(F.array_distinct("t")).alias("n_unique_tokens"),
+            (
+                F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+                / F.size("t")
+            ).alias("avg_token_len"),
+            F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)")).alias(
+                "n_punct"
+            ),
+            F.size(F.expr(r"regexp_extract_all(text, '\\d', 0)")).alias("n_digits"),
+            stop_hits.alias("stopword_hits"),
+            (stop_hits.cast("double") / F.size("t")).alias("stopword_ratio"),
+            (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias(
+                "lexical_diversity"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH stop(slang, word) AS (VALUES {_sql_stopword_values()}),
+    tok AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    hits AS (
+        SELECT t.doc_id, t.lang, s.slang, COUNT(*) AS n_hits
+        FROM tok t JOIN stop s ON t.token = s.word
+        GROUP BY t.doc_id, t.lang, s.slang
+    ),
+    best AS (
+        SELECT doc_id, lang, slang AS pred_lang, n_hits,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n_hits DESC, slang) AS rk
+        FROM hits
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(b.pred_lang, 'unknown') AS pred_lang,
+           COALESCE(b.n_hits, 0) AS n_hits,
+           (d.lang = COALESCE(b.pred_lang, 'unknown')) AS is_correct
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+    ORDER BY d.doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: explode tokens, broadcast-join the
+    stopword dictionary, argmax hits per doc (ties broken by language
+    code). Dictionary join beats a per-language CASE cascade: adding a
+    language is a data change, not a plan change."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_rows = [
+        (lang, w) for lang, words in sorted(LANG_STOPWORDS.items()) for w in words
+    ]
+    stop = spark.createDataFrame(stop_rows, "slang string, word string")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    hits = (
+        tok.join(F.broadcast(stop), tok.token == stop.word)
+        .groupBy("doc_id", "lang", "slang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("slang"))
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("slang").alias("pred_lang"), "n_hits")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.col("lang") == F.coalesce("pred_lang", F.lit("unknown"))
+            ).alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS total_tokens,
+           SUM(length(text)) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS DOUBLE)
+               / COUNT(*) AS avg_tokens_per_doc
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (word-or-single-punct regex — the standard
+    pre-tokenizer shape) aggregated per source: the 'how many tokens is
+    this corpus' pipeline question, one scan."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+            (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_fingerprint_winnow",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(substr(text, pos, 5)), 1, 15))::BIGINT AS h
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, length(text) - 4)) AS pos)
+        WHERE length(text) >= 5
+    ),
+    winnowed AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        FROM grams
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT fp) AS n_fingerprints,
+           MIN(fp) AS min_fp,
+           MAX(fp) AS max_fp
+    FROM winnowed
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: rolling min over windows of 8
+    consecutive char-5-gram hashes (Schleimer et al.'s local algorithm —
+    position-robust plagiarism/near-dup signatures). The rolling min is
+    a window frame, partition-local after one shuffle on doc_id."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 4)).alias("pos"),
+        "text",
+    ).select(
+        "doc_id", "pos", hash64(F.expr("substr(text, pos, 5)")).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, 7)
+    )
+    winnowed = grams.select("doc_id", F.min("h").over(w).alias("fp"))
+    return (
+        winnowed.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,6 +1,8 @@
 """Driver-mimic: exercise the __spark_entry__ contract at sf0.01 like the real verify does."""
-import sys, time
+import os, sys, time
 sys.path.insert(0, "/root/repo")
+# executors (python workers) must also see the package
+os.environ["PYTHONPATH"] = "/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", "")
 import __spark_entry__ as e
 from pyspark.sql import SparkSession
 import duckdb
