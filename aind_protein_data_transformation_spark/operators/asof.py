@@ -1,0 +1,79 @@
+"""As-of join (SURVEY.md §2B; hard part (c) in §7 — Spark has no native
+primitive).
+
+Implementation: the union-sort trick. Tag both sides, union on the key
++ time axis, and carry the most recent right-side row forward with
+``last(..., ignoreNulls)`` over an unbounded-preceding window. This is
+ONE shuffle on (key) — the same cost as a regular sort-merge join —
+and never materializes the O(left x right) inequality join a naive
+range-join formulation would.
+
+Tie semantics match DuckDB ASOF (inclusive: a right row AT the left
+timestamp matches) by sorting right-tagged rows before left-tagged rows
+at equal timestamps.
+
+Skew note: a hot key (one user with millions of events) serializes into
+one partition's window sort. The banded fallback (bucket time into
+coarse bands, carry the last right row per band, then local resolve)
+restores parallelism; not needed at harness scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_time`` <= ``left_time`` within the same ``on`` key.
+
+    ``right_values`` are the right-side columns to carry (prefixed
+    ``asof_`` in the output). ``how='inner'`` drops left rows with no
+    match; ``'left'`` keeps them with nulls.
+    """
+    lt = left.select(
+        F.col(on),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*right_values).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    rt = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*right_values).alias("_r"),
+    )
+    # right rows sort first at equal _t -> inclusive match (DuckDB ASOF).
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lt.unionByName(rt).withColumn(
+        "_asof", F.last("_r", ignorenulls=True).over(w)
+    )
+    merged = merged.filter(F.col("_is_left") == 1)
+    if how == "inner":
+        merged = merged.filter(F.col("_asof").isNotNull())
+    elif how != "left":
+        raise ValueError(f"unsupported how={how!r}")
+    return merged.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in right_values],
+    )

@@ -1,0 +1,161 @@
+"""Streaming queries checked by replay equivalence: each runs a real
+Structured Streaming job (availableNow -> memory sink) and the oracle
+is the equivalent BATCH query in DuckDB on the same events data.
+
+Precision: window boundaries are epoch-aligned in both engines (Spark
+``window()`` and DuckDB ``date_trunc``/arithmetic), and session starts
+are compared as integer microseconds (same contract as the as-of
+queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.events import read_events_stream, run_stream_to_memory
+from .registry import query
+
+
+@query(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over the replayed events
+    stream (real readStream -> windowed agg -> availableNow -> memory
+    sink). Complete output mode emits every window, so the result must
+    equal the batch date_trunc aggregation."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, "tumbling").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query(
+    "streaming_sliding_window",
+    oracle="""
+    WITH expanded AS (
+        SELECT CAST(date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS TIMESTAMP)
+                   AS window_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): every event lands in two
+    windows. The oracle expands each event into its two window starts
+    explicitly — same epoch-aligned grid Spark's window() uses."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return run_stream_to_memory(agg, "sliding").orderBy(
+        "window_start", "event_type"
+    )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS us,
+               LAG(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                               ORDER BY epoch_ns(ts) // 1000) AS prev_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 300000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ),
+    islands AS (
+        SELECT user_id, us,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start_us
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5-minute gap) per user via Spark's
+    native session_window stateful operator; the oracle reconstructs
+    the identical sessions with the classic gaps-and-islands SQL.
+    Session start compared as integer microseconds."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(agg, "session").orderBy(
+        "user_id", "session_start_us"
+    )
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: every event duplicated in-stream
+    (explode x2 — a second file source on the same path trips parquet
+    basePath inference) -> dropDuplicates on event_id -> counts. The
+    oracle is the distinct count on the single copy — equal iff the
+    stateful dedup removed every doubled event."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.withColumn(
+        "copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("copy")
+    agg = (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return run_stream_to_memory(agg, "dedup").orderBy("event_type")

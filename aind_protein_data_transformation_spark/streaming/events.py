@@ -1,0 +1,76 @@
+"""Structured Streaming surface over the events table (SURVEY.md §2B
+Streaming; §1.4 — the reference is batch-only, this is the engine's
+extension for the north_star streaming requirement).
+
+The driver's events table is a parquet file; the stream source replays
+it file-by-file (at production scale: a directory the ingest keeps
+appending to, or Kafka — the query shapes below are source-agnostic).
+Every streaming query here is checked by REPLAY EQUIVALENCE: run with
+``availableNow`` to completion into a memory sink and compare against
+the equivalent batch query (the DuckDB oracle) on the same data —
+deterministic because the queries are event-time-only (no
+processing-time dependence).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import table_path
+
+# Parquet stream sources need an explicit schema; ts arrives as raw
+# nanos (nanosAsLong) and is converted exactly like catalog.load_table.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source needs a DIRECTORY (it watches for new
+    # files); select just the events parquet out of sf_dir via glob.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def run_stream_to_memory(
+    sdf: DataFrame, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the result as a batch DataFrame.
+
+    availableNow processes everything currently in the source and
+    stops — the replay-equivalence harness. Memory sinks are
+    per-session; names are uniquified so repeated calls don't collide.
+    """
+    qname = f"{name or 'stream'}_{uuid.uuid4().hex[:8]}"
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sdf.sparkSession.table(qname)
