@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the ``noop`` sink so the timing
+covers scan -> shuffle -> agg/join -> result materialization on the
+executors, without driver-side collect skew. A short warmup query runs
+first so JVM/codegen startup is not billed to the first headline query.
+
+The headline set spans every operator family from SURVEY.md §2B: scan/
+filter/agg (q1), joins (q3/q5/outer/semi/theta), windows (running totals,
+top-k), rollup, set ops, scalar packs, percentiles, as-of join, dedup
+(exact + MinHash-LSH), similarity top-k, and text analysis. The full
+registry stays checkable via ``--all``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from aind_protein_data_transformation_spark.catalog import DEFAULT_SF_DIR
+from aind_protein_data_transformation_spark.session import get_spark
+
+HEADLINE: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_outer_join_order_fill",
+    "q_semi_join_customers_with_orders",
+    "q_theta_join_price_band",
+    "q_window_running_totals",
+    "q_topk_per_group",
+    "q_rollup_region_nation_revenue",
+    "q_set_ops_customer_segments",
+    "q_percentiles_exact",
+    "asof_purchase_last_click",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_quality_stats",
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main(argv: list[str]) -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    run_all = "--all" in argv
+
+    import aind_protein_data_transformation_spark.queries as q
+
+    names = list(q.REGISTRY) if run_all else list(HEADLINE)
+    # Streaming queries manage their own lifecycle; keep the batch bench pure.
+    names = [n for n in names if not n.startswith("streaming_")]
+
+    spark = get_spark("aind-protein-data-transformation-spark-bench")
+    try:
+        # Warmup: touch the biggest table so JVM startup + codegen warm paths
+        # are paid before the first timed query.
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = q.REGISTRY[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+
+        total = round(sum(timings.values()), 4)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_suite_wall_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": _sf_from_dir(sf_dir),
+                }
+            )
+        )
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
