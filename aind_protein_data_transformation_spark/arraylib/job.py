@@ -1,0 +1,187 @@
+"""End-to-end stack compression job (SURVEY.md §2A A24-A25).
+
+The reference's ``ZeissCompressionJob.run_job`` (zeiss_job.py:222-241)
+is: scan + sort -> round-robin -> claim one bucket -> per-stack
+(rename, decode, rechunk, pad, pyramid, blocked compressed write, OME
+metadata) -> structured response. Its CLI entry parses settings from
+argv JSON / config file / env (zeiss_job.py:245-260; note the latent
+line-258 bug that breaks the CLI path — reproduced here as a *fixed*
+equivalent, not bug-for-bug).
+
+In Spark the per-stack driver loop (A24) disappears: all claimed stacks
+decode and reduce as one DataFrame lineage keyed by ``stack_id``, and
+Spark's scheduler replaces SLURM. ``num_partitions``/``bucket`` are kept
+so N independent job invocations still split work identically to the
+reference's 5-task deployment; a single cluster run uses the default
+(1 bucket = everything).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import SparkSession
+
+from aind_protein_data_transformation_spark.arraylib import blocks, decode, ome, pyramid, stacks
+
+
+@dataclass
+class StackJobSettings:
+    """Typed job config (parity: models.py:23-76 ``ZeissJobSettings``)."""
+
+    input_source: str
+    output_directory: str
+    num_of_partitions: int = 1
+    partition_to_process: int = 0
+    compressor_name: str = "blosc"
+    compressor_kwargs: dict = field(
+        default_factory=lambda: dict(blocks.DEFAULT_COMPRESSOR)
+    )
+    chunk_size: tuple[int, int, int] = pyramid.DEFAULT_CHUNK_SIZE
+    scale_factor: tuple[int, int, int] = pyramid.DEFAULT_SCALE_FACTOR
+    downsample_levels: int = pyramid.DEFAULT_N_LEVELS
+    glob: str = "*.czi"
+    s3_location: str | None = None
+
+    def __post_init__(self) -> None:
+        if not 0 <= self.partition_to_process < self.num_of_partitions:
+            raise ValueError("partition_to_process must be in [0, num_of_partitions)")
+        if self.downsample_levels < 1:
+            raise ValueError("downsample_levels must be >= 1")
+
+    @property
+    def output_root(self) -> str:
+        """Write target. With ``s3_location`` set, Spark writes straight
+        to ``s3a://`` — the reference's aws-cli sync + local delete
+        (A23, utils/utils.py:138-201) collapses into the sink itself."""
+        if self.s3_location:
+            return self.s3_location.replace("s3://", "s3a://", 1)
+        return self.output_directory
+
+
+@dataclass
+class JobResponse:
+    """Structured result (parity: zeiss_job.py:239-241)."""
+
+    status_code: int
+    message: str
+    data: str | None = None
+
+
+def run_job(
+    spark: SparkSession,
+    settings: StackJobSettings,
+    decoder: decode.Decoder = decode.synthetic_decoder,
+) -> JobResponse:
+    """Run the full pipeline for this invocation's bucket of stacks."""
+    t0 = time.time()
+    listing = stacks.scan_stack_dir(spark, settings.input_source, settings.glob, with_content=True)
+    claimed = stacks.select_bucket(
+        stacks.deal_round_robin(listing, settings.num_of_partitions),
+        settings.partition_to_process,
+    ).withColumn("stack_name", stacks.stack_display_name("path"))
+
+    stack_meta = [
+        (row.path, row.stack_name) for row in claimed.select("path", "stack_name").collect()
+    ]
+    if not stack_meta:
+        return JobResponse(1, f"No stacks claimed for bucket {settings.partition_to_process}")
+
+    voxels = decode.pad_to_5d(decode.decode_stacks(claimed, decoder))
+    levels = pyramid.build_pyramid(
+        voxels,
+        n_levels=settings.downsample_levels,
+        scale_factor=settings.scale_factor,
+    )
+
+    out_root = settings.output_root
+    for lvl, level_df in enumerate(levels):
+        chunked = blocks.encode_chunks(level_df, settings.chunk_size)
+        blocks.write_level_parquet(chunked, out_root, lvl)
+
+    # Per-stack OME-NGFF sidecars need each stack's full-res shape.
+    from pyspark.sql import functions as F
+
+    shapes = {
+        row["stack_id"]: (
+            row["mt"] + 1, row["mc"] + 1, row["mz"] + 1, row["my"] + 1, row["mx"] + 1
+        )
+        for row in voxels.groupBy("stack_id")
+        .agg(
+            F.max("t").alias("mt"),
+            F.max("c").alias("mc"),
+            F.max("z").alias("mz"),
+            F.max("y").alias("my"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+    dtypes = {
+        row["stack_id"]: row["dtype"]
+        for row in voxels.select("stack_id", "dtype").distinct().collect()
+    }
+    for path, stack_name in stack_meta:
+        stack_id = path.rsplit("/", 1)[-1]
+        shape = shapes.get(stack_id)
+        if shape is None:
+            continue
+        attrs = ome.build_multiscales_metadata(
+            image_name=stack_name,
+            data_shape=shape,
+            n_levels=settings.downsample_levels,
+            scale_factor=settings.scale_factor,
+            voxel_size=(1.0, 1.0, 1.0),
+            chunks=(1, 1, *settings.chunk_size),
+            channel_minmax=[ome.dtype_range(dtypes[stack_id])] * shape[1],
+        )
+        if not out_root.startswith("s3a://"):
+            ome.write_ome_ngff_json(attrs, os.path.join(out_root, "_metadata"), f"{stack_name}.zattrs")
+
+    return JobResponse(
+        0,
+        f"Processed {len(stack_meta)} stacks in {time.time() - t0:.1f}s",
+        data=json.dumps({"stacks": [name for _, name in stack_meta]}),
+    )
+
+
+def job_entrypoint(sys_args: list[str] | None = None) -> JobResponse:
+    """CLI entry (parity: zeiss_job.py:245-260, with the line-258
+    wrong-class bug fixed: settings parse into ``StackJobSettings`` and
+    the job actually runs)."""
+    parser = argparse.ArgumentParser(description="stack compression job")
+    parser.add_argument("--job-settings", type=str, help="settings as a JSON string")
+    parser.add_argument("--config-file", type=str, help="path to a settings JSON file")
+    ns = parser.parse_args(sys_args)
+    if ns.job_settings:
+        cfg = json.loads(ns.job_settings)
+    elif ns.config_file:
+        with open(ns.config_file, encoding="utf-8") as fh:
+            cfg = json.load(fh)
+    else:
+        cfg = {
+            "input_source": os.environ["STACK_JOB_INPUT_SOURCE"],
+            "output_directory": os.environ["STACK_JOB_OUTPUT_DIRECTORY"],
+        }
+    for key in ("chunk_size", "scale_factor"):
+        if key in cfg:
+            cfg[key] = tuple(cfg[key])
+    settings = StackJobSettings(**cfg)
+
+    from aind_protein_data_transformation_spark.session import get_spark
+
+    spark = get_spark("aind-protein-data-transformation-spark-stack-job")
+    try:
+        response = run_job(spark, settings)
+    finally:
+        spark.stop()
+    print(json.dumps(asdict(response)))
+    return response
+
+
+if __name__ == "__main__":
+    job_entrypoint(sys.argv[1:])

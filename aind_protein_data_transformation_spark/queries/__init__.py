@@ -15,6 +15,7 @@ from . import llm_similarity  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import asof_queries  # noqa: E402,F401
+from . import array_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "queries", "oracle_sql", "query"]

