@@ -35,6 +35,29 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def unit_normalize(a: Column | str) -> Column:
+    """Vector scaled to unit L2 norm (element-wise double division).
+
+    Precomputing this once per vector turns every pairwise cosine into a
+    single dot fold — for an all-pairs similarity over n vectors that is
+    3x less work than cosine-per-pair (n norms instead of 2·n² folds).
+    ``sql_unit_normalize`` applies the identical op order, so downstream
+    dots stay bit-identical across engines.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    n = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def sql_unit_normalize(a: str) -> str:
+    """DuckDB twin of :func:`unit_normalize`."""
+    norm = (
+        f"sqrt(list_sum(list_transform({a},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"list_transform({a}, x -> CAST(x AS DOUBLE) / {norm})"
+
+
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of :func:`dot` (same left-to-right element order)."""
     return (

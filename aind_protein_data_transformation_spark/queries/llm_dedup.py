@@ -166,7 +166,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays it row-expanded, same arithmetic). Shingle k=3, 32 perms,
     8 bands of 4; verified pairs filtered at J >= 0.4."""
     corpus = _corpus_near(spark, sf_dir)
-    shingles = shingle_set(corpus, k=3)
+    # The shingle set feeds four consumers (signatures, both sides of the
+    # Jaccard join, sizes); persist it so the tokenize+md5+distinct
+    # subtree runs once — at 100 TB this is the difference between one
+    # and four passes over the corpus.
+    shingles = shingle_set(corpus, k=3).persist()
     sig = minhash_signatures(shingles)
     pairs = lsh_candidate_pairs(sig)
     return (

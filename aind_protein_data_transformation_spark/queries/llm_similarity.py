@@ -12,7 +12,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.vector import cosine, norm, sql_cosine
+from ..functions.vector import (
+    cosine,
+    dot,
+    norm,
+    sql_cosine,
+    sql_dot,
+    sql_unit_normalize,
+    unit_normalize,
+)
 from ..operators.similarity import brute_force_topk, ivf_topk
 from .registry import query
 
@@ -142,13 +150,14 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings WHERE vec_id % 20 = 0
     ),
     corpus AS (
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL SELECT vec_id, embedding FROM perturbed
+        SELECT vec_id, {sql_unit_normalize('embedding')} AS en
+        FROM (SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM perturbed)
     ),
-    a AS (SELECT vec_id AS id_a, embedding AS ea FROM corpus),
-    b AS (SELECT vec_id AS id_b, embedding AS eb FROM corpus),
+    a AS (SELECT vec_id AS id_a, en AS ea FROM corpus),
+    b AS (SELECT vec_id AS id_b, en AS eb FROM corpus),
     sims AS (
-        SELECT id_a, id_b, {sql_cosine('ea', 'eb')} AS cosine
+        SELECT id_a, id_b, {sql_dot('ea', 'eb')} AS cosine
         FROM a, b WHERE id_a < id_b
     )
     SELECT id_a, id_b, cosine FROM sims
@@ -160,8 +169,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (north_star dedup family): all pairs
     with cosine >= 0.9. Random unit vectors concentrate near cosine 0,
     so the query injects perturbed mutants (vec_id+1e6) that land near
-    0.999 — every mutant pair must surface, no random pair may. Brute
-    force at check scale; LSH/IVF blocking is the scale path
+    0.999 — every mutant pair must surface, no random pair may.
+
+    Plan: unit-normalize each vector ONCE (persist the n-row result),
+    so the n² pair stage is a single dot fold per pair instead of
+    cosine's three — the dominant cost at any scale. Brute force at
+    check scale; LSH/IVF blocking is the scale path
     (operators/similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
@@ -174,13 +187,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("float"),
         ).alias("embedding"),
     )
-    corpus = emb.select("vec_id", "embedding").unionByName(perturbed)
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionByName(perturbed)
+        .select("vec_id", unit_normalize("embedding").alias("en"))
+        .persist()
+    )
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("en").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("en").alias("eb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("ea", "eb").alias("cosine"))
+        .select("id_a", "id_b", dot("ea", "eb").alias("cosine"))
         .filter(F.col("cosine") >= 0.9)
         .orderBy("id_a", "id_b")
     )
