@@ -513,3 +513,119 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_map_functions",
+    oracle="""
+    WITH parsed AS (
+        SELECT event_id, props,
+               json_keys(props) AS ks
+        FROM events WHERE event_id < 2000
+    ),
+    exploded AS (
+        SELECT event_id, unnest(ks) AS key_name, len(ks) AS n_keys, props
+        FROM parsed
+    )
+    SELECT event_id, key_name, n_keys,
+           CAST(json_extract(props, '$.' || key_name) AS BIGINT) AS key_value,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_direct
+    FROM exploded
+    ORDER BY event_id, key_name
+    """,
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/json pack (§2B scalar: map): ``from_json`` to a typed MAP,
+    ``map_keys``/``map_values`` zipped with ``arrays_zip``, exploded to
+    (key, value) rows, plus direct ``element_at`` lookup. All JVM
+    builtins; the JSON parse is one pass per row (generalizes the
+    reference's nested-JSON voxel lookup, zeiss_job.py:64-89)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    )
+    zipped = parsed.select(
+        "event_id",
+        F.size(F.map_keys(F.col("m"))).alias("n_keys"),
+        F.element_at(F.col("m"), "k").alias("k_direct"),
+        F.explode(F.arrays_zip(F.map_keys(F.col("m")), F.map_values(F.col("m")))).alias("kv"),
+    )
+    return zipped.select(
+        "event_id",
+        F.col("kv.0").alias("key_name"),
+        "n_keys",
+        F.col("kv.1").alias("key_value"),
+        "k_direct",
+    ).orderBy("event_id", "key_name")
+
+
+@query(
+    "q_lead_lag_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_order,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey, 2, -1) OVER w AS next2_order,
+           CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+               AS days_since_prev
+    FROM orders
+    WHERE o_custkey % 13 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window pack: lead/lag with offsets and defaults, plus
+    event-gap datediff — one window spec, one shuffle. The order gap per
+    customer is the relational form of the reference's between-level
+    timing deltas (zeiss_job.py:224,238)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 13 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey", 2, -1).over(w).alias("next2_order"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g_flag, g_status, returnflag, linestatus
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): three simultaneous
+    grouping shapes in ONE pass over the fact table — Spark expands the
+    sets into a single Expand + hash-agg plan rather than three scans.
+    GROUPING() flags disambiguate the null-vs-missing cases."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+               COALESCE(l_linestatus, '<all>') AS linestatus,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, returnflag, linestatus
+        """
+    )
