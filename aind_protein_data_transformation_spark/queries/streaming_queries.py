@@ -159,3 +159,67 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_unique"))
     )
     return run_stream_to_memory(agg, "dedup").orderBy("event_type")
+
+
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (§2B's
+    arbitrary-state row): per-user running totals kept in GroupState
+    across micro-batches, emitted as updates each batch. Values
+    accumulate as integer micro-units inside the state so the result is
+    exact and independent of arrival order — the replay (availableNow)
+    must therefore equal the batch GROUP BY.
+
+    At scale this is the shape for streaming per-key accumulators
+    (counters, CUSUM, rate trackers) that windowed aggs can't express;
+    state lives in the state store, partitioned by key, with
+    checkpointed fault tolerance.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def totals(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer accumulation: values have <= 6 decimals
+            micros += int(round((pdf["value"] * 1_000_000).round().sum()))
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [micros / 1_000_000]}
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, micros long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from pyspark.sql.window import Window
+
+    totals_df = run_stream_to_memory(out, "stateful", output_mode="update")
+    # Multi-batch replays emit one update row per key per batch: the
+    # last update per key is the final total.
+    latest = totals_df.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_events"))),
+    )
+    return latest.filter(F.col("rn") == 1).select(
+        "user_id", "n_events", "total_value"
+    ).orderBy("user_id")
