@@ -223,3 +223,74 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.filter(F.col("rn") == 1).select(
         "user_id", "n_events", "total_value"
     ).orderBy("user_id")
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (§2B's bounded-state dedup):
+    unlike plain dropDuplicates, state for an id is evictable once the
+    watermark passes its event time + delay — the form that survives an
+    unbounded stream. Duplicates here carry identical event times, so
+    a 10-minute delay provably catches all of them; counts are applied
+    batch-side to the deduplicated append output."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.withColumn(
+        "copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("copy")
+    dd = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_stream_to_memory(dd, "wm_dedup", output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "streaming_late_data_policy",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT window_start, n_events, sum_value
+    FROM agg, wm
+    WHERE window_start + INTERVAL 1 HOUR <= w
+    ORDER BY window_start
+    """,
+)
+def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode late-data policy: a 1-hour tumbling agg
+    under a 30-minute watermark emits a window only once the watermark
+    passes its end — i.e. exactly the windows with
+    ``window_end <= max(ts) - delay``; still-open windows are withheld.
+    The oracle reproduces that emission rule in batch SQL, so the check
+    pins the watermark semantics, not just the aggregation."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return run_stream_to_memory(agg, "late_policy", output_mode="append").orderBy(
+        "window_start"
+    )
