@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import hash64, normalize_text, tokens, word_shingles
+from ..functions.text import hash64, normalize_text, tokens
 
 # MinHash parameters — shared verbatim with the SQL oracle
 # (queries/llm_dedup.py interpolates the same constants).
@@ -61,30 +61,30 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingle_set(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word-k-shingles per document: (doc_id, shingle, h).
+    """Distinct word-k-shingle hashes per document: (doc_id, h).
 
-    Two deliberate plan choices (3-4x, measured):
+    Plan choices (3-4x, measured):
     - tokens materialize in their own projection first — inlining the
       split+filter expression into each element_at would re-tokenize
       the document once per shingle position;
     - shingles assemble positionally (explode positions, then concat)
       instead of inside a ``transform`` lambda, keeping the hot path in
       whole-stage codegen rather than the interpreted HOF evaluator.
+
+    Only the shingle *hash* survives into the distinct/shuffle — the
+    string itself is projected away immediately, shrinking the exchange
+    ~4x and keeping every downstream join numeric. Distinctness by hash
+    instead of string admits a ~2^-61-probability collision per shingle
+    pair; both engines hash identically, so results stay deterministic.
     """
     toks = docs.select(id_col, tokens(text_col).alias("tk")).filter(F.size("tk") >= k)
     pos = toks.select(
         id_col, "tk", F.explode(F.sequence(F.lit(1), F.size("tk") - (k - 1))).alias("i")
     )
-    return (
-        pos.select(
-            id_col,
-            F.concat_ws(
-                " ", *[F.element_at("tk", F.col("i") + j) for j in range(k)]
-            ).alias("shingle"),
-        )
-        .distinct()
-        .withColumn("h", hash64("shingle") % MINHASH_PRIME)
-    )
+    shingle = F.concat_ws(" ", *[F.element_at("tk", F.col("i") + j) for j in range(k)])
+    return pos.select(
+        id_col, (hash64(shingle) % MINHASH_PRIME).alias("h")
+    ).distinct()
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -108,12 +108,13 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH banding -> distinct candidate pairs (doc_a < doc_b).
 
-    Band key is the comma-joined band of the signature; documents
-    sharing any band collide. The self-join shuffles on (band, key) —
-    bucket-local, so cost tracks collision count, not corpus^2.
+    Band key is the band's signature values as a numeric tuple —
+    documents sharing any band collide. Numeric keys (vs joined
+    strings) keep the codegen small and the exchange compact; the
+    self-join shuffles on (band, k0..k3), bucket-local, so cost tracks
+    collision count, not corpus^2.
     """
     n_bands = MINHASH_PERMS // LSH_BAND_SIZE
-    sig_arr = F.array(*[F.col(f"m{i}").cast("string") for i in range(MINHASH_PERMS)])
     banded = signatures.select(
         F.col(id_col),
         F.explode(
@@ -121,37 +122,41 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.array_join(
-                            F.slice(sig_arr, b * LSH_BAND_SIZE + 1, LSH_BAND_SIZE), ","
-                        ).alias("key"),
+                        *[
+                            F.col(f"m{b * LSH_BAND_SIZE + j}").alias(f"k{j}")
+                            for j in range(LSH_BAND_SIZE)
+                        ],
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    ).select(id_col, "bk.*")
     a = banded.alias("a")
     b = banded.alias("b")
+    key_eq = (F.col("a.band") == F.col("b.band")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for j in range(LSH_BAND_SIZE):
+        key_eq = key_eq & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, key_eq)
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
 
 
 def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Exact Jaccard for candidate pairs via shared-shingle counting."""
+    """Exact Jaccard for candidate pairs via shared-shingle-hash
+    counting (the 8-byte hash column replaces the shingle string in
+    every join — same result modulo the negligible hash-collision case,
+    identical on both engines)."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    sa = shingles.select(F.col(id_col).alias("doc_a"), "h")
+    sb = shingles.select(F.col(id_col).alias("doc_b"), "h")
     shared = (
         pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))
     )

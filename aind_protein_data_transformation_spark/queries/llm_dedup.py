@@ -105,6 +105,12 @@ def _minhash_oracle() -> str:
         f"({i}, {a}, {b})" for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(MINHASH_PERMS))
     )
     p = MINHASH_PRIME
+    # Numeric band-key columns, mirroring lsh_candidate_pairs' struct.
+    band_keys = ",\n               ".join(
+        f"MIN(CASE WHEN i % {LSH_BAND_SIZE} = {j} THEN m END) AS k{j}"
+        for j in range(LSH_BAND_SIZE)
+    )
+    band_eq = " AND ".join(f"a.k{j} = b.k{j}" for j in range(LSH_BAND_SIZE))
     return f"""
     WITH {_SQL_CORPUS_NEAR},
     toks AS (
@@ -120,7 +126,7 @@ def _minhash_oracle() -> str:
         FROM toks
     ),
     shh AS (
-        SELECT DISTINCT doc_id, shingle,
+        SELECT DISTINCT doc_id,
                ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h
         FROM sh_raw
     ),
@@ -132,20 +138,20 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
         SELECT doc_id, i // {LSH_BAND_SIZE} AS band,
-               string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS key
+               {band_keys}
         FROM sig GROUP BY doc_id, i // {LSH_BAND_SIZE}
     ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          ON a.band = b.band AND {band_eq} AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
     inter AS (
         SELECT p.doc_a, p.doc_b, COUNT(*) AS shared
         FROM pairs p
         JOIN shh a ON a.doc_id = p.doc_a
-        JOIN shh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        JOIN shh b ON b.doc_id = p.doc_b AND b.h = a.h
         GROUP BY p.doc_a, p.doc_b
     )
     SELECT i.doc_a, i.doc_b,
@@ -198,11 +204,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                            i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingle
         FROM toks
     ),
-    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
+        FROM sh_raw
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT i.doc_a, i.doc_b,
@@ -221,13 +231,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency before pairing (operators/dedup.py notes) — here kept
     exact so the oracle semantics are identical."""
     corpus = _corpus_near(spark, sf_dir)
-    shingles = shingle_set(corpus, k=3).select("doc_id", "shingle")
+    shingles = shingle_set(corpus, k=3).persist()
     a = shingles.alias("a")
     b = shingles.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
