@@ -1,0 +1,108 @@
+"""Scale levers: bucketed co-located joins and skew salting.
+
+These are the two shuffle pathologies a 100 TB deployment hits that
+AQE alone does not fully solve:
+
+- **Repeated fact-fact joins on the same key** (orders ⋈ lineitem every
+  run): bucketing both tables on the join key at write time makes every
+  subsequent join shuffle-free — SortMergeJoin reads co-located buckets
+  directly. The write cost amortizes across all downstream queries.
+- **Skewed aggregation keys** (one hot key dominating a groupBy): AQE
+  splits skewed *join* partitions, but a skewed aggregation still
+  funnels the hot key through one task. Two-phase salting fans the hot
+  key across ``n_salts`` partial aggregates, then merges.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    Bucket count is a layout contract: joins between tables bucketed
+    into the same ``n_buckets`` on their join keys need no exchange.
+    Sorting within buckets additionally removes the join's sort step.
+    ``path`` makes it an external table (tests use tmp dirs; production
+    would pass an object-store URI).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join_is_shuffle_free(spark: SparkSession, left: str, right: str, on: str) -> bool:
+    """True iff joining the two saved tables on ``on`` plans no Exchange.
+
+    The verification hook tests use; also handy operationally to assert
+    a layout contract still holds after a schema change.
+    """
+    plan = (
+        spark.table(left)
+        .join(spark.table(right), on)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    return "Exchange" not in plan
+
+
+def salted_sum(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_salts: int = 8,
+    out_col: str = "total",
+) -> DataFrame:
+    """Two-phase skew-proof sum: groupBy((key, salt)) -> groupBy(key).
+
+    The salt is derived from a stable hash of other row content (here
+    ``spark_partition_id``-free and deterministic: pmod of the value's
+    micro-representation), so results are reproducible. Phase 1 bounds
+    any single task's share of a hot key to ~1/n_salts; phase 2 merges
+    n_salts rows per key — negligible.
+
+    Exactness: values sum as DECIMAL(25,6) in both phases, so the
+    two-phase result is bit-identical to the direct sum.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(value_col).cast("string"), F.lit(42)), F.lit(n_salts)
+    )
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key_col, "_salt")
+        .agg(F.sum(F.col(value_col).cast("decimal(25,6)")).alias("_partial"))
+    )
+    return (
+        phase1.groupBy(key_col)
+        .agg(F.sum("_partial").cast("double").alias(out_col))
+    )
+
+
+def explain_has(df: DataFrame, *needles: str) -> dict[str, bool]:
+    """Which of ``needles`` appear in the executed plan — the assertion
+    helper behind every plan-shape test (pushdown, broadcast, codegen)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {n: (n in plan) for n in needles}
+
+
+def repartition_for_grid(df: DataFrame, cols: Sequence[str | Column], n: int | None = None) -> DataFrame:
+    """Hash-co-locate rows on ``cols`` (the chunk-grid / join-key
+    pre-shuffle used by arraylib); explicit ``n`` pins the layout when a
+    downstream zipPartitions-style consumer needs a fixed count."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return df.repartition(n, *cs) if n else df.repartition(*cs)

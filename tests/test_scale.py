@@ -1,0 +1,83 @@
+"""Plan-shape tests: the scale levers actually change the physical plan.
+
+These assert on the *executed plan*, not results — a bucketed join that
+still shuffles or a filter that doesn't reach the scan is a perf bug
+even when the answer is right.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aind_protein_data_transformation_spark.catalog import load_table
+from aind_protein_data_transformation_spark.plans.scale import (
+    bucketed_join_is_shuffle_free,
+    explain_has,
+    salted_sum,
+    write_bucketed,
+)
+
+
+def test_bucketed_join_plans_no_exchange(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, ["o_orderkey"], path=str(root / "o"))
+    write_bucketed(lineitem, "lineitem_b", "o_orderkey", 8, ["o_orderkey"], path=str(root / "l"))
+    # Disable broadcast so the test exercises the SMJ path bucketing
+    # serves; at 100 TB neither side broadcasts anyway.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert bucketed_join_is_shuffle_free(spark, "orders_b", "lineitem_b", "o_orderkey")
+        # sanity: same join on the raw (unbucketed) tables DOES exchange
+        raw = orders.join(lineitem, "o_orderkey")
+        assert explain_has(raw, "Exchange")["Exchange"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_salted_sum_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    direct = {
+        r.l_returnflag: r.total
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("total"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: r.total
+        for r in salted_sum(li, "l_returnflag", "l_quantity", n_salts=8).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_sum_plans_two_aggregation_exchanges(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = (
+        salted_sum(li, "l_returnflag", "l_quantity")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") >= 2  # (key, salt) then (key)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = li._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    # column pruning: the scan schema must not include unused columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey)
+    flags = explain_has(joined, "BroadcastHashJoin")
+    assert flags["BroadcastHashJoin"]
