@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the numerically-subtle pieces.
+
+Spark-free where possible (pure helpers run thousands of cases); the
+windowed-mean property samples fewer cases because each runs a Spark
+job.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aind_protein_data_transformation_spark.arraylib import blocks, ome
+
+dims = st.integers(min_value=1, max_value=64)
+
+
+@given(
+    shape=st.tuples(dims, dims, dims),
+    chunk_frac=st.tuples(
+        st.floats(0.1, 1.0), st.floats(0.1, 1.0), st.floats(0.1, 1.0)
+    ),
+    target=st.integers(min_value=1, max_value=1 << 22),
+    itemsize=st.sampled_from([1, 2, 4, 8]),
+    mode=st.sampled_from(["iso", "cycle"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_expand_chunks_invariants(shape, chunk_frac, target, itemsize, mode):
+    chunks = tuple(max(1, int(s * f)) for s, f in zip(shape, chunk_frac))
+    out = blocks.expand_chunks(chunks, shape, target, itemsize, mode)
+    # never exceeds the data shape, never shrinks below the base chunk
+    assert all(o <= s for o, s in zip(out, shape))
+    assert all(o >= c for o, c in zip(out, chunks))
+    if mode == "iso":
+        # uniform multiple of the base chunk (pre-clamp)
+        ratios = {
+            math.ceil(o / c) for o, c, s in zip(out, chunks, shape) if o < s
+        }
+        assert len(ratios) <= 1
+    else:
+        # each dim is chunk * 2^k (pre-clamp)
+        for o, c, s in zip(out, chunks, shape):
+            if o < s:
+                assert o % c == 0 and (o // c) & ((o // c) - 1) == 0
+
+
+@given(
+    shape=st.tuples(dims, dims, dims),
+    block_frac=st.tuples(
+        st.floats(0.05, 1.5), st.floats(0.05, 1.5), st.floats(0.05, 1.5)
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_gen_block_ranges_tiles_exactly(shape, block_frac):
+    block = tuple(max(1, min(int(s * f), s)) for s, f in zip(shape, block_frac))
+    ranges = list(blocks.gen_block_ranges(shape, block))
+    # coverage: total volume equals the array volume, no overlaps
+    vol = sum(math.prod(hi - lo for lo, hi in r) for r in ranges)
+    assert vol == math.prod(shape)
+    n_expected = math.prod(-(-s // b) for s, b in zip(shape, block))
+    assert len(ranges) == n_expected
+    # all ranges in-bounds and non-empty
+    for r in ranges:
+        for (lo, hi), s in zip(r, shape):
+            assert 0 <= lo < hi <= s
+
+
+@given(
+    z=st.integers(1, 10_000),
+    f=st.integers(2, 7),
+    levels=st.integers(1, 8),
+)
+@settings(max_examples=300, deadline=None)
+def test_level_shape_matches_iterated_recurrence(z, f, levels):
+    iterated = z
+    for _ in range(levels):
+        iterated = -(-iterated // f)
+    closed = ome.level_shape((1, 1, z, z, z), (f, f, f), levels)[2]
+    assert closed == iterated
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_windowed_mean_matches_numpy_random(spark, seed):
+    from tests.test_arraylib import df_to_array, np_windowed_mean, voxels_df
+    from aind_protein_data_transformation_spark.arraylib import pyramid
+
+    rng = np.random.default_rng(seed)
+    shape = tuple(rng.integers(1, 6, size=5))
+    factors = (1, 1, *rng.integers(1, 4, size=3))
+    arr = rng.integers(0, 65535, size=shape).astype(np.uint16)
+    golden = np_windowed_mean(arr, factors)
+    got = pyramid.downsample_once(voxels_df(spark, arr), scale_factor=factors[2:])
+    np.testing.assert_array_equal(
+        df_to_array(got, golden.shape), golden.astype(np.float64)
+    )
