@@ -22,7 +22,6 @@ from ..operators.dedup import (
     LSH_BAND_SIZE,
     MINHASH_PERMS,
     MINHASH_PRIME,
-    exact_dedup,
     jaccard_for_pairs,
     lsh_candidate_pairs,
     minhash_coeffs,
@@ -90,9 +89,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.upper("text"), F.lit("   ")).alias("text"),
     )
     corpus = base.unionByName(mutants)
-    deduped = exact_dedup(corpus)
+    # Aggregate directly on the content hash (ONE shuffle) — the
+    # row-marking form (operators/dedup.py exact_dedup, window-based
+    # is_kept) exists for pipelines that must keep full rows; a group
+    # summary never needs it.
     return (
-        deduped.groupBy("content_hash")
+        corpus.select("doc_id", F.sha2(normalize_text("text"), 256).alias("content_hash"))
+        .groupBy("content_hash")
         .agg(F.min("doc_id").alias("kept_doc"), F.count("*").alias("group_size"))
         .orderBy("kept_doc")
     )
