@@ -356,10 +356,17 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_quantity, 0.25)").alias("qty_p25"),
-            F.expr("percentile(l_quantity, 0.5)").alias("qty_median"),
-            F.expr("percentile(l_quantity, 0.75)").alias("qty_p75"),
+            # one sort buffer per column: the array form computes all
+            # three quantity percentiles from a single collected state
+            F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("qs"),
             F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("qty_p25"),
+            F.col("qs")[1].alias("qty_median"),
+            F.col("qs")[2].alias("qty_p75"),
+            "price_p90",
         )
         .orderBy("l_returnflag")
     )
