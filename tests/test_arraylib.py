@@ -416,3 +416,21 @@ def test_write_chunks_zarr_gated(spark):
         assert ok is True
     except ImportError:
         assert ok is False
+
+
+# ------------------------------------------------------------- datasource API
+
+
+def test_stackvoxels_datasource_matches_mapinpandas_path(spark, stack_dir):
+    from aind_protein_data_transformation_spark.arraylib.datasource import StackVoxelDataSource
+
+    spark.dataSource.register(StackVoxelDataSource)
+    via_ds = spark.read.format("stackvoxels").load(stack_dir)
+    via_mp = decode.decode_stacks(
+        stacks.scan_stack_dir(spark, stack_dir, with_content=True)
+    )
+    a = sorted(tuple(r) for r in via_ds.collect())
+    b = sorted(tuple(r) for r in via_mp.collect())
+    assert a == b
+    # one input partition per stack file
+    assert via_ds.rdd.getNumPartitions() == 3
