@@ -13,6 +13,7 @@ pandas UDF doing a single BLAS matmul per batch (same column contract);
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints)
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -68,3 +69,47 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+# ----------------------------------------------------------- pandas UDF path
+#
+# The production path for 1k+-dim embeddings (§2B "UDF surface"): Arrow
+# ships whole columns of vectors to Python, numpy does one BLAS call per
+# batch. NOT oracle-hashable — numpy's pairwise/SIMD summation orders
+# differ from the SQL fold — so these back non-checked operators and are
+# tested against the fold within 1e-12 relative tolerance.
+
+
+def make_cosine_batch_udf():
+    """Scalar pandas UDF: row-wise cosine of two array columns,
+    one vectorized einsum per Arrow batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    return cosine_batch
+
+
+def make_centroid_udaf(dim: int):
+    """Grouped-agg pandas UDF (UDAF): element-wise mean of an embedding
+    column — the k-means centroid update that upgrades ``ivf_topk``'s
+    deterministic-subsample centroids to trained ones."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def centroid(vecs: pd.Series) -> list[float]:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        if m.shape[1] != dim:
+            raise ValueError(f"expected dim {dim}, got {m.shape[1]}")
+        return m.mean(axis=0).tolist()
+
+    return centroid
