@@ -120,3 +120,52 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    n_iters: int = 3,
+    corpus_id: str = "neighbor_id",
+    vec_col: str = "ce",
+) -> DataFrame:
+    """Lloyd's k-means over embeddings — the iterative upgrade from
+    ``ivf_topk``'s deterministic-subsample centroids to trained ones.
+
+    Each iteration is two distributed steps: nearest-centroid assignment
+    (broadcast join + per-vector argmax) and the centroid update (one
+    grouped-agg pandas UDAF doing a numpy mean per bucket). Determinism:
+    the init is the stride subsample by id order, assignment ties break
+    by centroid id, and the elementwise mean is a fixed-shape numpy
+    reduction — repeated runs produce identical centroids.
+
+    At 100 TB: assignment is a map-side broadcast pass over the corpus
+    (no shuffle of the vectors beyond the partial aggregation of
+    per-bucket sums); only k centroid rows ever reach the driver.
+    """
+    from ..functions.vector import make_centroid_udaf
+
+    ordered = corpus.orderBy(corpus_id).select(
+        F.col(corpus_id).alias("vid"), F.col(vec_col).alias("ve")
+    )
+    n_total = ordered.count()
+    stride = max(1, n_total // n_centroids)
+    w = Window.orderBy("vid")
+    centroids = (
+        ordered.withColumn("_rn", F.row_number().over(w) - 1)
+        .filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < n_centroids))
+        .select(
+            (F.col("_rn") / stride).cast("long").alias("centroid_id"),
+            F.col("ve").alias("centroid_vec"),
+        )
+    )
+    dim = len(ordered.first()["ve"])
+    centroid_udaf = make_centroid_udaf(dim)
+    for _ in range(n_iters):
+        assigned = assign_buckets(ordered, F.broadcast(centroids), "vid", "ve")
+        centroids = (
+            ordered.join(assigned, "vid")
+            .groupBy(F.col("bucket").alias("centroid_id"))
+            .agg(centroid_udaf(F.col("ve").cast("array<double>")).alias("centroid_vec"))
+        )
+    return centroids

@@ -434,3 +434,26 @@ def test_stackvoxels_datasource_matches_mapinpandas_path(spark, stack_dir):
     assert a == b
     # one input partition per stack file
     assert via_ds.rdd.getNumPartitions() == 3
+
+
+def test_job_entrypoint_config_file(spark, stack_dir, tmp_path, monkeypatch):
+    """A25: CLI settings parse (config-file path) drives a real run —
+    the reference's CLI is broken by its line-258 bug (zeiss_job.py);
+    this is the fixed equivalent."""
+    import aind_protein_data_transformation_spark.session as session_mod
+    from aind_protein_data_transformation_spark.arraylib.job import job_entrypoint
+
+    out = str(tmp_path / "cli_out")
+    cfg = tmp_path / "settings.json"
+    cfg.write_text(json.dumps({
+        "input_source": stack_dir,
+        "output_directory": out,
+        "downsample_levels": 2,
+        "chunk_size": [2, 2, 2],
+    }))
+    # reuse the test session instead of building (and stopping!) a new one
+    monkeypatch.setattr(session_mod, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    resp = job_entrypoint(["--config-file", str(cfg)])
+    assert resp.status_code == 0
+    assert os.path.isdir(os.path.join(out, "level=1"))

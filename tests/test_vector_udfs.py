@@ -61,3 +61,37 @@ def test_centroid_udaf_rejects_wrong_dim(spark):
     centroid = make_centroid_udaf(5)
     with pytest.raises(Exception, match="expected dim"):
         df.groupBy("id").agg(centroid("v")).collect()
+
+
+def test_train_centroids_deterministic_and_improving(spark, sf_dir):
+    from aind_protein_data_transformation_spark.functions.vector import cosine as cos_fold
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        assign_buckets,
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+
+    def objective(centroids):
+        assigned = assign_buckets(
+            corpus.select(F.col("neighbor_id").alias("vid"), F.col("ce").alias("ve")),
+            centroids,
+        )
+        return (
+            corpus.join(assigned, corpus.neighbor_id == assigned.vid)
+            .join(centroids, assigned.bucket == centroids.centroid_id)
+            .select(cos_fold("ce", "centroid_vec").alias("c"))
+            .agg(F.sum("c").alias("s"))
+            .first()["s"]
+        )
+
+    c0 = train_centroids(corpus, n_centroids=6, n_iters=0)
+    c3a = train_centroids(corpus, n_centroids=6, n_iters=3)
+    c3b = train_centroids(corpus, n_centroids=6, n_iters=3)
+    rows_a = sorted((r.centroid_id, tuple(r.centroid_vec)) for r in c3a.collect())
+    rows_b = sorted((r.centroid_id, tuple(r.centroid_vec)) for r in c3b.collect())
+    assert rows_a == rows_b  # deterministic
+    assert len(rows_a) <= 6 and len(rows_a) >= 2
+    # Lloyd's iterations must not worsen total assigned cosine
+    assert objective(c3a) >= objective(c0) - 1e-9
