@@ -77,12 +77,18 @@ def main(argv: list[str]) -> int:
             "noop"
         ).mode("overwrite").save()
 
+        # Best of 2 runs per query: the harness VM shows ±50% run-to-run
+        # noise, and run 2 amortizes one-time codegen compilation the
+        # same way the DuckDB comparator numbers in BENCH.md do.
         timings: dict[str, float] = {}
         for name in names:
             fn = q.REGISTRY[name].fn
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
 
         total = round(sum(timings.values()), 4)
         print(
@@ -91,6 +97,7 @@ def main(argv: list[str]) -> int:
                     "metric": "headline_suite_wall_seconds",
                     "value": total,
                     "unit": "sec",
+                    "runs_per_query": 2,
                     "queries": timings,
                     "sf": _sf_from_dir(sf_dir),
                 }
