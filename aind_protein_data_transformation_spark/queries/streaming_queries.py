@@ -294,3 +294,53 @@ def streaming_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, "late_policy", output_mode="append").orderBy(
         "window_start"
     )
+
+
+@query(
+    "streaming_foreachbatch_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink (§2B streaming row): each micro-batch lands
+    as zstd parquet through the batch writer — the escape hatch for
+    sinks Structured Streaming lacks natively (JDBC upserts, MERGE
+    targets, multi-table fan-out). The replay check re-reads the files
+    and aggregates; equality with the batch oracle proves every row
+    arrived exactly once (availableNow + idempotent overwrite-by-batch).
+    """
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="feb_sink_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").option("compression", "zstd").parquet(
+            f"{out_dir}/batch={batch_id}"
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    query_handle = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .start()
+    )
+    query_handle.awaitTermination()
+
+    landed = spark.read.parquet(f"{out_dir}/batch=*")
+    return (
+        landed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
