@@ -489,3 +489,40 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_rank_variants",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rk,
+           DENSE_RANK()   OVER w AS drk,
+           PERCENT_RANK() OVER w AS prk,
+           CUME_DIST()    OVER w AS cd
+    FROM orders
+    WHERE o_custkey % 101 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, rn
+    """,
+)
+def q_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking family over one window spec (one shuffle):
+    row_number / rank / dense_rank plus the distribution forms
+    percent_rank and cume_dist, whose exact rational values are
+    deterministic across engines. Tie-free ordering via the orderkey
+    suffix."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 101 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.percent_rank().over(w).alias("prk"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("o_orderstatus", "rn")
+    )
