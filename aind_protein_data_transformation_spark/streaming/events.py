@@ -26,7 +26,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..catalog import table_path
 
 # Parquet stream sources need an explicit schema; ts arrives as raw
 # nanos (nanosAsLong) and is converted exactly like catalog.load_table.
