@@ -257,3 +257,70 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, text,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, source, text
+        FROM toks
+        WHERE len(t) BETWEEN 10 AND 5000
+          AND CAST(len(list_filter(t, x -> list_contains({_sql_en_list()}, lower(x)))) AS DOUBLE)
+              / len(t) <= 0.6
+    ),
+    hashed AS (
+        SELECT doc_id, lang, source,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+        FROM quality
+    ),
+    survivors AS (
+        SELECT * FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+            FROM hashed
+        ) WHERE rn = 1
+    )
+    SELECT source, lang, COUNT(*) AS n_docs
+    FROM survivors
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data cleaning pipeline (north_star shape):
+    token-count band + stopword-ratio quality gate -> exact dedup
+    keeping the lowest doc_id per content hash -> per-(source, lang)
+    survivor counts. One linear operator chain, two shuffles total
+    (dedup window + final aggregate); every stage is the same operator
+    the standalone queries check individually — this pins that they
+    compose."""
+    d = load_table(spark, sf_dir, "documents")
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    toks = d.select("doc_id", "lang", "source", "text", tokens("text").alias("t"))
+    stop_ratio = (
+        F.size(F.filter("t", lambda x: F.array_contains(en, F.lower(x)))).cast("double")
+        / F.size("t")
+    )
+    quality = toks.filter(
+        (F.size("t") >= 10) & (F.size("t") <= 5000) & (stop_ratio <= 0.6)
+    )
+    from ..functions.text import normalize_text
+
+    hashed = quality.select(
+        "doc_id", "lang", "source", F.sha2(normalize_text("text"), 256).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    survivors = (
+        hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return (
+        survivors.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "lang")
+    )
