@@ -13,6 +13,7 @@ sizing helpers exist for (a) parity with the reference's numbers and
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
@@ -211,6 +212,67 @@ def encode_chunks(voxels: DataFrame, chunk_size: Sequence[int] = (128, 128, 128)
             "z0 long, y0 long, x0 long, shape array<int>, payload binary"
         ),
     )
+
+
+def write_chunks_files(
+    chunk_df: DataFrame,
+    store_path: str,
+    level: int,
+    chunk_size: Sequence[int] = (128, 128, 128),
+    compress_level: int = 3,
+) -> None:
+    """Zarr-layout chunk-file sink, dependency-free (A20/A21 fidelity).
+
+    Each chunk row lands as its own compressed file at
+    ``<store>/<level>/<t>.<c>.<gz>/<gy>/<gx>`` — the reference's
+    ``dimension_separator="/"`` layout (czi_to_zarr.py:551) with zlib
+    standing in for blosc (numcodecs absent here; ``write_chunks_zarr``
+    is the byte-identical variant when it is installed). Runs as
+    ``foreachPartition``: every executor writes its own co-located
+    chunks, no driver involvement — the distributed analog of the
+    reference's bounded sequential blocked store (zarr_writer.py:188-213).
+    """
+    import json as _json
+
+    level_dir = os.path.join(store_path, str(level))
+    cz, cy, cx = (int(c) for c in chunk_size)
+
+    def write_partition(rows) -> None:
+        import zlib
+
+        for row in rows:
+            gz, gy, gx = row.z0 // cz, row.y0 // cy, row.x0 // cx
+            # one group per stack, matching the reference's per-stack
+            # zarr group (czi_to_zarr.py:483-485)
+            d = os.path.join(level_dir, row.stack_id, f"{row.t}.{row.c}.{gz}", str(gy))
+            os.makedirs(d, exist_ok=True)
+            payload = zlib.compress(bytes(row.payload), compress_level)
+            meta = _json.dumps(
+                {"shape": list(row.shape), "dtype": row.dtype, "z0": row.z0, "y0": row.y0, "x0": row.x0}
+            ).encode()
+            with open(os.path.join(d, str(gx)), "wb") as fh:
+                fh.write(len(meta).to_bytes(4, "big") + meta + payload)
+
+    os.makedirs(level_dir, exist_ok=True)
+    chunk_df.foreachPartition(write_partition)
+
+
+def read_chunk_file(path: str):
+    """Read one chunk file written by :func:`write_chunks_files` back to
+    ``(meta_dict, ndarray)`` — the verification path for the sink."""
+    import json as _json
+    import zlib
+
+    import numpy as np
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    n = int.from_bytes(raw[:4], "big")
+    meta = _json.loads(raw[4 : 4 + n])
+    block = np.frombuffer(zlib.decompress(raw[4 + n :]), dtype=meta["dtype"]).reshape(
+        meta["shape"]
+    )
+    return meta, block
 
 
 def write_chunks_zarr(

@@ -457,3 +457,19 @@ def test_job_entrypoint_config_file(spark, stack_dir, tmp_path, monkeypatch):
     resp = job_entrypoint(["--config-file", str(cfg)])
     assert resp.status_code == 0
     assert os.path.isdir(os.path.join(out, "level=1"))
+
+
+def test_write_chunks_files_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 900, size=(1, 1, 4, 5, 3)).astype(np.uint16)
+    chunk_df = blocks.encode_chunks(voxels_df(spark, arr), chunk_size=(2, 2, 2))
+    store = str(tmp_path / "store")
+    blocks.write_chunks_files(chunk_df, store, level=0, chunk_size=(2, 2, 2))
+    files = glob.glob(os.path.join(store, "0", "s0", "*", "*", "*"))
+    assert len(files) == 12  # one file per chunk, dimension_separator="/"
+    rebuilt = np.zeros(arr.shape, dtype=np.uint16)
+    for path in files:
+        meta, block = blocks.read_chunk_file(path)
+        z0, y0, x0 = meta["z0"], meta["y0"], meta["x0"]
+        rebuilt[0, 0, z0:z0+block.shape[0], y0:y0+block.shape[1], x0:x0+block.shape[2]] = block
+    np.testing.assert_array_equal(rebuilt, arr)
