@@ -33,6 +33,9 @@ HEADLINE: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
     "q_outer_join_order_fill",
     "q_semi_join_customers_with_orders",
     "q_theta_join_price_band",
@@ -46,6 +49,7 @@ HEADLINE: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     "text_quality_stats",
+    "pipeline_clean_corpus",
 )
 
 
