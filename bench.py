@@ -93,6 +93,10 @@ def main(argv: list[str]) -> int:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 4)
+            # Queries that persist() shared subtrees would otherwise
+            # accumulate cache across the suite and perturb later
+            # measurements (GC pressure) — keep each query independent.
+            spark.catalog.clearCache()
 
         total = round(sum(timings.values()), 4)
         print(
