@@ -79,8 +79,15 @@ def run_job(
     decoder: decode.Decoder = decode.synthetic_decoder,
 ) -> JobResponse:
     """Run the full pipeline for this invocation's bucket of stacks."""
+    from pyspark.sql import functions as F
+
     t0 = time.time()
-    listing = stacks.scan_stack_dir(spark, settings.input_source, settings.glob, with_content=True)
+    # Deal/claim on the METADATA listing only — the round-robin window is
+    # a global sort, and it must never see content bytes (stacks.py's
+    # listing-not-data invariant). Content is scanned separately and
+    # filtered to the claimed paths, which Catalyst turns into an In
+    # predicate on the binaryFile index.
+    listing = stacks.scan_stack_dir(spark, settings.input_source, settings.glob)
     claimed = stacks.select_bucket(
         stacks.deal_round_robin(listing, settings.num_of_partitions),
         settings.partition_to_process,
@@ -92,21 +99,28 @@ def run_job(
     if not stack_meta:
         return JobResponse(1, f"No stacks claimed for bucket {settings.partition_to_process}")
 
-    voxels = decode.pad_to_5d(decode.decode_stacks(claimed, decoder))
-    levels = pyramid.build_pyramid(
-        voxels,
-        n_levels=settings.downsample_levels,
-        scale_factor=settings.scale_factor,
-    )
+    content = stacks.scan_stack_dir(
+        spark, settings.input_source, settings.glob, with_content=True
+    ).filter(F.col("path").isin([p for p, _ in stack_meta]))
+
+    # Persist the decoded voxels: they feed level-0 encode, the cascade,
+    # and the shape/dtype aggregations — without this the binary decode
+    # re-runs once per consumer (the reference bounds this with its
+    # write-then-read-back loop, czi_to_zarr.py:527-529; persist is the
+    # in-memory equivalent, spilling to disk when needed).
+    voxels = decode.pad_to_5d(decode.decode_stacks(content, decoder)).persist()
 
     out_root = settings.output_root
-    for lvl, level_df in enumerate(levels):
-        chunked = blocks.encode_chunks(level_df, settings.chunk_size)
+    current = voxels
+    for lvl in range(settings.downsample_levels):
+        if lvl > 0:
+            # persist each level before its write so level k+1 derives
+            # from the materialized level k, not a recomputed lineage
+            current = pyramid.downsample_once(current, settings.scale_factor).persist()
+        chunked = blocks.encode_chunks(current, settings.chunk_size)
         blocks.write_level_parquet(chunked, out_root, lvl)
 
     # Per-stack OME-NGFF sidecars need each stack's full-res shape.
-    from pyspark.sql import functions as F
-
     shapes = {
         row["stack_id"]: (
             row["mt"] + 1, row["mc"] + 1, row["mz"] + 1, row["my"] + 1, row["mx"] + 1
@@ -125,6 +139,12 @@ def run_job(
         row["stack_id"]: row["dtype"]
         for row in voxels.select("stack_id", "dtype").distinct().collect()
     }
+    # Metadata always lands in the local output_directory (a few KB per
+    # stack) — including S3 runs, where the data goes to s3a:// but the
+    # sidecars must not be silently dropped. A production deployment
+    # would additionally upload this directory (the reference's A23
+    # derivatives sync, zeiss_job.py:202-220).
+    metadata_dir = os.path.join(settings.output_directory, "_metadata")
     for path, stack_name in stack_meta:
         stack_id = path.rsplit("/", 1)[-1]
         shape = shapes.get(stack_id)
@@ -139,9 +159,9 @@ def run_job(
             chunks=(1, 1, *settings.chunk_size),
             channel_minmax=[ome.dtype_range(dtypes[stack_id])] * shape[1],
         )
-        if not out_root.startswith("s3a://"):
-            ome.write_ome_ngff_json(attrs, os.path.join(out_root, "_metadata"), f"{stack_name}.zattrs")
+        ome.write_ome_ngff_json(attrs, metadata_dir, f"{stack_name}.zattrs")
 
+    voxels.unpersist()
     return JobResponse(
         0,
         f"Processed {len(stack_meta)} stacks in {time.time() - t0:.1f}s",

@@ -70,18 +70,18 @@ def salted_sum(
 ) -> DataFrame:
     """Two-phase skew-proof sum: groupBy((key, salt)) -> groupBy(key).
 
-    The salt is derived from a stable hash of other row content (here
-    ``spark_partition_id``-free and deterministic: pmod of the value's
-    micro-representation), so results are reproducible. Phase 1 bounds
-    any single task's share of a hot key to ~1/n_salts; phase 2 merges
-    n_salts rows per key — negligible.
-
-    Exactness: values sum as DECIMAL(25,6) in both phases, so the
-    two-phase result is bit-identical to the direct sum.
+    The salt must carry *per-row* entropy — salting by any function of
+    the row's columns fails on the canonical skew case (one hot key,
+    constant value: every row would land in one salt bucket).
+    ``monotonically_increasing_id`` embeds the partition id in its high
+    bits, so consecutive rows within each partition fan across all
+    ``n_salts`` buckets. The salt assignment is not stable across runs,
+    and doesn't need to be: the DECIMAL(25,6) partial sums are exact,
+    so the merged result is identical for every possible assignment.
+    Phase 1 bounds any single task's share of a hot key to ~1/n_salts;
+    phase 2 merges n_salts rows per key — negligible.
     """
-    salt = F.pmod(
-        F.xxhash64(F.col(value_col).cast("string"), F.lit(42)), F.lit(n_salts)
-    )
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(key_col, "_salt")
