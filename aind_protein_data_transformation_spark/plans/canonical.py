@@ -3,7 +3,11 @@ DuckDB oracle (FIXTURES.md §3, SURVEY.md §2B determinism rules).
 
 Rules:
 - column order: sorted by name (the driver's compare does the same);
-- floats rounded to 6 decimals;
+- floats rounded to 6 decimals and TAGGED as floats: the driver's hash is
+  dtype-strict, so an int64 11901 must NOT equal a float64 11901.0 (DuckDB
+  HUGEINT sums materialize as float64 via fetchdf; Spark returns bigint —
+  round 1 shipped 4 red rows because plain Python ``11901 == 11901.0``
+  hid exactly that divergence);
 - timestamps normalized to tz-naive UTC at microsecond precision;
 - list/array cells converted to tuples (hashable, comparable);
 - rows sorted by the canonical tuple representation.
@@ -25,8 +29,9 @@ def _canon_cell(value):
         if math.isnan(value):
             return "<NULL>"
         rounded = round(value, 6)
-        # normalize -0.0
-        return 0.0 if rounded == 0 else rounded
+        # normalize -0.0; tag so an int on the other side is NOT equal
+        # (dtype-strict, like the driver's hash)
+        return ("f", 0.0 if rounded == 0 else rounded)
     if isinstance(value, Decimal):
         return _canon_cell(float(value))
     if isinstance(value, pd.Timestamp):

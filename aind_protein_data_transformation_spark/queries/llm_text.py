@@ -177,8 +177,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS total_tokens,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS BIGINT)
+               AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST(SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) AS DOUBLE)
                / COUNT(*) AS avg_tokens_per_doc
     FROM documents

@@ -18,7 +18,7 @@ from .registry import query
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MIN(octet_length(encode(text))) AS min_bytes,
            MAX(octet_length(encode(text))) AS max_bytes,
            COUNT(DISTINCT sha256(text)) AS n_distinct_payloads
@@ -83,7 +83,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_frames,
-           SUM(frame_byte) AS byte_sum,
+           CAST(SUM(frame_byte) AS BIGINT) AS byte_sum,
            MIN(frame_byte) AS min_byte,
            MAX(frame_byte) AS max_byte
     FROM frames

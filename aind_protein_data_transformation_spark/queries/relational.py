@@ -270,6 +270,11 @@ def q_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, o_orderdate,
            ROW_NUMBER() OVER w AS order_seq,
            LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           DENSE_RANK() OVER w AS dense_seq,
+           NTILE(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS spend_quartile,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -294,6 +299,10 @@ def q_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             F.row_number().over(w).alias("order_seq"),
             F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.dense_rank().over(w).alias("dense_seq"),
+            F.ntile(4).over(w).alias("spend_quartile"),
             F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
             .over(wsum)
             .cast("double")

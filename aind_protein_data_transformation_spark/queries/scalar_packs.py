@@ -264,7 +264,7 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
            COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k

@@ -32,27 +32,10 @@ if len(sys.argv) > 1:
         sys.exit(f"unknown query names: {sorted(unknown)}")
     qs = {k: v for k, v in qs.items() if k in subset}
 print(f"{len(qs)} queries, {len(osql)} with oracle")
-import math
-from decimal import Decimal
-import pandas as pd
-
-def canon(df):
-    cols = sorted(df.columns)
-    out = []
-    for _, r in df[cols].iterrows():
-        row = []
-        for c in cols:
-            v = r[c]
-            if isinstance(v, float):
-                v = None if math.isnan(v) else (0.0 if round(v,6)==0 else round(v,6))
-            elif isinstance(v, Decimal): v = round(float(v),6)
-            elif isinstance(v, pd.Timestamp): v = v.isoformat()
-            elif hasattr(v, "item") and not isinstance(v,(str,bytes)):
-                try: v = v.item()
-                except Exception: v = str(v)
-            row.append(v)
-        out.append(tuple(row))
-    return sorted(out, key=repr)
+# dtype-strict canonicalizer shared with tests — floats are tagged, so an
+# int64 column on one side vs float64 on the other (DuckDB HUGEINT sums
+# via fetchdf) is a MISMATCH here, exactly like the driver's hash.
+from aind_protein_data_transformation_spark.plans.canonical import canonicalize_pandas as canon
 
 fails = 0
 for name, fn in sorted(qs.items()):
