@@ -158,7 +158,11 @@ def write_level_parquet(df: DataFrame, output_path: str, level: int, max_records
     writer.parquet(f"{output_path}/level={level}")
 
 
-def encode_chunks(voxels: DataFrame, chunk_size: Sequence[int] = (128, 128, 128)) -> DataFrame:
+def encode_chunks(
+    voxels: DataFrame,
+    chunk_size: Sequence[int] = (128, 128, 128),
+    stack_spatial_shapes: dict[str, tuple[int, int, int]] | None = None,
+) -> DataFrame:
     """Voxel rows -> chunk rows ``(stack_id, t, c, z0, y0, x0, shape, payload)``.
 
     The storage-boundary encoding (SURVEY.md §1.1): each chunk-grid cell
@@ -166,20 +170,43 @@ def encode_chunks(voxels: DataFrame, chunk_size: Sequence[int] = (128, 128, 128)
     voxels in the stack's declared dtype. ``applyInPandas`` groups by the
     grid key, so the shuffle is the rechunk (A9) and the encode itself is
     a vectorized per-group reshape.
+
+    Block extents follow the reference's fixed-chunk contract
+    (zarr_writer.py: chunk extents clamped to array bounds, NOT derived
+    from which voxels happen to be present): pass
+    ``stack_spatial_shapes`` ({stack_id: (Z, Y, X)}) to clamp each cell
+    to ``min(chunk, shape - origin)``. Without declared shapes the
+    extent falls back to the observed max voxel and the group is
+    REQUIRED to be dense — a sparse group raises instead of silently
+    encoding a truncated block that a zarr region-update would then
+    under-write.
     """
     import numpy as np
     import pandas as pd
 
     cz, cy, cx = (int(c) for c in chunk_size)
+    declared = dict(stack_spatial_shapes) if stack_spatial_shapes else None
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         dtype = pdf["dtype"].iloc[0]
         z0 = int(pdf["gz"].iloc[0]) * cz
         y0 = int(pdf["gy"].iloc[0]) * cy
         x0 = int(pdf["gx"].iloc[0]) * cx
-        dz = int(pdf["z"].max()) - z0 + 1
-        dy = int(pdf["y"].max()) - y0 + 1
-        dx = int(pdf["x"].max()) - x0 + 1
+        if declared is not None:
+            sz, sy, sx = declared[pdf["stack_id"].iloc[0]]
+            dz = min(cz, sz - z0)
+            dy = min(cy, sy - y0)
+            dx = min(cx, sx - x0)
+        else:
+            dz = int(pdf["z"].max()) - z0 + 1
+            dy = int(pdf["y"].max()) - y0 + 1
+            dx = int(pdf["x"].max()) - x0 + 1
+            if len(pdf) != dz * dy * dx:
+                raise ValueError(
+                    f"sparse chunk group at origin ({z0},{y0},{x0}): "
+                    f"{len(pdf)} voxels for extent {dz}x{dy}x{dx}; pass "
+                    "stack_spatial_shapes to encode sparse inputs"
+                )
         block = np.zeros((dz, dy, dx), dtype=dtype)
         block[pdf["z"] - z0, pdf["y"] - y0, pdf["x"] - x0] = pdf["v"].to_numpy()
         return pd.DataFrame(

@@ -122,50 +122,146 @@ def ivf_topk(
     )
 
 
+def stride_centroids(corpus: DataFrame, stride: int) -> DataFrame:
+    """Deterministic stride init: every ``stride``-th id becomes a seed
+    centroid, keyed by its own id. A plain modulo filter on the id —
+    no global sort, no window, no driver round-trip — so the init is a
+    map-only scan that survives any corpus size. (For non-dense ids use
+    ``pmod(xxhash64(id), stride) == 0``: same shape, hash-spread picks.)
+
+    Corpus columns: (vid, ve) → returns (centroid_id, centroid_vec).
+    """
+    return corpus.filter(F.col("vid") % stride == 0).select(
+        F.col("vid").alias("centroid_id"), F.col("ve").alias("centroid_vec")
+    )
+
+
+def centroid_update_exact(corpus: DataFrame, assigned: DataFrame) -> DataFrame:
+    """Element-wise mean per bucket via posexplode + DECIMAL(25,6) sums.
+
+    The decimal detour makes the mean order-independent and bit-identical
+    to DuckDB's replay (the repo-wide determinism trick, registry.py
+    docstring), which is what lets a k-means iteration be oracle-checked.
+    Scale shape: posexplode emits dim rows per vector but the groupBy
+    (bucket, pos) does map-side partial aggregation, so the shuffle
+    carries only k·dim partial sums per task — same traffic as a UDAF
+    combine, with no Python in the loop.
+
+    ``corpus``: (vid, ve); ``assigned``: (vid, bucket).
+    Returns (centroid_id, centroid_vec) — empty buckets simply produce
+    no row; callers that must keep k stable coalesce with the previous
+    centroid set (see ``train_centroids``).
+    """
+    return (
+        corpus.join(assigned, "vid")
+        .select("bucket", F.posexplode("ve").alias("pos", "val"))
+        .groupBy("bucket", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_val")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("centroid_vec")
+        )
+        .select(F.col("bucket").alias("centroid_id"), "centroid_vec")
+    )
+
+
+def sql_centroid_update(corpus_rel: str, assigned_rel: str) -> str:
+    """DuckDB twin of :func:`centroid_update_exact` as a CTE body.
+
+    ``corpus_rel`` must expose (vid, ve), ``assigned_rel`` (vid, bucket).
+    """
+    return f"""
+        SELECT bucket AS centroid_id,
+               list(mean_val ORDER BY pos) AS centroid_vec
+        FROM (
+            SELECT a.bucket, i.i AS pos,
+                   CAST(SUM(CAST(CAST(c.ve[i.i] AS DOUBLE) AS DECIMAL(25,6)))
+                        AS DOUBLE) / COUNT(*) AS mean_val
+            FROM {corpus_rel} c
+            JOIN {assigned_rel} a ON a.vid = c.vid,
+            LATERAL (SELECT unnest(generate_series(1, len(c.ve))) AS i) i
+            GROUP BY a.bucket, i.i
+        )
+        GROUP BY bucket
+    """
+
+
 def train_centroids(
     corpus: DataFrame,
     n_centroids: int,
     n_iters: int = 3,
     corpus_id: str = "neighbor_id",
     vec_col: str = "ce",
+    exact: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over embeddings — the iterative upgrade from
     ``ivf_topk``'s deterministic-subsample centroids to trained ones.
 
     Each iteration is two distributed steps: nearest-centroid assignment
-    (broadcast join + per-vector argmax) and the centroid update (one
-    grouped-agg pandas UDAF doing a numpy mean per bucket). Determinism:
-    the init is the stride subsample by id order, assignment ties break
-    by centroid id, and the elementwise mean is a fixed-shape numpy
-    reduction — repeated runs produce identical centroids.
+    (broadcast join + per-vector argmax) and the centroid update (by
+    default one grouped-agg pandas UDAF doing a numpy mean per bucket;
+    with ``exact=True`` the decimal-sum built-in path of
+    :func:`centroid_update_exact`, which is oracle-replayable).
 
-    At 100 TB: assignment is a map-side broadcast pass over the corpus
-    (no shuffle of the vectors beyond the partial aggregation of
-    per-bucket sums); only k centroid rows ever reach the driver.
+    Determinism: stride init by plain id modulo (map-only — the round-1
+    ``Window.orderBy`` global sort is gone), assignment ties break by
+    centroid id. Empty buckets KEEP their previous centroid (left join +
+    coalesce) so k never silently shrinks and downstream centroid_id
+    references cannot dangle; an empty corpus returns an empty centroid
+    frame instead of raising.
+
+    At 100 TB: assignment is a map-side broadcast pass over the corpus;
+    the update shuffles only k·dim partial sums per task; only k
+    centroid rows ever reach the driver.
     """
-    from ..functions.vector import make_centroid_udaf
-
-    ordered = corpus.orderBy(corpus_id).select(
-        F.col(corpus_id).alias("vid"), F.col(vec_col).alias("ve")
-    )
-    n_total = ordered.count()
-    stride = max(1, n_total // n_centroids)
-    w = Window.orderBy("vid")
-    centroids = (
-        ordered.withColumn("_rn", F.row_number().over(w) - 1)
-        .filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < n_centroids))
-        .select(
-            (F.col("_rn") / stride).cast("long").alias("centroid_id"),
-            F.col("ve").alias("centroid_vec"),
+    vectors = corpus.select(F.col(corpus_id).alias("vid"), F.col(vec_col).alias("ve"))
+    n_total = vectors.count()
+    if n_total == 0:
+        return vectors.select(
+            F.col("vid").alias("centroid_id"), F.col("ve").alias("centroid_vec")
         )
+    stride = max(1, n_total // n_centroids)
+    centroids = stride_centroids(vectors, stride).withColumn(
+        "centroid_vec", F.col("centroid_vec").cast("array<double>")
     )
-    dim = len(ordered.first()["ve"])
-    centroid_udaf = make_centroid_udaf(dim)
+
+    if exact:
+        update = lambda assigned: centroid_update_exact(vectors, assigned)  # noqa: E731
+    else:
+        from ..functions.vector import make_centroid_udaf
+
+        dim = len(vectors.first()["ve"])
+        centroid_udaf = make_centroid_udaf(dim)
+
+        def update(assigned: DataFrame) -> DataFrame:
+            return (
+                vectors.join(assigned, "vid")
+                .groupBy(F.col("bucket").alias("centroid_id"))
+                .agg(
+                    centroid_udaf(F.col("ve").cast("array<double>")).alias(
+                        "centroid_vec"
+                    )
+                )
+            )
+
     for _ in range(n_iters):
-        assigned = assign_buckets(ordered, F.broadcast(centroids), "vid", "ve")
+        assigned = assign_buckets(vectors, F.broadcast(centroids), "vid", "ve")
+        updated = update(assigned).withColumnRenamed("centroid_vec", "_new_vec")
         centroids = (
-            ordered.join(assigned, "vid")
-            .groupBy(F.col("bucket").alias("centroid_id"))
-            .agg(centroid_udaf(F.col("ve").cast("array<double>")).alias("centroid_vec"))
+            centroids.join(updated, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_new_vec"), F.col("centroid_vec")).alias(
+                    "centroid_vec"
+                ),
+            )
         )
     return centroids

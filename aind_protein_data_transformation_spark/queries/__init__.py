@@ -1,13 +1,19 @@
 """Checkable query registry (driver contract).
 
 Importing this package imports every query module, which registers its
-queries as a side effect. ``queries()`` / ``oracle_sql()`` are re-exported
-for ``__spark_entry__``.
+queries as a side effect, then reorders the registry so that
+``DRIVER_WINDOW`` — the 50 queries the external driver correctness-checks
+(it reads exactly the first 50 registry entries in order) — covers every
+SURVEY.md §2 component. Queries after position 50 are redundant variants
+whose component is already verified by an in-window representative; each
+still has an oracle and runs in the local sf0.001/sf0.01 differential
+suites (tests/test_oracle.py, scripts/drive_contract.py).
 """
 
 from .registry import REGISTRY, oracle_sql, queries, query  # noqa: F401
 
-# Import order = SURVEY.md §7 milestone order; each module registers on import.
+# Import order is irrelevant now (DRIVER_WINDOW fixes the order); grouped
+# by SURVEY.md §7 milestone for readability.
 from . import relational  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
 from . import scalar_packs  # noqa: E402,F401
@@ -15,8 +21,93 @@ from . import llm_dedup  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import sink_queries  # noqa: E402,F401
 from . import asof_queries  # noqa: E402,F401
 from . import array_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "queries", "oracle_sql", "query"]
+# The first 50 registered queries — one or more representatives of EVERY
+# §2A/§2B component (see README coverage map). Checked by
+# tests/test_registry_window.py: exactly 50 names, all registered, all
+# oracle-backed.
+DRIVER_WINDOW = [
+    # relational core (scan, filter, hash agg, equi/broadcast join)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q12_shipmode_priority",
+    # join variants
+    "q_semi_join_customers_with_orders",
+    "q_outer_join_order_fill",
+    "q_theta_join_price_band",
+    # set ops / grouping
+    "q_set_ops_customer_segments",
+    "q_rollup_region_nation_revenue",
+    # window family (frames, analytic, ranking; top-k)
+    "q_window_running_totals",
+    "q_topk_per_group",
+    # scalar packs
+    "q_string_functions",
+    "q_date_functions",
+    "q_math_functions",
+    "q_array_functions",
+    "q_json_functions",
+    "q_conditional_price_bands",
+    "q_scalar_subquery",
+    "q_approx_aggregates",
+    # LLM dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # similarity family
+    "similarity_cosine_topk",
+    "similarity_ivf_ann",
+    "similarity_kmeans_assign",
+    # text analysis family
+    "text_quality_stats",
+    "text_token_count_bpe",
+    "doc_fingerprint_winnow",
+    "pipeline_clean_corpus",
+    # multimodal
+    "multimodal_payload_stats",
+    "multimodal_frame_sample",
+    # as-of joins
+    "asof_purchase_last_click",
+    "asof_inner_error_context",
+    # §2A array layer
+    "pyramid_windowed_mean",
+    "pyramid_cascade_l2",
+    "stack_deal_round_robin",
+    "stack_regex_rename",
+    "ome_channel_windows",
+    "ome_scale_recurrence",
+    "grid_block_slices",
+    # parquet sink round-trip
+    "sink_parquet_roundtrip",
+    # streaming
+    "streaming_tumbling_window",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_stateful_totals",
+    "streaming_dedup_watermark",
+    "streaming_late_data_policy",
+    "streaming_foreachbatch_sink",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    window = set(DRIVER_WINDOW)
+    tail = [n for n in REGISTRY if n not in window]
+    ordered = {n: REGISTRY[n] for n in [*DRIVER_WINDOW, *tail]}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()
+
+__all__ = ["REGISTRY", "DRIVER_WINDOW", "queries", "oracle_sql", "query"]

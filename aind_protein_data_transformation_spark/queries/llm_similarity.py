@@ -21,13 +21,34 @@ from ..functions.vector import (
     sql_unit_normalize,
     unit_normalize,
 )
-from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.similarity import (
+    assign_buckets,
+    brute_force_topk,
+    centroid_update_exact,
+    ivf_topk,
+    sql_centroid_update,
+    stride_centroids,
+)
 from .registry import query
 
 TOPK_NQUERIES = 5
 TOPK_K = 10
 IVF_CENTROID_STRIDE = 40
 IVF_NPROBE = 2
+KMEANS_STRIDE = 40
+
+
+def _sql_assign(corpus_rel: str, cent_rel: str) -> str:
+    """DuckDB twin of operators.similarity.assign_buckets."""
+    return f"""
+        SELECT vid, centroid_id AS bucket FROM (
+            SELECT c.vid, t.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vid
+                       ORDER BY {sql_cosine('c.ve', 't.centroid_vec')} DESC,
+                                t.centroid_id) AS rk
+            FROM {corpus_rel} c, {cent_rel} t
+        ) WHERE rk = 1
+    """
 
 
 @query(
@@ -137,6 +158,36 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "similarity_kmeans_assign",
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id AS vid, embedding AS ve FROM embeddings),
+    cent0 AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid_vec
+        FROM embeddings WHERE vec_id % {KMEANS_STRIDE} = 0
+    ),
+    assign1 AS ({_sql_assign('corpus', 'cent0')}),
+    cent1 AS ({sql_centroid_update('corpus', 'assign1')}),
+    assign2 AS ({_sql_assign('corpus', 'cent1')})
+    SELECT vid, bucket FROM assign2 ORDER BY vid
+    """,
+)
+def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One oracle-checkable Lloyd iteration: stride-seeded centroids
+    (plain id modulo — map-only, no global sort), broadcast nearest-
+    centroid assignment, DECIMAL-mean centroid update (bit-identical
+    across engines, see centroid_update_exact), then re-assignment.
+    The production multi-iteration path is operators.similarity.
+    train_centroids; this query pins its per-iteration semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
+    cent0 = stride_centroids(corpus, KMEANS_STRIDE)
+    assign1 = assign_buckets(corpus, cent0, "vid", "ve")
+    cent1 = centroid_update_exact(corpus, assign1)
+    assign2 = assign_buckets(corpus, cent1, "vid", "ve")
+    return assign2.select("vid", "bucket").orderBy("vid")
 
 
 @query(

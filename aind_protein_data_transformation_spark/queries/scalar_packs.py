@@ -372,21 +372,51 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_aggregates", oracle=None)
+@query(
+    "q_approx_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           TRUE AS distinct_within_5pct,
+           TRUE AS median_within_p45_p55
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100-TB path: HLL++ count-distinct and
-    t-digest-style quantiles, one pass, bounded memory. Tolerance-checked
-    (FIXTURES.md §3 bans hashing approximates), so no SQL oracle; the
-    unit test asserts error bounds against exact values instead."""
+    quantile sketches, one pass, bounded memory. FIXTURES.md §3 bans
+    hashing approximate values directly, so the checkable form emits
+    tolerance BOOLEANS (|approx − exact| within bound) that the driver
+    hash-compares against a constant-true oracle. HLL is deterministic
+    for fixed input, so the booleans are stable across runs. The exact
+    countDistinct/percentile companions here exist only to bound the
+    sketches; at 100 TB a user runs the sketch columns alone."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
-                "approx_median_price"
-            ),
             F.count("*").alias("n_rows"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("_ad"),
+            F.countDistinct("l_partkey").alias("_ed"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_am"),
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.45), F.lit(0.55)), 10000
+            ).alias("_band"),
+            F.expr("percentile(l_extendedprice, array(0.45, 0.55))").alias("_eband"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            (
+                F.abs(F.col("_ad") - F.col("_ed"))
+                <= 0.05 * F.col("_ed")
+            ).alias("distinct_within_5pct"),
+            (
+                (F.col("_am") >= F.col("_eband")[0])
+                & (F.col("_am") <= F.col("_eband")[1])
+            ).alias("median_within_p45_p55"),
         )
         .orderBy("l_returnflag")
     )
@@ -470,22 +500,26 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scalar_subquery",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
-    FROM customer
+    FROM customer c
     WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer)
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     ORDER BY c_custkey
     """,
 )
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery in a filter: Spark evaluates the
-    subquery once and broadcasts the scalar — no per-row recompute.
-    (avg as plain double is safe here: the threshold sits far from any
-    customer's exact balance, and both engines agree to ~1e-10 relative.)"""
+    """Subquery pack: uncorrelated scalar subquery (evaluated once,
+    broadcast as a literal — no per-row recompute) plus a correlated
+    EXISTS that Catalyst decorrelates into a left-semi join, so this one
+    query demonstrates both §2B subquery shapes. (avg as plain double is
+    safe here: the threshold sits far from any customer's exact balance,
+    and both engines agree to ~1e-10 relative.)"""
     register_views(spark, sf_dir)
     return spark.sql(
         """
         SELECT c_custkey, c_name, c_acctbal
-        FROM customer
+        FROM customer c
         WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer)
+          AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         ORDER BY c_custkey
         """
     )

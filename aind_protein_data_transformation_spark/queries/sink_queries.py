@@ -1,0 +1,64 @@
+"""Sink round-trip queries — the write side of the driver contract.
+
+The reference's output side is a partitioned, compressed columnar store
+(czi_to_zarr.py:545-553 writes zstd-compressed chunked levels laid out
+``level=k/``); the relational twin here is a partitioned zstd parquet
+write. The query writes through the real sink and returns what a fresh
+scan of the written files yields, so the CORRECTNESS row certifies the
+whole write→read loop (row fidelity, partition-column recovery, type
+round-trip), not just the logical plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned zstd parquet sink round-trip: aggregate orders, write
+    ``partitionBy(o_orderstatus)`` with zstd, read the files back and
+    return them. Partition pruning on the read side hits the directory
+    layout (``o_orderstatus=F/``); bigint/double round-trip bit-exact
+    through parquet, so the oracle is simply the same aggregate on the
+    source table. At 100 TB this layout is the fan-in target of every
+    pipeline here — one shuffle to the agg, then a parallel write.
+
+    The output path is fixed (overwrite mode), so repeated runs reuse one
+    directory and the returned DataFrame stays a lazy scan of the written
+    files — no driver-side collect anywhere."""
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_sink_roundtrip")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+    (
+        agg.write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).orderBy("o_orderstatus", "o_orderpriority")

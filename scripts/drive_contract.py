@@ -41,6 +41,9 @@ fails = 0
 for name, fn in sorted(qs.items()):
     t0 = time.time()
     spd = fn(spark, SF).toPandas()
+    # queries may persist() intermediates (minhash/jaccard shingle sets);
+    # drop them between queries so a full sweep doesn't accumulate cache
+    spark.catalog.clearCache()
     if name not in osql:
         print(f"  {name}: rows-only, {len(spd)} rows, {time.time()-t0:.1f}s"); continue
     opd = con.execute(osql[name]).fetchdf()

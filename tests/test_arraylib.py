@@ -473,3 +473,27 @@ def test_write_chunks_files_roundtrip(spark, tmp_path):
         z0, y0, x0 = meta["z0"], meta["y0"], meta["x0"]
         rebuilt[0, 0, z0:z0+block.shape[0], y0:y0+block.shape[1], x0:x0+block.shape[2]] = block
     np.testing.assert_array_equal(rebuilt, arr)
+
+
+def test_encode_chunks_sparse_requires_declared_shape(spark):
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 900, size=(1, 1, 2, 2, 2)).astype(np.uint16)
+    vox = voxels_df(spark, arr)
+    # drop the trailing voxel: without declared dims the truncated block
+    # would silently under-cover the logical chunk — must raise instead
+    sparse = vox.filter("NOT (z = 1 AND y = 1 AND x = 1)")
+    with pytest.raises(Exception, match="sparse chunk group"):
+        blocks.encode_chunks(sparse, chunk_size=(2, 2, 2)).collect()
+    # with the stack's declared spatial shape the extent is clamped to
+    # min(chunk, shape - origin) and missing voxels stay zero-filled
+    chunked = blocks.encode_chunks(
+        sparse, chunk_size=(2, 2, 2), stack_spatial_shapes={"s0": (2, 2, 2)}
+    ).collect()
+    assert len(chunked) == 1
+    block = np.frombuffer(chunked[0].payload, dtype=chunked[0].dtype).reshape(
+        chunked[0].shape
+    )
+    assert block.shape == (2, 2, 2)
+    expect = arr[0, 0].copy()
+    expect[1, 1, 1] = 0
+    np.testing.assert_array_equal(block, expect)
