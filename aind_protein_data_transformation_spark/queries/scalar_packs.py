@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
+from ..functions.numeric import exact_sum
 from .registry import query
 
 
@@ -323,11 +324,9 @@ def q_conditional_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))).alias(
                 "n_non_urgent"
             ),
-            F.sum(
-                F.greatest("o_totalprice", F.lit(100000.0)).cast("decimal(25,6)")
-            )
-            .cast("double")
-            .alias("sum_floored"),
+            exact_sum(F.greatest("o_totalprice", F.lit(100000.0))).alias(
+                "sum_floored"
+            ),
         )
         .orderBy("band", "o_orderstatus")
     )
@@ -444,7 +443,7 @@ def q_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct engines differ in low bits; the moment formula over DECIMAL
     sums is deterministic on both — same reason as functions/numeric.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    s1d = F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+    s1d = F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
     s2d = F.sum(
         (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,6)")
     ).cast("double")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, exact_sum, sql_dsum
 from .registry import query
 
 
@@ -115,7 +115,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey"))
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    dec = "decimal(25,6)"
     national = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
         F.lit(0.0)
     )
@@ -136,10 +135,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ship_year")
         .agg(
-            (
-                F.sum(national.cast(dec)).cast("double")
-                / F.sum(F.col("volume").cast(dec)).cast("double")
-            ).alias("mkt_share")
+            (exact_sum(national) / exact_sum(F.col("volume"))).alias("mkt_share")
         )
         .orderBy("ship_year")
     )
@@ -251,11 +247,6 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
-    dec = "decimal(25,6)"
     return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
-        (
-            F.lit(100.0)
-            * F.sum(promo.cast(dec)).cast("double")
-            / F.sum(rev.cast(dec)).cast("double")
-        ).alias("promo_revenue_pct")
+        (F.lit(100.0) * exact_sum(promo) / exact_sum(rev)).alias("promo_revenue_pct")
     )

@@ -81,18 +81,34 @@ def main(argv: list[str]) -> int:
             "noop"
         ).mode("overwrite").save()
 
-        # Best of 2 runs per query: the harness VM shows ±50% run-to-run
-        # noise, and run 2 amortizes one-time codegen compilation the
-        # same way the DuckDB comparator numbers in BENCH.md do.
+        # Session floor: the fixed cost of ANY query on this harness —
+        # Catalyst round-trips + noop job scheduling on a one-row plan.
+        # Measured so the decomposition below can separate per-query
+        # constants (which are flat at any SF) from data-proportional
+        # body time (which is what scales).
+        t0 = time.perf_counter()
+        spark.range(1).write.format("noop").mode("overwrite").save()
+        floor = round(time.perf_counter() - t0, 4)
+
+        # Best of 3 runs per query: the harness VM shows ±50% run-to-run
+        # noise; run 1 additionally pays one-time Catalyst/Janino codegen
+        # compilation, the same way the DuckDB comparator numbers in
+        # BENCH.md amortize their first run. cold-warm ≈ compile+noise
+        # constants; warm-floor ≈ the data-proportional body.
         timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
         for name in names:
             fn = q.REGISTRY[name].fn
             best = float("inf")
-            for _ in range(2):
+            first = None
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                first = dt if first is None else first
+                best = min(best, dt)
             timings[name] = round(best, 4)
+            cold[name] = round(first, 4)
             # Queries that persist() shared subtrees would otherwise
             # accumulate cache across the suite and perturb later
             # measurements (GC pressure) — keep each query independent.
@@ -105,8 +121,10 @@ def main(argv: list[str]) -> int:
                     "metric": "headline_suite_wall_seconds",
                     "value": total,
                     "unit": "sec",
-                    "runs_per_query": 2,
+                    "runs_per_query": 3,
                     "queries": timings,
+                    "cold_first_run": cold,
+                    "session_floor_seconds": floor,
                     "sf": _sf_from_dir(sf_dir),
                 }
             )
