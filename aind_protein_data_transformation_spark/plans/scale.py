@@ -106,3 +106,20 @@ def repartition_for_grid(df: DataFrame, cols: Sequence[str | Column], n: int | N
     downstream zipPartitions-style consumer needs a fixed count."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     return df.repartition(n, *cs) if n else df.repartition(*cs)
+
+
+def sorted_small(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Total order for a provably-SMALL final result without a
+    RangePartitioning exchange.
+
+    A global ``orderBy`` plans a range exchange whose partitioner
+    SAMPLES its child, re-executing the post-shuffle tail of the plan
+    (measured: +0.6s on dedup_minhash_lsh at sf0.1). When the result is
+    bounded by group cardinality / top-k / collision count — not by
+    data size — a single-partition sort is strictly cheaper and gives
+    the same deterministic order: ``coalesce(1)`` fuses into the final
+    stage (no exchange, no sampling), and the one task sorts a few
+    hundred rows. Never use this on data-sized output; that is what the
+    real ``orderBy`` is for.
+    """
+    return df.coalesce(1).sortWithinPartitions(*cols)

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.text import normalize_text
+from ..plans.scale import sorted_small
 from ..operators.dedup import (
     LSH_BAND_SIZE,
     MINHASH_PERMS,
@@ -129,9 +130,11 @@ def _minhash_oracle() -> str:
         FROM toks
     ),
     shh AS (
-        SELECT DISTINCT doc_id,
+        -- distinct on the STRING then hash, mirroring shingle_set's
+        -- hash-call-minimizing order (collision semantics identical)
+        SELECT doc_id,
                ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h
-        FROM sh_raw
+        FROM (SELECT DISTINCT doc_id, shingle FROM sh_raw)
     ),
     perms(i, a, b) AS (VALUES {perms}),
     sig AS (
@@ -175,17 +178,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays it row-expanded, same arithmetic). Shingle k=3, 32 perms,
     8 bands of 4; verified pairs filtered at J >= 0.4."""
     corpus = _corpus_near(spark, sf_dir)
-    # The shingle set feeds four consumers (signatures, both sides of the
-    # Jaccard join, sizes); persist it so the tokenize+md5+distinct
-    # subtree runs once — at 100 TB this is the difference between one
-    # and four passes over the corpus.
+    # The shingle set feeds three consumers (signatures+sizes in one
+    # aggregation, both sides of the Jaccard join); persist it so the
+    # tokenize+distinct+md5 subtree runs once — at 100 TB this is the
+    # difference between one and three passes over the corpus.
     shingles = shingle_set(corpus, k=3).persist()
     sig = minhash_signatures(shingles)
     pairs = lsh_candidate_pairs(sig)
     return (
-        jaccard_for_pairs(pairs, shingles)
+        jaccard_for_pairs(pairs, shingles, sizes=sig.select("doc_id", "n"))
         .filter(F.col("jaccard") >= 0.4)
-        .orderBy("doc_a", "doc_b")
+        .transform(lambda d: sorted_small(d, "doc_a", "doc_b"))
     )
 
 
@@ -208,9 +211,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     ),
     sh AS (
-        SELECT DISTINCT doc_id,
+        SELECT doc_id,
                ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647 AS h
-        FROM sh_raw
+        FROM (SELECT DISTINCT doc_id, shingle FROM sh_raw)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (

@@ -21,6 +21,7 @@ from ..functions.vector import (
     sql_unit_normalize,
     unit_normalize,
 )
+from ..plans.scale import sorted_small
 from ..operators.similarity import (
     assign_buckets,
     brute_force_topk,
@@ -86,7 +87,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         brute_force_topk(queries, corpus, k=TOPK_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
-        .orderBy("query_id", "rank")
+        .transform(lambda d: sorted_small(d, "query_id", "rank"))
     )
 
 
@@ -156,7 +157,7 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ivf_topk(queries, corpus, centroids, k=TOPK_K, nprobe=IVF_NPROBE)
         .select("query_id", "neighbor_id", "cosine", "rank")
-        .orderBy("query_id", "rank")
+        .transform(lambda d: sorted_small(d, "query_id", "rank"))
     )
 
 
@@ -251,5 +252,5 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", dot("ea", "eb").alias("cosine"))
         .filter(F.col("cosine") >= 0.9)
-        .orderBy("id_a", "id_b")
+        .transform(lambda d: sorted_small(d, "id_a", "id_b"))
     )

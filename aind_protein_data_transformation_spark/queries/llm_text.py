@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.text import hash64, tokens
+from ..plans.scale import sorted_small
 from .registry import query
 
 # Stopword lists for the n-gram/stopword language heuristic. The synthetic
@@ -201,7 +202,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("total_chars"),
             (F.sum(n_tok).cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
         )
-        .orderBy("source")
+        .transform(lambda d: sorted_small(d, "source"))
     )
 
 
@@ -323,5 +324,5 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         survivors.groupBy("source", "lang")
         .agg(F.count("*").alias("n_docs"))
-        .orderBy("source", "lang")
+        .transform(lambda d: sorted_small(d, "source", "lang"))
     )

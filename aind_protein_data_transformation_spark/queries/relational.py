@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..plans.scale import sorted_small
 from .registry import query
 
 
@@ -58,7 +59,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("l_discount", "avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(lambda d: sorted_small(d, "l_returnflag", "l_linestatus"))
     )
 
 
@@ -146,7 +147,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(dsum(revenue, "revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .transform(lambda d: sorted_small(d, F.desc("revenue"), "n_name"))
     )
 
 
@@ -260,7 +261,7 @@ def q_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_richer_customers"))
-        .orderBy("s_suppkey")
+        .transform(lambda d: sorted_small(d, "s_suppkey"))
     )
 
 
@@ -375,7 +376,7 @@ def q_ntile_wealth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_acctbal").cast("double").alias("min_bal"),
             F.max("c_acctbal").cast("double").alias("max_bal"),
         )
-        .orderBy("decile")
+        .transform(lambda d: sorted_small(d, "decile"))
     )
 
 
@@ -442,7 +443,7 @@ def q_rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             "total_acctbal",
             "n_customers",
         )
-        .orderBy("region_name", "nation_name")
+        .transform(lambda d: sorted_small(d, "region_name", "nation_name"))
     )
 
 
@@ -469,7 +470,7 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("o_orderpriority", F.lit("<ALL>")).alias("priority"),
             "n_orders",
         )
-        .orderBy("status", "priority")
+        .transform(lambda d: sorted_small(d, "status", "priority"))
     )
 
 
@@ -496,7 +497,7 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_part"),
             F.count("*").alias("n_rows"),
         )
-        .orderBy("l_returnflag")
+        .transform(lambda d: sorted_small(d, "l_returnflag"))
     )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, register_views
 from ..functions.numeric import exact_sum
 from ..operators.percentile import column_percentiles
+from ..plans.scale import sorted_small
 from .registry import query
 
 
@@ -371,7 +372,7 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre_aggregate=False,  # prices are near-unique; histogram wouldn't shrink
     )
     # 3-row frames: broadcast the join, keep output deterministic
-    return qty.join(F.broadcast(price), "l_returnflag").orderBy("l_returnflag")
+    return sorted_small(qty.join(F.broadcast(price), "l_returnflag"), "l_returnflag")
 
 
 @query(

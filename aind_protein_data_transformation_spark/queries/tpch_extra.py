@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.numeric import dsum, exact_sum, sql_dsum
+from ..plans.scale import sorted_small
 from .registry import query
 
 
@@ -72,7 +73,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", "ship_year")
         .agg(dsum("volume", "revenue"))
-        .orderBy("supp_nation", "cust_nation", "ship_year")
+        .transform(lambda d: sorted_small(d, "supp_nation", "cust_nation", "ship_year"))
     )
 
 
@@ -137,7 +138,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (exact_sum(national) / exact_sum(F.col("volume"))).alias("mkt_share")
         )
-        .orderBy("ship_year")
+        .transform(lambda d: sorted_small(d, "ship_year"))
     )
 
 
@@ -218,7 +219,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
+        .transform(lambda d: sorted_small(d, "l_linestatus"))
     )
 
 
