@@ -38,6 +38,7 @@ DRIVER_WINDOW = [
     "q12_shipmode_priority",
     # join variants
     "q_semi_join_customers_with_orders",
+    "q_anti_join_customers_without_orders",
     "q_outer_join_order_fill",
     "q_theta_join_price_band",
     # set ops / grouping
@@ -45,7 +46,6 @@ DRIVER_WINDOW = [
     "q_rollup_region_nation_revenue",
     # window family (frames, analytic, ranking; top-k)
     "q_window_running_totals",
-    "q_topk_per_group",
     # scalar packs
     "q_string_functions",
     "q_date_functions",

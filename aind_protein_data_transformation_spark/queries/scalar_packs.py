@@ -270,26 +270,36 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
            MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-           COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k
+           COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_k,
+           CAST(SUM(len(json_keys(props))) AS BIGINT) AS sum_n_keys,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k_via_map
     FROM events
     GROUP BY event_type
     ORDER BY event_type
     """,
 )
 def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON pack over events.props (the reference's nested-JSON scan A22:
-    utils/utils.py:111-135 reads acquisition.json and projects nested
-    fields). get_json_object extracts without a full parse."""
+    """JSON + MAP pack over events.props (the reference's nested-JSON
+    scan A22: utils/utils.py:111-135 reads acquisition.json and projects
+    nested fields). Two extraction paths are checked against one oracle:
+    ``get_json_object`` (no full parse) and ``from_json`` to a typed
+    MAP probed with ``map_keys``/``element_at`` — sum_k and
+    sum_k_via_map must agree, which differentially tests both planners.
+    The row-level map explode lives in q_map_functions (registry tail)."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.from_json("props", "map<string,bigint>")
     return (
-        e.groupBy("event_type")
+        e.select("event_type", k.alias("k"), m.alias("m"))
+        .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(k).alias("sum_k"),
-            F.min(k).alias("min_k"),
-            F.max(k).alias("max_k"),
-            F.countDistinct(k).alias("distinct_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+            F.sum(F.size(F.map_keys("m"))).alias("sum_n_keys"),
+            F.sum(F.element_at(F.col("m"), "k")).alias("sum_k_via_map"),
         )
         .orderBy("event_type")
     )

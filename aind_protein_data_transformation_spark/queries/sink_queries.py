@@ -41,10 +41,19 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     source table. At 100 TB this layout is the fan-in target of every
     pipeline here — one shuffle to the agg, then a parallel write.
 
-    The output path is fixed (overwrite mode), so repeated runs reuse one
-    directory and the returned DataFrame stays a lazy scan of the written
-    files — no driver-side collect anywhere."""
+    The same aggregate is ALSO written through the CSV sink and read
+    back with an explicit schema (CSV scan coverage, SURVEY §2B row
+    "CSV scan"): the returned frame joins n_orders from the parquet leg
+    with total_spend from the CSV leg, so a corruption in either
+    write→read loop breaks the hash. Doubles survive CSV because Spark
+    writes the shortest round-trippable decimal form (Java
+    Double.toString contract).
+
+    The output paths are fixed (overwrite mode), so repeated runs reuse
+    the directories and the returned DataFrame stays a lazy scan of the
+    written files — no driver-side collect anywhere."""
     out = os.path.join(tempfile.gettempdir(), "spark_graft_sink_roundtrip")
+    out_csv = os.path.join(tempfile.gettempdir(), "spark_graft_sink_roundtrip_csv")
     agg = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus", "o_orderpriority")
@@ -61,4 +70,16 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("o_orderstatus")
         .parquet(out)
     )
-    return spark.read.parquet(out).orderBy("o_orderstatus", "o_orderpriority")
+    agg.write.mode("overwrite").option("header", "true").csv(out_csv)
+    pq = spark.read.parquet(out).select(
+        "o_orderstatus", "o_orderpriority", "n_orders"
+    )
+    csv = spark.read.schema(
+        "o_orderstatus string, o_orderpriority string, "
+        "n_orders bigint, total_spend double"
+    ).option("header", "true").csv(out_csv).select(
+        "o_orderstatus", "o_orderpriority", "total_spend"
+    )
+    return pq.join(csv, ["o_orderstatus", "o_orderpriority"]).orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )

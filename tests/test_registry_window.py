@@ -70,7 +70,9 @@ def test_tail_components_are_covered_in_window():
         "q8_market_share": "q5_local_supplier_volume",
         "q10_returned_items": "q3_shipping_priority",
         "q14_promo_share": "q1_pricing_summary",
-        "q_anti_join_customers_without_orders": "q_semi_join_customers_with_orders",
+        # window-ranking top-k: dense_rank/ntile live in running_totals,
+        # sort+limit in q3 (TakeOrderedAndProject)
+        "q_topk_per_group": "q_window_running_totals",
         "q_ntile_wealth_deciles": "q_window_running_totals",
         "q_cube_status_priority": "q_rollup_region_nation_revenue",
         "q_grouping_sets": "q_rollup_region_nation_revenue",
