@@ -497,3 +497,46 @@ def test_encode_chunks_sparse_requires_declared_shape(spark):
     expect = arr[0, 0].copy()
     expect[1, 1, 1] = 0
     np.testing.assert_array_equal(block, expect)
+
+
+def test_run_job_remote_root_contract(spark, stack_dir, tmp_path):
+    """The reference stages derivatives locally, aws-syncs them to S3,
+    then deletes the staging copy (A23, utils/utils.py:138-201,
+    zeiss_job.py:174-200). The Spark sink collapses sync+cleanup into a
+    direct remote write; the observable contract is the same and is
+    what this test pins: voxel data lands under the REMOTE root in
+    ``level=k/`` layout, OME sidecars land in the local output
+    directory, and no voxel data is left staged locally. A file://
+    root stands in for the object store (same non-local-path code
+    path; s3:// differs only by the scheme rewrite asserted below)."""
+    local_out = str(tmp_path / "local_out")
+    bucket = tmp_path / "bucket" / "derivatives"
+    settings = StackJobSettings(
+        input_source=stack_dir,
+        output_directory=local_out,
+        downsample_levels=2,
+        chunk_size=(2, 2, 2),
+        s3_location=f"file://{bucket}",
+    )
+    resp = run_job(spark, settings)
+    assert resp.status_code == 0
+
+    # data under the remote root, level=k/ layout, readable back
+    for lvl in (0, 1):
+        level = spark.read.parquet(f"file://{bucket}/level={lvl}")
+        assert level.count() > 0
+    # sidecars in the LOCAL output directory
+    meta = os.listdir(os.path.join(local_out, "_metadata"))
+    assert any(m.endswith(".zattrs") for m in meta)
+    # no voxel data staged locally (the reference's post-sync cleanup)
+    assert not any(d.startswith("level=") for d in os.listdir(local_out))
+
+    # the s3:// -> s3a:// scheme rewrite (Hadoop connector naming)
+    assert (
+        StackJobSettings(
+            input_source=stack_dir,
+            output_directory=local_out,
+            s3_location="s3://bucket/prefix",
+        ).output_root
+        == "s3a://bucket/prefix"
+    )
