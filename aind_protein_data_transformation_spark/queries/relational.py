@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..operators.range_join import count_above
 from ..plans.scale import sorted_small
 from .registry import query
 
@@ -251,16 +252,28 @@ def q_outer_join_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi (theta) join: broadcast nested-loop over the 10-row
-    supplier side. BNLJ is only sane when one side broadcasts — exactly
-    this shape; a fact-fact theta join would need banding (see the as-of
-    join operator for the banded pattern)."""
+    """Non-equi (theta) join via the BANDED range operator
+    (operators/range_join.py) instead of a broadcast nested-loop join:
+    a BNLJ evaluates the predicate |supplier|x|customer| times (15M at
+    sf0.1, quadratic at scale); banding counts whole buckets above each
+    supplier from an O(buckets) histogram and equi-joins only the
+    boundary bucket, so the predicate runs ~|n·m/buckets| times and
+    every stage is a hash join or bounded window. The inner-join
+    GROUP BY semantics of the oracle (suppliers with zero richer
+    customers absent) are restored with the final positive filter."""
     s = load_table(spark, sf_dir, "supplier")
     c = load_table(spark, sf_dir, "customer")
+    counted = count_above(
+        s.select("s_suppkey", "s_name", "s_acctbal"),
+        c.select("c_acctbal"),
+        probe_col="s_acctbal",
+        build_col="c_acctbal",
+        bucket_width=100.0,  # acctbal spans ~[-1000, 10000] -> ~110 buckets
+        out_col="n_richer_customers",
+    )
     return (
-        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count("*").alias("n_richer_customers"))
+        counted.where(F.col("n_richer_customers") > 0)
+        .select("s_suppkey", "s_name", "n_richer_customers")
         .transform(lambda d: sorted_small(d, "s_suppkey"))
     )
 

@@ -111,3 +111,29 @@ def test_percentile_rank_select_degenerate_groups(spark):
         ).collect()
     }
     assert got == {"a": (5.0, 5.0), "b": (7.5, 7.5)}
+
+
+def test_count_above_matches_bruteforce(spark):
+    """Banded range-count == brute-force theta join, including negative
+    values, boundary-bucket ties, empty buckets, and zero-match probes."""
+    import random
+
+    from aind_protein_data_transformation_spark.operators.range_join import count_above
+
+    rnd = random.Random(7)
+    build_vals = [round(rnd.uniform(-50, 50), 1) for _ in range(500)]
+    probe_vals = [round(rnd.uniform(-60, 60), 1) for _ in range(40)] + [100.0, -100.0]
+    build = spark.createDataFrame([(v,) for v in build_vals], "v double")
+    probe = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(probe_vals)], "pid long, p double"
+    )
+    got = {
+        r.pid: r.n_above
+        for r in count_above(probe, build, "p", "v", bucket_width=7.3).collect()
+    }
+    expect = {
+        i: sum(1 for b in build_vals if b > v) for i, v in enumerate(probe_vals)
+    }
+    assert got == expect
+    assert got[len(probe_vals) - 2] == 0       # probe above all build rows
+    assert got[len(probe_vals) - 1] == 500     # probe below all build rows
