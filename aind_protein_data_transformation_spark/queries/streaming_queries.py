@@ -344,3 +344,66 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    ORDER BY purchase_id, click_id
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with watermarks and an event-time range
+    condition: purchases joined to the same user's clicks from the
+    preceding 10 minutes. Both sides carry a watermark and the join
+    condition bounds event time on both ends, so Spark can size and
+    expire the join state — the production shape for unbounded
+    stream-stream joins (state is never the whole history). Inner-join
+    rows emit as soon as both sides arrive; the availableNow replay is
+    therefore deterministic and must equal the batch interval self-join
+    the oracle runs. Append output mode (stream-stream joins support no
+    other)."""
+    ev = read_events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+        ).alias("gap_us"),
+    )
+    return run_stream_to_memory(joined, "stream_join", output_mode="append").orderBy(
+        "purchase_id", "click_id"
+    )

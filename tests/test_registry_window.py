@@ -70,6 +70,11 @@ def test_tail_components_are_covered_in_window():
         "q8_market_share": "q5_local_supplier_volume",
         "q10_returned_items": "q3_shipping_priority",
         "q14_promo_share": "q1_pricing_summary",
+        "q4_order_priority": "q_semi_join_customers_with_orders",
+        "q6_forecast_revenue": "q1_pricing_summary",
+        "q9_product_type_profit": "q5_local_supplier_volume",
+        "q13_order_count_distribution": "q_outer_join_order_fill",
+        "q18_large_volume_customers": "q3_shipping_priority",
         # window-ranking top-k: dense_rank/ntile live in running_totals,
         # sort+limit in q3 (TakeOrderedAndProject)
         "q_topk_per_group": "q_window_running_totals",
@@ -88,6 +93,9 @@ def test_tail_components_are_covered_in_window():
         "text_lang_id": "text_quality_stats",
         "pyramid_channel_stats": "pyramid_windowed_mean",
         "streaming_dedup": "streaming_dedup_watermark",
+        # stream-stream interval join: the watermark/event-time-state
+        # family is represented in-window by tumbling + stateful_totals
+        "streaming_stream_join": "streaming_stateful_totals",
         "multimodal_decode_stub": "multimodal_frame_sample",
     }
     window = set(DRIVER_WINDOW)
