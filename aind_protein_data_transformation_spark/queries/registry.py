@@ -13,6 +13,7 @@ computed column is aliased identically on both sides.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -42,7 +43,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Some queries persist() an intermediate (e.g. the MinHash
+            # shingle relation) that stays cached until the session ends.
+            # A runner sweeping the whole registry in one session would
+            # accumulate those caches; clearing leftovers on entry bounds
+            # cache memory to a single query's working set. By the time
+            # query N+1 is built, query N's result has been collected, so
+            # nothing live is evicted.
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name, wrapped, oracle, (fn.__doc__ or "").strip())
         return fn
 
     return deco
