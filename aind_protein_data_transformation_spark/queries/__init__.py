@@ -20,6 +20,7 @@ from . import scalar_packs  # noqa: E402,F401
 from . import llm_dedup  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
+from . import sampling  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import sink_queries  # noqa: E402,F401
 from . import asof_queries  # noqa: E402,F401

@@ -1,0 +1,164 @@
+"""Deterministic corpus sampling / sharding (training-data pipeline ops).
+
+A 100-TB training pipeline needs reproducible subsetting long before it
+needs randomness: the same document must land in the same split, sample,
+or shard on every run, on any cluster size, with no RNG state to ship.
+Everything here keys on the portable 60-bit ``hash64`` (functions/
+text.py) of a stable document key, so membership is a pure projection —
+no shuffle is introduced by the *decision*, only by the reporting
+aggregation. DuckDB reproduces every hash bit-for-bit, which is what
+makes these queries oracle-checkable.
+
+Reference scope note: the reference pipeline (zeiss_job.py) processes
+whole stacks and has no corpus-sampling stage; these operators extend
+the engine for LLM-corpus work per SURVEY.md §2's training-pipeline
+addendum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import SQL_HASH64, hash64
+from .registry import query
+
+#: Per-language keep rates in basis points (downsample the dominant
+#: language, keep the tail) — the classic corpus-rebalancing move.
+STRATIFIED_BPS: dict[str, int] = {
+    "en": 3000,
+    "de": 5000,
+    "es": 6000,
+    "fr": 7000,
+    "zh": 8000,
+}
+
+_SPLIT_HASH = SQL_HASH64.format(expr="CAST(doc_id AS VARCHAR)")
+_STRAT_HASH = SQL_HASH64.format(expr="CAST(d.doc_id AS VARCHAR) || ':' || d.lang")
+
+
+def _split_bucket() -> F.Column:
+    return F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(100))
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT lang, n_chars,
+               CASE WHEN {_SPLIT_HASH} % 100 < 80 THEN 'train'
+                    WHEN {_SPLIT_HASH} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: bucket =
+    hash64(doc_id) mod 100. The split decision is a stateless
+    projection evaluated inside the scan stage — at 100 TB the split
+    costs nothing beyond the read, parallelizes perfectly, and is
+    stable under repartitioning, retries, and incremental reruns
+    (a new document never moves existing ones between splits, unlike
+    row_number- or rand()-based splits). The one shuffle here is the
+    reporting groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _split_bucket()
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d
+    JOIN (VALUES {', '.join(f"('{lang}', {bps})" for lang, bps in STRATIFIED_BPS.items())})
+         AS r(lang, bps) ON r.lang = d.lang
+    WHERE {_STRAT_HASH} % 10000 < r.bps
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli-by-hash sampling with per-language rates
+    (downsample English, keep low-resource tails): keep iff
+    hash64(doc_id:lang) mod 10000 < rate_bps(lang). The rate table is
+    a broadcast dimension; the keep decision again evaluates in the
+    scan stage, so sampling 1% of 100 TB reads 100 TB once and writes
+    1 TB with zero extra shuffles. Hash-keyed membership makes the
+    sample a deterministic function of the corpus — reruns and
+    downstream joins see the same subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(lang, bps) for lang, bps in STRATIFIED_BPS.items()], "r_lang string, bps int"
+    )
+    keep_key = F.pmod(
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("lang"))),
+        F.lit(10000),
+    )
+    return (
+        docs.join(F.broadcast(rates), docs.lang == rates.r_lang)
+        .filter(keep_key < F.col("bps"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "shard_assign_balanced",
+    oracle=f"""
+    SELECT {_SPLIT_HASH} % 16 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-balanced shard assignment (the write-side twin of the
+    split): shard = hash64(doc_id) mod 16. This is exactly the key a
+    partitioned writer would `repartition(16, shard)` on —
+    hash-uniform, so shard sizes stay within sampling noise of each
+    other regardless of doc_id distribution (contrast range-sharding
+    on doc_id, which inherits whatever skew ingestion had). The
+    aggregate reports per-shard row/char totals — the balance check
+    itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(16))
+    return (
+        docs.select(shard.alias("shard"), "n_chars", "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

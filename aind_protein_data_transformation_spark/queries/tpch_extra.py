@@ -455,3 +455,198 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: aggregate-of-aggregate where the
+    scalar MAX over the per-supplier revenue relation joins back against
+    that same relation. The revenue relation is computed once per branch
+    from the same deterministic plan; the 1-row MAX side broadcasts, so
+    the "scalar subquery" costs one extra reduction, never a second
+    shuffle. Revenue equality across engines is safe because both sides
+    sum in exact fixed-point (functions/numeric.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .transform(lambda d: sorted_small(d, "s_suppkey"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           {sql_dsum('l.l_extendedprice', 'small_qty_revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+        SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
+        FROM lineitem GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#13', 'Brand#20')
+      AND l.l_quantity < t.qty_threshold
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped small-quantity revenue: the correlated AVG
+    subquery (per-part 20%-of-average threshold) decorrelates into a
+    per-part aggregate joined back on the SAME key as the main join, so
+    the threshold pass and the probe pass share one hash partitioning
+    (exchanges line up, AQE reuses the layout). The brand filter
+    broadcasts through part and semi-reduces lineitem before the
+    shuffle. The threshold itself (0.2 * AVG of integer-valued
+    quantities) is bit-identical across engines: integer sums in double
+    are exact and the one division is performed identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#13", "Brand#20")
+    )
+    thresholds = (
+        li.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_extendedprice", "small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .transform(lambda d: sorted_small(d, "p_brand"))
+    )
+
+
+@query(
+    "q19_disjunctive_pushdown",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1  AND 10
+           AND l.l_quantity BETWEEN 1  AND 11)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#7'  AND p.p_size BETWEEN 25 AND 40
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped OR-of-ANDs: three disjuncts each constraining
+    both sides of the join. Catalyst extracts the single-side residues
+    of the disjunction — the brand/size union prunes the part build
+    side and the quantity union pushes into the lineitem scan
+    (PushedFilters) — before evaluating the full predicate post-join.
+    At 100 TB that pre-join extraction is the difference between
+    shuffling the whole fact table and shuffling ~nothing: the
+    broadcast hash table holds only parts any disjunct can match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    d1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(25, 40)
+        & F.col("l_quantity").between(20, 35)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(d1 | d2 | d3)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    WITH bal AS (
+        SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c.c_acctbal', 'totacctbal')}
+    FROM customer c, bal
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * bal.cnt > bal.cents
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped dormant high-balance customers: a global-average
+    scalar subquery plus an anti join against recent orders. The
+    above-average comparison is done in integer cents cross-multiplied
+    by the count (acctbal*100*cnt > total_cents) so the threshold
+    never exists as a float — engine-exact without decimal division.
+    The 1-row balance aggregate broadcasts; the anti join shuffles on
+    custkey (DuckDB instead scans orders per the NOT EXISTS — same
+    semantics, different physical strategy, hence its cost profile)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents).alias("cents"), F.count("*").alias("cnt"))
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(bal))
+        .filter(cents * F.col("cnt") > F.col("cents"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
+        .transform(lambda d: sorted_small(d, "c_nationkey"))
+    )

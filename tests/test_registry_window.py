@@ -75,6 +75,15 @@ def test_tail_components_are_covered_in_window():
         "q9_product_type_profit": "q5_local_supplier_volume",
         "q13_order_count_distribution": "q_outer_join_order_fill",
         "q18_large_volume_customers": "q3_shipping_priority",
+        "q15_top_supplier": "q_scalar_subquery",
+        "q17_small_quantity_revenue": "q_scalar_subquery",
+        "q19_disjunctive_pushdown": "q1_pricing_summary",
+        "q22_dormant_customers": "q_anti_join_customers_without_orders",
+        # deterministic hash-keyed sampling/sharding: the portable-hash
+        # + bucketed-groupBy family is represented by exact dedup
+        "sample_hash_split": "dedup_exact",
+        "sample_stratified": "dedup_exact",
+        "shard_assign_balanced": "dedup_exact",
         # window-ranking top-k: dense_rank/ntile live in running_totals,
         # sort+limit in q3 (TakeOrderedAndProject)
         "q_topk_per_group": "q_window_running_totals",
