@@ -81,3 +81,23 @@ def test_dim_join_broadcasts(spark, sf_dir):
     joined = c.join(n, c.c_nationkey == n.n_nationkey)
     flags = explain_has(joined, "BroadcastHashJoin")
     assert flags["BroadcastHashJoin"]
+
+
+def test_q19_disjunction_residues_push_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs predicate must not evaluate only post-join: Catalyst
+    extracts each side's union of disjunct constraints into the scans
+    (brand/size on part, quantity on lineitem)."""
+    from aind_protein_data_transformation_spark.queries.tpch_extra import (
+        q19_disjunctive_pushdown,
+    )
+
+    plan = (
+        q19_disjunctive_pushdown(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    part_scan = next(s for s in plan.split("FileScan parquet") if "part.parquet" in s)
+    li_scan = next(s for s in plan.split("FileScan parquet") if "lineitem.parquet" in s)
+    assert "Or(" in part_scan.split("PushedFilters")[-1].split("ReadSchema")[0]
+    assert "Or(" in li_scan.split("PushedFilters")[-1].split("ReadSchema")[0]
