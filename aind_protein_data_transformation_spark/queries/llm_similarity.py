@@ -254,3 +254,86 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.9)
         .transform(lambda d: sorted_small(d, "id_a", "id_b"))
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, embedding,
+               CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS qscale
+        FROM s
+    ), c AS (
+        SELECT vec_id, qscale, embedding,
+               list_transform(embedding,
+                    x -> greatest(-127.0, least(127.0,
+                         floor(CAST(x AS DOUBLE) / qscale + 0.5)))) AS codes
+        FROM sc
+    )
+    SELECT vec_id, qscale,
+           CAST(len(list_filter(codes, q -> abs(q) = 127.0)) AS BIGINT)
+               AS n_saturated,
+           list_sum(list_transform(generate_series(1, len(embedding)),
+                i -> (CAST(embedding[i] AS DOUBLE) - codes[i] * qscale)
+                   * (CAST(embedding[i] AS DOUBLE) - codes[i] * qscale)))
+               / len(embedding) AS recon_mse
+    FROM c
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× storage
+    shrink before ANN indexing: scale = max|x|/127, code =
+    floor(x/scale + 0.5) clipped to ±127, reporting per-vector scale,
+    saturation count, and reconstruction MSE. Everything is an
+    element-wise JVM higher-order projection (no UDF, no shuffle except
+    none at all — this is scan→project→sort); at 100 TB the quantized
+    codes would be written alongside the fp32 originals in one pass.
+    Cross-engine exactness: floor(x+0.5) sidesteps ROUND-semantics
+    divergence, max/abs are order-free, and the MSE fold follows the
+    verified aggregate==list_sum element order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    qscale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    with_scale = emb.select("vec_id", "embedding", qscale.alias("qscale"))
+    codes = F.transform(
+        F.col("embedding"),
+        lambda v: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(v.cast("double") / F.col("qscale") + F.lit(0.5)).cast(
+                    "double"
+                ),
+            ),
+        ),
+    )
+    with_codes = with_scale.select(
+        "vec_id", "embedding", "qscale", codes.alias("codes")
+    )
+    sq_err = F.zip_with(
+        F.col("embedding"),
+        F.col("codes"),
+        lambda v, q: (v.cast("double") - q * F.col("qscale"))
+        * (v.cast("double") - q * F.col("qscale")),
+    )
+    return (
+        with_codes.select(
+            "vec_id",
+            "qscale",
+            F.size(F.filter(F.col("codes"), lambda q: F.abs(q) == 127.0))
+            .cast("long")
+            .alias("n_saturated"),
+            (
+                F.aggregate(sq_err, F.lit(0.0), lambda acc, v: acc + v)
+                / F.size(F.col("embedding"))
+            ).alias("recon_mse"),
+        )
+        .transform(lambda d: sorted_small(d, "vec_id"))
+    )
