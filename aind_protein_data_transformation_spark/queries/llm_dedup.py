@@ -15,9 +15,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.text import normalize_text
+from ..operators.graph import connected_components
 from ..plans.scale import sorted_small
 from ..operators.dedup import (
     LSH_BAND_SIZE,
@@ -104,7 +106,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- minhash lsh
 
-def _minhash_oracle() -> str:
+def _minhash_chain(recursive: bool = False) -> str:
+    """The shared WITH-chain computing LSH-verified near-dup pairs,
+    ending at CTE ``verified(doc_a, doc_b, jaccard)`` (J >= 0.4).
+    ``recursive=True`` emits WITH RECURSIVE so callers can append
+    recursive CTEs (DuckDB requires the keyword up front)."""
     perms = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(MINHASH_PERMS))
     )
@@ -115,8 +121,9 @@ def _minhash_oracle() -> str:
         for j in range(LSH_BAND_SIZE)
     )
     band_eq = " AND ".join(f"a.k{j} = b.k{j}" for j in range(LSH_BAND_SIZE))
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-    WITH {_SQL_CORPUS_NEAR},
+    {kw} {_SQL_CORPUS_NEAR},
     toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
@@ -159,14 +166,22 @@ def _minhash_oracle() -> str:
         JOIN shh a ON a.doc_id = p.doc_a
         JOIN shh b ON b.doc_id = p.doc_b AND b.h = a.h
         GROUP BY p.doc_a, p.doc_b
+    ),
+    verified AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
+        WHERE CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) >= 0.4
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.doc_a
-    JOIN sizes nb ON nb.doc_id = i.doc_b
-    WHERE CAST(i.shared AS DOUBLE) / (na.n + nb.n - i.shared) >= 0.4
-    ORDER BY doc_a, doc_b
+    """
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    {_minhash_chain()}
+    SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b
     """
 
 
@@ -323,4 +338,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_near_pairs(sims, max_hamming=3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------- cluster components
+
+def _cluster_oracle() -> str:
+    return f"""
+    {_minhash_chain(recursive=True)},
+    edges AS (
+        SELECT doc_a AS e_src, doc_b AS e_dst FROM verified
+        UNION ALL
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, label) AS (
+        SELECT DISTINCT e_src, e_src FROM edges
+        UNION
+        SELECT e.e_dst, r.label FROM reach r JOIN edges e ON e.e_src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+    FROM comp
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_cluster_components", oracle=_cluster_oracle())
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the LSH-verified near-dup pairs: connected
+    components turn PAIRS into CLUSTERS, so one representative survives
+    for {A,B,C} even when (A,C) was never an LSH candidate — the step
+    that makes near-dedup actually drop whole duplicate families. Spark
+    runs iterative min-label propagation (operators/graph.py; rounds =
+    cluster diameter, each round one join + one agg, lineage truncated
+    per round); the oracle replays it as a recursive CTE — the same
+    fixpoint, reached by a strategy only viable single-node."""
+    corpus = _corpus_near(spark, sf_dir)
+    shingles = shingle_set(corpus, k=3).persist()
+    sig = minhash_signatures(shingles)
+    pairs = lsh_candidate_pairs(sig)
+    verified = (
+        jaccard_for_pairs(pairs, shingles, sizes=sig.select("doc_id", "n"))
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(verified, "doc_a", "doc_b")
+    w = Window.partitionBy("component")
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            "component",
+            F.count("*").over(w).cast("long").alias("cluster_size"),
+        )
+        .transform(lambda d: sorted_small(d, "doc_id"))
     )

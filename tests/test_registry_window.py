@@ -81,6 +81,9 @@ def test_tail_components_are_covered_in_window():
         "q22_dormant_customers": "q_anti_join_customers_without_orders",
         # deterministic hash-keyed sampling/sharding: the portable-hash
         # + bucketed-groupBy family is represented by exact dedup
+        # transitive closure over LSH pairs: the near-dup family's
+        # in-window representative is the pair-producing minhash query
+        "dedup_cluster_components": "dedup_minhash_lsh",
         # element-wise vector projection family (fold-parity ops):
         # represented by the in-window cosine/IVF queries
         "embedding_quantize_int8": "similarity_cosine_topk",
