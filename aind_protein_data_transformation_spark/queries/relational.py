@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..functions.numeric import davg, dsum, exact_sum, sql_davg, sql_dsum
 from ..operators.range_join import count_above
 from ..plans.scale import sorted_small
 from .registry import query
@@ -548,4 +548,85 @@ def q_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cd"),
         )
         .orderBy("o_orderstatus", "rn")
+    )
+
+
+@query(
+    "q_pivot_status_matrix",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_f')},
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_o')},
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: line status becomes columns (explicit value list — never
+    let pivot infer values with a discovery pass over 100 TB). Catalyst
+    rewrites pivot-with-known-values into exactly the conditional
+    aggregation the oracle spells out: one shuffle, no extra pass, each
+    cell a filtered partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            exact_sum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("F_qty").alias("qty_f"),
+            F.col("O_qty").alias("qty_o"),
+            F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        )
+        .transform(lambda d: sorted_small(d, "l_returnflag"))
+    )
+
+
+@query(
+    "q_unpivot_nation_metrics",
+    oracle=f"""
+    WITH wide AS (
+        SELECT c_nationkey,
+               {sql_dsum('c_acctbal', 'total_bal')},
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, metric, value FROM (
+        SELECT c_nationkey, 'n_cust' AS metric, CAST(n_cust AS DOUBLE) AS value FROM wide
+        UNION ALL
+        SELECT c_nationkey, 'n_segments', CAST(n_segments AS DOUBLE) FROM wide
+        UNION ALL
+        SELECT c_nationkey, 'total_bal', total_bal FROM wide
+    )
+    ORDER BY c_nationkey, metric
+    """,
+)
+def q_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): a wide per-nation metrics row becomes long
+    (nation, metric, value) — the normalization step feeding generic
+    metric sinks. Spark's unpivot is a zero-shuffle projection (each
+    input row expands to k output rows in place); only the upstream
+    aggregate shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        dsum("c_acctbal", "total_bal"),
+        F.count("*").cast("double").alias("n_cust"),
+        F.countDistinct("c_mktsegment").cast("double").alias("n_segments"),
+    )
+    return (
+        wide.unpivot(
+            ids=["c_nationkey"],
+            values=["n_cust", "n_segments", "total_bal"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .transform(lambda d: sorted_small(d, "c_nationkey", "metric"))
     )

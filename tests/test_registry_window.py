@@ -98,6 +98,10 @@ def test_tail_components_are_covered_in_window():
         "q_grouping_sets": "q_rollup_region_nation_revenue",
         "q_distinct_agg": "q1_pricing_summary",
         "q_rank_variants": "q_window_running_totals",
+        # pivot is Catalyst-rewritten conditional aggregation (q1 family);
+        # unpivot is a zero-shuffle projection over a grouped aggregate
+        "q_pivot_status_matrix": "q1_pricing_summary",
+        "q_unpivot_nation_metrics": "q_rollup_region_nation_revenue",
         "q_explode_tokens": "q_array_functions",
         "q_exists_subquery": "q_scalar_subquery",
         "q_percentiles_exact": "q_approx_aggregates",
