@@ -198,7 +198,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+distinct+md5 subtree runs once — at 100 TB this is the
     # difference between one and three passes over the corpus.
     shingles = shingle_set(corpus, k=3).persist()
-    sig = minhash_signatures(shingles)
+    # The signature frame (one row per doc, 33 numeric cols) appears
+    # THREE times in the final plan: both sides of the LSH band
+    # self-join and the Jaccard sizes leg. Persist it too — it's tiny
+    # (corpus-row count, not shingle count) and saves two replays of the
+    # 32-min aggregation over the shingle relation.
+    sig = minhash_signatures(shingles).persist()
     pairs = lsh_candidate_pairs(sig)
     return (
         jaccard_for_pairs(pairs, shingles, sizes=sig.select("doc_id", "n"))
@@ -266,7 +271,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("shared"))
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # sizes feeds both the n_a and n_b legs; persist the per-doc counts
+    # so the count-agg over the shingle relation runs once, not twice.
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n")).persist()
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
