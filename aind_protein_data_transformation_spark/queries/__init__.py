@@ -20,6 +20,7 @@ from . import scalar_packs  # noqa: E402,F401
 from . import llm_dedup  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import sink_queries  # noqa: E402,F401
@@ -35,7 +36,6 @@ DRIVER_WINDOW = [
     # relational core (scan, filter, hash agg, equi/broadcast join)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q12_shipmode_priority",
     # join variants
     "q_semi_join_customers_with_orders",
@@ -71,6 +71,8 @@ DRIVER_WINDOW = [
     "text_token_count_bpe",
     "doc_fingerprint_winnow",
     "pipeline_clean_corpus",
+    # curation: benchmark decontamination (corpus x broadcast eval set)
+    "decontaminate_ngram_overlap",
     # multimodal
     "multimodal_payload_stats",
     "multimodal_frame_sample",

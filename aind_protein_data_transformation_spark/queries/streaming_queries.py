@@ -407,3 +407,102 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(joined, "stream_join", output_mode="append").orderBy(
         "purchase_id", "click_id"
     )
+
+
+@query(
+    "streaming_stream_left_join",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+    wm AS (
+        SELECT (least((SELECT max(epoch_us(ts)) FROM p),
+                      (SELECT max(epoch_us(ts)) FROM c))
+                - 3600000000) // 1000 * 1000 AS cutoff_us
+    )
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    WHERE epoch_us(p.ts) < (SELECT cutoff_us FROM wm)
+    ORDER BY purchase_id, click_id
+    """,
+)
+def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join: every purchase emits, with NULL
+    click columns when no click preceded it within 10 minutes.
+
+    Outer results cannot emit until the watermark proves no matching
+    click can still arrive, so unmatched purchases surface only after
+    the watermark passes their event time (Spark runs the required
+    no-data batch after the final availableNow batch — SPARK-24156 —
+    which flushes every purchase older than the final watermark).
+    Purchases the final watermark has NOT passed are still pending in
+    state when the replay stops, so the deterministic contract
+    restricts both engines to rows strictly below the final global
+    watermark. That watermark is the MIN across both inputs (each
+    side's max event time is per-type, not the table max, because the
+    streams are filtered before withWatermark), minus the 1h delay,
+    floored to Spark's millisecond watermark granularity. The cutoff
+    scalar comes from one column-pruned aggregate over the events
+    parquet (driver-side, one row — not a collect of data)."""
+    ev = read_events_stream(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "p_ts",
+        (
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))
+        ).alias("gap_us"),
+    )
+    replayed = run_stream_to_memory(
+        joined, "stream_left_join", output_mode="append"
+    )
+    from ..catalog import load_table
+
+    maxes = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+            ).alias("p"),
+            F.max(
+                F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+            ).alias("c"),
+        )
+        .first()
+    )
+    cutoff_us = (min(maxes["p"], maxes["c"]) - 3_600_000_000) // 1000 * 1000
+    return (
+        replayed.filter(F.unix_micros("p_ts") < F.lit(cutoff_us))
+        .select("purchase_id", "click_id", "user_id", "gap_us")
+        .orderBy("purchase_id", "click_id")
+    )
