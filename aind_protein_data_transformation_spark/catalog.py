@@ -37,23 +37,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, which Spark's reader rejects
-        # outright; nanosAsLong is runtime-settable, so set it here too
-        # (the grading driver builds its own session without session.py).
+        # The physical encoding of events.ts has drifted across driver data
+        # generations (TIMESTAMP(NANOS) in round 1, TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false) in round 2) — be type-adaptive instead of
+        # assuming. nanosAsLong keeps the nanos encoding readable; the UTC
+        # session timezone makes the NTZ->TIMESTAMP cast below yield epochs
+        # bit-identical to DuckDB's epoch_ns(ts)//1000. Both are
+        # runtime-settable, so set them here too (the grading driver builds
+        # its own session without session.py).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # With nanosAsLong, ts arrives as nanos-since-epoch LONG. Truncate
-        # to micros — the same direction DuckDB takes casting TIMESTAMP_NS
-        # -> TIMESTAMP. Fail loudly on any other shape.
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type == "bigint":
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        elif not ts_type.startswith("timestamp"):
-            raise TypeError(f"unexpected events.ts type {ts_type!r}")
+        df = _normalize_events_ts(df)
     return df
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TimestampType micros, whatever the parquet
+    physical type was:
+
+    - ``bigint``: nanos-since-epoch read via nanosAsLong — truncate to
+      micros (same direction DuckDB takes casting TIMESTAMP_NS->TIMESTAMP).
+    - ``timestamp_ntz``: micros wall-clock — cast to TIMESTAMP; under the
+      UTC session timezone this is an exact reinterpretation (identical
+      micros to DuckDB reading the same file).
+    - ``timestamp``: already the target type.
+
+    Fail loudly on any other shape.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type == "timestamp":
+        return df
+    raise TypeError(f"unexpected events.ts type {ts_type!r}")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -14,43 +14,42 @@ processing-time dependence).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-
-# Parquet stream sources need an explicit schema; ts arrives as raw
-# nanos (nanosAsLong) and is converted exactly like catalog.load_table.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over events, normalized to TimestampType ts.
+
+    Parquet stream sources need an explicit schema, and the physical
+    encoding of ``ts`` has drifted across driver data generations
+    (nanos-long in round 1, TIMESTAMP_NTZ micros in round 2) — so probe
+    the footer with a one-off batch read and adapt, exactly mirroring
+    ``catalog._normalize_events_ts``. A hardcoded schema here silently
+    misreads when the encoding flips (NTZ micros read as a LongType
+    column yields raw micros where nanos are assumed: every timestamp
+    1000x too small).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The file-stream source needs a DIRECTORY (it watches for new
     # files); select just the events parquet out of sf_dir via glob.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if isinstance(ts_type, TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_stream_to_memory(

@@ -11,6 +11,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from aind_protein_data_transformation_spark.catalog import load_table
+from aind_protein_data_transformation_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+)
 
 
 @pytest.fixture(scope="module")
@@ -54,6 +58,86 @@ def test_json_scan_roundtrip_and_nested(spark, sf_dir, tmp_path_factory):
     assert {(r.event_id, r.k) for r in k_vals.collect()} == {
         (r.event_id, r.k) for r in src.collect()
     }
+
+
+# --- events.ts physical-encoding contract -------------------------------
+#
+# The driver's events.parquet has drifted between data generations:
+# TIMESTAMP(NANOS) in round 1, TIMESTAMP(MICROS, isAdjustedToUTC=false)
+# (TIMESTAMP_NTZ to Spark) in round 2. The loader contract is that ALL
+# of nanos-long / TIMESTAMP_NTZ / TIMESTAMP produce identical
+# TimestampType micros, for both the batch loader (catalog.load_table)
+# and the stream source (streaming.events.read_events_stream). These
+# fixtures pin that so the next regeneration can't silently flip results.
+
+# Distinct micro epochs incl. sub-millisecond precision; nanos adds
+# a sub-micro tail that both engines truncate toward zero.
+_TS_MICROS = [1_700_000_000_000_000, 1_700_000_000_123_456, 1_700_003_600_999_999]
+
+
+def _write_events_fixture(tmpdir, encoding):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if encoding == "nanos":
+        ts = pa.array([m * 1000 + 789 for m in _TS_MICROS], pa.timestamp("ns"))
+    elif encoding == "ntz":
+        ts = pa.array(_TS_MICROS, pa.timestamp("us"))
+    elif encoding == "utc":
+        ts = pa.array(_TS_MICROS, pa.timestamp("us", tz="UTC"))
+    else:
+        raise ValueError(encoding)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([10, 10, 11], pa.int64()),
+            "event_type": pa.array(["click", "view", "purchase"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(['{"k":1}', '{"k":2}', '{"k":3}']),
+        }
+    )
+    pq.write_table(table, str(tmpdir / "events.parquet"), version="2.6")
+    return str(tmpdir)
+
+
+@pytest.mark.parametrize("encoding", ["nanos", "ntz", "utc"])
+def test_events_ts_encoding_batch(spark, tmp_path_factory, encoding):
+    d = _write_events_fixture(tmp_path_factory.mktemp(f"ev_{encoding}"), encoding)
+    df = load_table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [r.us for r in df.select(F.unix_micros("ts").alias("us")).orderBy("event_id").collect()]
+    assert got == _TS_MICROS
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+@pytest.mark.parametrize("encoding", ["nanos", "ntz", "utc"])
+def test_events_ts_encoding_stream(spark, tmp_path_factory, encoding):
+    d = _write_events_fixture(tmp_path_factory.mktemp(f"evs_{encoding}"), encoding)
+    sdf = read_events_stream(spark, d).select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    out = run_stream_to_memory(sdf, name=f"ts_{encoding}", output_mode="append")
+    got = [r.us for r in out.orderBy("event_id").collect()]
+    assert got == _TS_MICROS
+
+
+def test_events_ts_matches_duckdb_micros(spark, sf_dir, duck):
+    """Whatever the current physical encoding, Spark's unix_micros(ts)
+    must equal DuckDB's epoch_ns(ts)//1000 row-for-row (the precision
+    contract every asof/streaming oracle relies on)."""
+    got = {
+        r.event_id: r.us
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    want = dict(
+        duck.execute(
+            "SELECT event_id, epoch_ns(ts) // 1000 FROM events"
+        ).fetchall()
+    )
+    assert got == want
 
 
 def test_json_single_document_scan(spark, tmp_path_factory):
