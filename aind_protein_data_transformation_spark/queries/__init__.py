@@ -36,7 +36,6 @@ DRIVER_WINDOW = [
     # relational core (scan, filter, hash agg, equi/broadcast join)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q12_shipmode_priority",
     # join variants
     "q_semi_join_customers_with_orders",
     "q_anti_join_customers_without_orders",
@@ -71,8 +70,12 @@ DRIVER_WINDOW = [
     "text_token_count_bpe",
     "doc_fingerprint_winnow",
     "pipeline_clean_corpus",
-    # curation: benchmark decontamination (corpus x broadcast eval set)
+    # curation: benchmark decontamination (corpus x broadcast eval set),
+    # Gopher-style repetition stats (promoted round 3 — q12_shipmode_priority
+    # moved to the tail; its components, hash agg + equi-join + conditional
+    # agg, keep 6+ in-window representatives)
     "decontaminate_ngram_overlap",
+    "text_repetition_stats",
     # multimodal
     "multimodal_payload_stats",
     "multimodal_frame_sample",

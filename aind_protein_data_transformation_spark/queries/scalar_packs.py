@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
 from ..functions.numeric import exact_sum
-from ..operators.percentile import column_percentiles
+from ..operators.percentile import (
+    column_percentiles,
+    column_percentiles_rank_select,
+)
 from ..plans.scale import sorted_small
 from .registry import query
 
@@ -382,6 +385,42 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre_aggregate=False,  # prices are near-unique; histogram wouldn't shrink
     )
     # 3-row frames: broadcast the join, keep output deterministic
+    return sorted_small(qty.join(F.broadcast(price), "l_returnflag"), "l_returnflag")
+
+
+@query(
+    "q_percentiles_rank_select",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS qty_p25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)  AS qty_median,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS qty_p75,
+           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_percentiles_rank_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as q_percentiles_exact via the two-phase rank-select
+    operator (operators/percentile.py:column_percentiles_rank_select):
+    bounded bucket histogram locates the target ranks, then only the hit
+    buckets are sorted — no per-group single-task sort, so the plan
+    stays fully parallel even with FEW groups over HUGE data (the one
+    scale gap of the window form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = column_percentiles_rank_select(
+        li,
+        ["l_returnflag"],
+        "l_quantity",
+        [(0.25, "qty_p25"), (0.5, "qty_median"), (0.75, "qty_p75")],
+    )
+    price = column_percentiles_rank_select(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        [(0.9, "price_p90")],
+    )
     return sorted_small(qty.join(F.broadcast(price), "l_returnflag"), "l_returnflag")
 
 

@@ -13,7 +13,6 @@ WINDOW = 50
 # driver's window (VERDICT.md round 1, "Next round" #1).
 REQUIRED_IN_WINDOW = {
     # previously-red oracles, now fixed — need green driver rows
-    "q12_shipmode_priority",
     "q_json_functions",
     "text_token_count_bpe",
     "multimodal_payload_stats",
@@ -39,6 +38,13 @@ REQUIRED_IN_WINDOW = {
     "q_approx_aggregates",
     "similarity_kmeans_assign",
     "sink_parquet_roundtrip",
+    # round-2 red rows the round-3 ts fix must show green in the driver
+    # (VERDICT.md round 2 "Next round" #1 done-criteria)
+    "asof_purchase_last_click",
+    "asof_inner_error_context",
+    # promoted round 3 (VERDICT round 2 #8): first driver row for the
+    # curation family's repetition stats
+    "text_repetition_stats",
 }
 
 
@@ -109,15 +115,18 @@ def test_tail_components_are_covered_in_window():
         "q_explode_tokens": "q_array_functions",
         "q_exists_subquery": "q_scalar_subquery",
         "q_percentiles_exact": "q_approx_aggregates",
+        "q_percentiles_rank_select": "q_approx_aggregates",
+        # rotated out round 3 for text_repetition_stats; conditional-agg +
+        # 2-table equi-join shape keeps q1/q3/semi/anti/outer in window
+        "q12_shipmode_priority": "q1_pricing_summary",
         "q_stddev_variance": "q1_pricing_summary",
         "q_minmax_by": "q1_pricing_summary",
         "q_lead_lag_gaps": "q_window_running_totals",
         "q_map_functions": "q_json_functions",
         "text_lang_id": "text_quality_stats",
-        # curation family: repetition/PII are scalar-pack + text-stats
-        # shapes; the novel cross-corpus join shape
-        # (decontaminate_ngram_overlap) holds the window slot
-        "text_repetition_stats": "text_quality_stats",
+        # curation family: PII scan is a scalar-pack regex shape; the
+        # cross-corpus join (decontaminate) and repetition stats hold
+        # window slots
         "pii_redact_scan": "q_string_functions",
         "pyramid_channel_stats": "pyramid_windowed_mean",
         "streaming_dedup": "streaming_dedup_watermark",

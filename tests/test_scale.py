@@ -83,6 +83,32 @@ def test_dim_join_broadcasts(spark, sf_dir):
     assert flags["BroadcastHashJoin"]
 
 
+def test_percentiles_rank_select_no_group_wide_sort(spark, sf_dir):
+    """The two-phase rank-select percentile plan must never sort a whole
+    group in one task: every Window in the plan partitions either by the
+    bounded bucket histogram key (group, bid) or runs over the histogram
+    itself — no `Window [... ] (no partition)` and no windowspec whose
+    partition is the bare group column over raw rows (which would funnel
+    O(n/groups) rows through single tasks)."""
+    from aind_protein_data_transformation_spark.queries.scalar_packs import (
+        q_percentiles_rank_select,
+    )
+
+    plan = (
+        q_percentiles_rank_select(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no unpartitioned window anywhere
+    assert "No Partition Defined" not in plan
+    for frag in plan.split("Window ")[1:]:
+        spec = frag.split("\n")[0]
+        # every window partition key set must include the bucket id,
+        # OR operate post-histogram (its input has a cnt aggregate col)
+        assert ("bid" in spec) or ("cnt" in spec), spec
+
+
 def test_q19_disjunction_residues_push_to_both_scans(spark, sf_dir):
     """The OR-of-ANDs predicate must not evaluate only post-join: Catalyst
     extracts each side's union of disjunct constraints into the scans
