@@ -73,6 +73,35 @@ class JobResponse:
     data: str | None = None
 
 
+def upload_derivatives_folder(spark: SparkSession, settings: StackJobSettings) -> str:
+    """Sync ``<input_source>/derivatives`` to ``<output_root>/derivatives``.
+
+    Parity: the reference's ``_upload_derivatives_folder``
+    (zeiss_job.py:202-220, aws-cli sync; missing source raises
+    FileNotFoundError). Copied through the Hadoop FileSystem API so the
+    same code path serves ``file://`` and ``s3a://`` targets — no
+    subprocess, no aws CLI.
+    """
+    src = os.path.join(settings.input_source, "derivatives")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"{src} does not exist.")
+    dest = f"{settings.output_root}/derivatives"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src_path = jvm.org.apache.hadoop.fs.Path(f"file://{os.path.abspath(src)}")
+    dst_path = jvm.org.apache.hadoop.fs.Path(dest)
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        src_path.getFileSystem(conf),
+        src_path,
+        dst_path.getFileSystem(conf),
+        dst_path,
+        False,  # deleteSource
+        True,  # overwrite
+        conf,
+    )
+    return dest
+
+
 def run_job(
     spark: SparkSession,
     settings: StackJobSettings,
@@ -82,6 +111,12 @@ def run_job(
     from pyspark.sql import functions as F
 
     t0 = time.time()
+    # Derivatives upload is gated on partition 0 so N concurrent job
+    # invocations sync the shared folder exactly once (reference
+    # zeiss_job.py:228-231; enabled here, tolerant of absence).
+    if settings.partition_to_process == 0 and settings.s3_location:
+        if os.path.isdir(os.path.join(settings.input_source, "derivatives")):
+            upload_derivatives_folder(spark, settings)
     # Deal/claim on the METADATA listing only — the round-robin window is
     # a global sort, and it must never see content bytes (stacks.py's
     # listing-not-data invariant). Content is scanned separately and
@@ -110,17 +145,13 @@ def run_job(
     # in-memory equivalent, spilling to disk when needed).
     voxels = decode.pad_to_5d(decode.decode_stacks(content, decoder)).persist()
 
-    out_root = settings.output_root
-    current = voxels
-    for lvl in range(settings.downsample_levels):
-        if lvl > 0:
-            # persist each level before its write so level k+1 derives
-            # from the materialized level k, not a recomputed lineage
-            current = pyramid.downsample_once(current, settings.scale_factor).persist()
-        chunked = blocks.encode_chunks(current, settings.chunk_size)
-        blocks.write_level_parquet(chunked, out_root, lvl)
-
-    # Per-stack OME-NGFF sidecars need each stack's full-res shape.
+    # Per-stack full-res shapes, needed up front: chunk extents at every
+    # level clamp to the DECLARED dims (min(chunk, shape - origin), the
+    # reference's fixed-chunk contract zarr_writer.py:62-64), never to
+    # whichever voxels happen to be present — so a sparse tail (a decoder
+    # that elides empty voxels) can't silently truncate a block. Also
+    # feeds the OME-NGFF sidecars below. One tiny agg over the persisted
+    # voxels; O(stacks) rows.
     shapes = {
         row["stack_id"]: (
             row["mt"] + 1, row["mc"] + 1, row["mz"] + 1, row["my"] + 1, row["mx"] + 1
@@ -135,6 +166,25 @@ def run_job(
         )
         .collect()
     }
+
+    out_root = settings.output_root
+    current = voxels
+    spatial = {sid: shape[2:] for sid, shape in shapes.items()}
+    fz, fy, fx = settings.scale_factor
+    for lvl in range(settings.downsample_levels):
+        if lvl > 0:
+            # persist each level before its write so level k+1 derives
+            # from the materialized level k, not a recomputed lineage
+            current = pyramid.downsample_once(current, settings.scale_factor).persist()
+            # ceil-division shape recurrence (reference czi_to_zarr.py:181-183)
+            spatial = {
+                sid: (-(-z // fz), -(-y // fy), -(-x // fx))
+                for sid, (z, y, x) in spatial.items()
+            }
+        chunked = blocks.encode_chunks(
+            current, settings.chunk_size, stack_spatial_shapes=spatial
+        )
+        blocks.write_level_parquet(chunked, out_root, lvl)
     dtypes = {
         row["stack_id"]: row["dtype"]
         for row in voxels.select("stack_id", "dtype").distinct().collect()

@@ -376,6 +376,18 @@ def test_run_job_end_to_end(spark, stack_dir, tmp_path):
     for idx in np.ndindex(golden.shape):
         assert got[idx] == golden[idx], idx
 
+    # chunk extents come from the DECLARED per-level shape, clamped
+    # min(chunk, shape - origin) — the reference's fixed-chunk contract
+    # (zarr_writer.py:62-64). tile_a(1) is (2,3,4) spatial with chunk
+    # (2,2,2): tail chunks in y/x at level 0, all-tail at level 1
+    # (ceil-division recurrence -> (1,2,2)).
+    declared = {0: (2, 3, 4), 1: (1, 2, 2)}
+    for lvl, level_df in ((0, level0), (1, level1)):
+        sz, sy, sx = declared[lvl]
+        for row in level_df.filter("stack_id = 'tile_a(1).czi'").collect():
+            want = [min(2, sz - row.z0), min(2, sy - row.y0), min(2, sx - row.x0)]
+            assert list(row.shape) == want, (lvl, row.z0, row.y0, row.x0)
+
     sidecars = glob.glob(os.path.join(out, "_metadata", "*.zattrs"))
     assert sorted(os.path.basename(p) for p in sidecars) == [
         "plain.czi_0.zattrs", "tile_a_1.zattrs", "tile_a_2.zattrs",
@@ -540,3 +552,46 @@ def test_run_job_remote_root_contract(spark, stack_dir, tmp_path):
         ).output_root
         == "s3a://bucket/prefix"
     )
+
+
+def test_derivatives_upload_gated_on_partition_zero(spark, stack_dir, tmp_path):
+    """Reference zeiss_job.py:202-220,228-231: the shared derivatives
+    folder syncs to <s3_location>/derivatives exactly once — from the
+    partition-0 invocation only; a missing folder raises when the upload
+    is invoked directly."""
+    from aind_protein_data_transformation_spark.arraylib.job import upload_derivatives_folder
+
+    deriv = os.path.join(stack_dir, "derivatives")
+    os.makedirs(deriv)
+    with open(os.path.join(deriv, "acquisition.json"), "w", encoding="utf-8") as fh:
+        fh.write('{"some_key": "some_value"}')
+
+    bucket = tmp_path / "bucket"
+    common = dict(
+        input_source=stack_dir,
+        output_directory=str(tmp_path / "local_out"),
+        chunk_size=(2, 2, 2),
+        num_of_partitions=2,
+        s3_location=f"file://{bucket}",
+    )
+    # partition 1 first: must NOT upload derivatives
+    assert run_job(spark, StackJobSettings(partition_to_process=1, **common)).status_code == 0
+    assert not (bucket / "derivatives").exists()
+    # partition 0: uploads
+    assert run_job(spark, StackJobSettings(partition_to_process=0, **common)).status_code == 0
+    uploaded = bucket / "derivatives" / "acquisition.json"
+    assert uploaded.is_file()
+    assert json.load(open(uploaded, encoding="utf-8")) == {"some_key": "some_value"}
+
+    # direct call with no derivatives folder raises (reference parity)
+    empty_src = tmp_path / "empty_src"
+    empty_src.mkdir()
+    with pytest.raises(FileNotFoundError):
+        upload_derivatives_folder(
+            spark,
+            StackJobSettings(
+                input_source=str(empty_src),
+                output_directory=str(tmp_path / "x"),
+                s3_location=f"file://{bucket}",
+            ),
+        )
