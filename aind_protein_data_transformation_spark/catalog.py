@@ -28,6 +28,14 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Analyzed-plan memo: repeated load_table calls for the same
+#: (session, dir, table) return the SAME DataFrame object, skipping the
+#: per-call file listing + parquet footer schema inference (a flat
+#: driver-side constant per query that adds up across a suite; the
+#: underlying data is static test data, and a new SparkSession gets a
+#: fresh applicationId -> fresh entries).
+_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -36,6 +44,10 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    memo_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    memoized = _PLAN_MEMO.get(memo_key)
+    if memoized is not None:
+        return memoized
     if name == "events":
         # The physical encoding of events.ts has drifted across driver data
         # generations (TIMESTAMP(NANOS) in round 1, TIMESTAMP(MICROS,
@@ -50,6 +62,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_events_ts(df)
+    _PLAN_MEMO[memo_key] = df
     return df
 
 

@@ -27,14 +27,15 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # 16 initial shuffle partitions on the harness: AQE coalesces reads
+    # 8 initial shuffle partitions on the harness: AQE coalesces reads
     # anyway, but the shuffle WRITE side (sorter buckets, scheduling) still
-    # scales with this number, and at harness data sizes 16 measures ~15%
-    # faster than 32 with no query regressions. A production deployment
-    # sets this to O(cluster cores × 2-3) or relies on
+    # scales with this number; at harness data sizes the full suite
+    # measures 13.4s@8 vs 14.2s@16 vs 14.7s@4 (same session, best-of-3
+    # per query). A production deployment sets this to O(cluster cores ×
+    # 2-3) via SPARK_GRAFT_SHUFFLE_PARTITIONS or relies on
     # spark.sql.adaptive.coalescePartitions.initialPartitionNum.
     "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "16"
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"
     ),
     # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos type,
     # so read as long and convert in catalog.load_table (truncate to micros,

@@ -107,12 +107,18 @@ def main(argv: list[str]) -> int:
                 dt = time.perf_counter() - t0
                 first = dt if first is None else first
                 best = min(best, dt)
+                # Full re-execution per run, matching the DuckDB
+                # comparator: clearing between RUNS drops any
+                # internally-persist()ed subtree so a rebuilt plan can
+                # never serve run 2 from run 1's cache (with memoized
+                # base relations the canonicalized plans now match, so
+                # without this the warm runs would skip the data work).
+                # Catalog metadata (file listing, schema) staying warm
+                # across runs is fair: DuckDB's registered views keep
+                # theirs too.
+                spark.catalog.clearCache()
             timings[name] = round(best, 4)
             cold[name] = round(first, 4)
-            # Queries that persist() shared subtrees would otherwise
-            # accumulate cache across the suite and perturb later
-            # measurements (GC pressure) — keep each query independent.
-            spark.catalog.clearCache()
 
         total = round(sum(timings.values()), 4)
         print(
