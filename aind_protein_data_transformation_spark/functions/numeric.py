@@ -60,14 +60,35 @@ def exact_sum(col: Column | str) -> Column:
     the same exact value (see module docstring). Composable: ratios like
     ``exact_sum(a) / exact_sum(b)`` stay single aggregation passes.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    u = _fixed_micros(c)
+    if isinstance(col, str):
+        # any SQL expression (not just a column name): the
+        # single-crossing F.expr path
+        return F.expr(exact_sum_sql(col))
+    u = _fixed_micros(col)
     hi = F.sum(F.floor(u / F.lit(_M)).cast("long"))
     lo = F.sum(F.pmod(u, F.lit(_M)))
     total = (hi.cast("decimal(32,0)") * F.lit(_M) + lo).cast("decimal(38,0)")
     # exact: multiply by the scale-6 unit instead of dividing (decimal
     # division re-infers scale and may round; multiplication cannot)
     return (total * F.lit("0.000001").cast("decimal(7,6)")).cast("double")
+
+
+def exact_sum_sql(expr: str) -> str:
+    """Spark-SQL text of the split fixed-point exact sum of ``expr``.
+
+    The string form of :func:`exact_sum`, expression-for-expression
+    (``D`` suffixes keep the literals DOUBLE, matching ``F.lit``; bare
+    SQL decimals would parse as DECIMAL). Exists so hot query builders
+    can assemble whole aggregates in one ``F.expr`` py4j crossing
+    instead of ~15 Column calls each.
+    """
+    u = f"CAST(FLOOR(CAST(({expr}) AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)"
+    hi = f"SUM(CAST(FLOOR({u} / {_M}) AS BIGINT))"
+    lo = f"SUM(PMOD({u}, {_M}))"
+    total = f"CAST(CAST({hi} AS DECIMAL(32,0)) * {_M} + {lo} AS DECIMAL(38,0))"
+    # same exactness trick as the Column path: multiply by the scale-6
+    # unit, never divide
+    return f"CAST({total} * CAST('0.000001' AS DECIMAL(7,6)) AS DOUBLE)"
 
 
 def dsum(col: Column | str, alias: str) -> Column:
@@ -78,8 +99,9 @@ def dsum(col: Column | str, alias: str) -> Column:
 def davg(col: Column | str, alias: str) -> Column:
     """Engine-portable avg: exact fixed-point sum / count, divided as
     doubles (same division both engines)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (exact_sum(c) / F.count(c)).alias(alias)
+    if isinstance(col, str):
+        return F.expr(f"{exact_sum_sql(col)} / COUNT({col}) AS {alias}")
+    return (exact_sum(col) / F.count(col)).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:

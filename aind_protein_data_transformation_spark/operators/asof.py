@@ -41,23 +41,26 @@ def asof_join(
     ``asof_`` in the output). ``how='inner'`` drops left rows with no
     match; ``'left'`` keeps them with nulls.
     """
-    lt = left.select(
-        F.col(on),
-        F.col(left_time).alias("_t"),
-        F.lit(1).alias("_is_left"),
-        F.struct(*left.columns).alias("_l"),
-        F.lit(None).cast(
-            right.select(F.struct(*right_values).alias("s")).schema["s"].dataType
-        ).alias("_r"),
+    # null-struct DDL straight from the (already analyzed, memoized)
+    # schemas — building a throwaway select().schema per side would cost
+    # two extra plan analyses per call
+    ltypes = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    ltype = "struct<" + ",".join(f"{c}:{ltypes[c]}" for c in left.columns) + ">"
+    rtype = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_values) + ">"
+    lt = left.selectExpr(
+        on,
+        f"{left_time} AS _t",
+        "1 AS _is_left",
+        f"struct({', '.join(left.columns)}) AS _l",
+        f"CAST(NULL AS {rtype}) AS _r",
     )
-    rt = right.select(
-        F.col(on),
-        F.col(right_time).alias("_t"),
-        F.lit(0).alias("_is_left"),
-        F.lit(None).cast(
-            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
-        ).alias("_l"),
-        F.struct(*right_values).alias("_r"),
+    rt = right.selectExpr(
+        on,
+        f"{right_time} AS _t",
+        "0 AS _is_left",
+        f"CAST(NULL AS {ltype}) AS _l",
+        f"struct({', '.join(right_values)}) AS _r",
     )
     # right rows sort first at equal _t -> inclusive match (DuckDB ASOF).
     w = (
@@ -73,7 +76,7 @@ def asof_join(
         merged = merged.filter(F.col("_asof").isNotNull())
     elif how != "left":
         raise ValueError(f"unsupported how={how!r}")
-    return merged.select(
-        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in right_values],
+    return merged.selectExpr(
+        *[f"_l.{c} AS {c}" for c in left.columns],
+        *[f"_asof.{c} AS asof_{c}" for c in right_values],
     )

@@ -82,15 +82,24 @@ def shingle_set(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str
     knife edge is identical on both engines and every downstream join
     stays numeric.
     """
-    toks = docs.select(id_col, tokens(text_col).alias("tk")).filter(F.size("tk") >= k)
-    pos = toks.select(
-        id_col, "tk", F.explode(F.sequence(F.lit(1), F.size("tk") - (k - 1))).alias("i")
-    )
-    shingle = F.concat_ws(" ", *[F.element_at("tk", F.col("i") + j) for j in range(k)])
+    # Built as selectExpr strings: the composed-Column form of this plan
+    # costs hundreds of py4j round-trips (~0.4s of pure driver-side
+    # construction per call at any SF); the SQL-string form builds the
+    # IDENTICAL plan in a handful of crossings.
+    parts = ", ".join(f"element_at(tk, i + {j})" for j in range(k))
     return (
-        pos.select(id_col, shingle.alias("s"))
+        docs.selectExpr(
+            id_col, f"filter(split({text_col}, '\\\\s+'), t -> t <> '') AS tk"
+        )
+        .where(f"size(tk) >= {k}")
+        .selectExpr(id_col, "tk", f"explode(sequence(1, size(tk) - {k - 1})) AS i")
+        .selectExpr(id_col, f"concat_ws(' ', {parts}) AS s")
         .distinct()
-        .select(id_col, (hash64("s") % MINHASH_PRIME).alias("h"))
+        .selectExpr(
+            id_col,
+            "CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT) "
+            f"% {MINHASH_PRIME} AS h",
+        )
     )
 
 
@@ -109,10 +118,8 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame
     aggs = []
     for i in range(MINHASH_PERMS):
         a, b = minhash_coeffs(i)
-        aggs.append(
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-        )
-    aggs.append(F.count("*").alias("n"))
+        aggs.append(F.expr(f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{i}"))
+    aggs.append(F.expr("count(*) AS n"))
     return shingles.groupBy(id_col).agg(*aggs)
 
 
@@ -126,33 +133,25 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     collision count, not corpus^2.
     """
     n_bands = MINHASH_PERMS // LSH_BAND_SIZE
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        *[
-                            F.col(f"m{b * LSH_BAND_SIZE + j}").alias(f"k{j}")
-                            for j in range(LSH_BAND_SIZE)
-                        ],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.*")
+    structs = ", ".join(
+        "struct({b} AS band, {ks})".format(
+            b=b,
+            ks=", ".join(
+                f"m{b * LSH_BAND_SIZE + j} AS k{j}" for j in range(LSH_BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    banded = signatures.selectExpr(id_col, f"inline(array({structs}))")
     a = banded.alias("a")
     b = banded.alias("b")
-    key_eq = (F.col("a.band") == F.col("b.band")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    key_eq = " AND ".join(
+        ["a.band = b.band", f"a.{id_col} < b.{id_col}"]
+        + [f"a.k{j} = b.k{j}" for j in range(LSH_BAND_SIZE)]
     )
-    for j in range(LSH_BAND_SIZE):
-        key_eq = key_eq & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
     return (
-        a.join(b, key_eq)
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        a.join(b, F.expr(key_eq))
+        .selectExpr(f"a.{id_col} AS doc_a", f"b.{id_col} AS doc_b")
         .distinct()
     )
 
@@ -181,27 +180,24 @@ def jaccard_for_pairs(
     caller already aggregated it (minhash_signatures emits it for free);
     otherwise it costs one more pass over ``shingles``."""
     if sizes is None:
-        sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col(id_col).alias("doc_a"), "h")
-    sb = shingles.select(F.col(id_col).alias("doc_b"), "h")
+        sizes = shingles.groupBy(id_col).agg(F.expr("count(*) AS n"))
+    sa = shingles.selectExpr(f"{id_col} AS doc_a", "h")
+    sb = shingles.selectExpr(f"{id_col} AS doc_b", "h")
     shared = (
         F.broadcast(pairs).join(sa, "doc_a")
         .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("shared"))
+        .agg(F.expr("count(*) AS shared"))
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    na = sizes.selectExpr(f"{id_col} AS doc_a", "n AS n_a")
+    nb = sizes.selectExpr(f"{id_col} AS doc_b", "n AS n_b")
     return (
         shared.join(na, "doc_a")
         .join(nb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            (
-                F.col("shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-            ).alias("jaccard"),
+            "CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard",
         )
     )
 

@@ -55,52 +55,59 @@ def column_percentiles(
     timestamps), where the histogram would not shrink the relation;
     keep the default for low-cardinality columns, where the window then
     sorts O(distinct) rows instead of O(n)."""
-    w_cum = Window.partitionBy(*group_cols).orderBy(value_col)
-    w_all = Window.partitionBy(*group_cols)
+    # SQL-string construction throughout (selectExpr / F.expr): the
+    # composed-Column form of this plan costs ~0.5s of py4j round-trips
+    # per build; the string form is the identical plan in a few calls.
+    g = ", ".join(group_cols)
     if pre_aggregate:
-        hist = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("cnt"))
-        ranked = hist.select(
+        hist = df.groupBy(*group_cols, value_col).agg(F.expr("count(*) AS cnt"))
+        ranked = hist.selectExpr(
             *group_cols,
-            F.col(value_col).cast("double").alias("v"),
-            F.col("cnt"),
-            F.sum("cnt").over(w_cum).alias("cum_end"),
-            F.sum("cnt").over(w_all).alias("n"),
-        ).withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+            f"CAST({value_col} AS DOUBLE) AS v",
+            "cnt",
+            f"SUM(cnt) OVER (PARTITION BY {g} ORDER BY {value_col}) AS cum_end",
+            f"SUM(cnt) OVER (PARTITION BY {g}) AS n",
+        ).withColumn("cum_start", F.expr("cum_end - cnt"))
     else:
-        ranked = (
-            df.select(*group_cols, F.col(value_col).cast("double").alias("v"))
-            .withColumn("cum_end", F.row_number().over(w_cum.orderBy("v")).cast("long"))
-            .withColumn("n", F.count("*").over(w_all))
-            .withColumn("cum_start", F.col("cum_end") - F.lit(1))
-        )
+        ranked = df.selectExpr(
+            *group_cols, f"CAST({value_col} AS DOUBLE) AS v"
+        ).selectExpr(
+            "*",
+            f"CAST(ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY v) AS BIGINT)"
+            " AS cum_end",
+            f"COUNT(*) OVER (PARTITION BY {g}) AS n",
+        ).withColumn("cum_start", F.expr("cum_end - 1"))
 
     aggs = []
     for p, alias in percentiles:
-        h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
-        lo = F.floor(h)
-        holds_lo = (F.col("cum_start") <= lo) & (lo < F.col("cum_end"))
-        holds_hi = (F.col("cum_start") <= lo + 1) & (lo + 1 < F.col("cum_end"))
+        # literals carry the D suffix: bare SQL decimals parse as
+        # DECIMAL, while the Column form used double lit(p) — keep the
+        # arithmetic bit-identical
+        lo = f"FLOOR(CAST(n - 1 AS DOUBLE) * {p!r}D)"
         aggs.extend(
             [
-                F.max(F.when(holds_lo, F.col("v"))).alias(f"__lo_{alias}"),
-                F.max(F.when(holds_hi, F.col("v"))).alias(f"__hi_{alias}"),
-                F.max(F.col("n")).alias(f"__n_{alias}"),
+                F.expr(
+                    f"max(CASE WHEN cum_start <= {lo} AND {lo} < cum_end "
+                    f"THEN v END) AS __lo_{alias}"
+                ),
+                F.expr(
+                    f"max(CASE WHEN cum_start <= {lo} + 1 AND {lo} + 1 < cum_end "
+                    f"THEN v END) AS __hi_{alias}"
+                ),
+                F.expr(f"max(n) AS __n_{alias}"),
             ]
         )
     agged = ranked.groupBy(*group_cols).agg(*aggs)
 
-    out = [F.col(c) for c in group_cols]
+    out = list(group_cols)
     for p, alias in percentiles:
-        h = (F.col(f"__n_{alias}") - F.lit(1)).cast("double") * F.lit(p)
-        frac = h - F.floor(h).cast("double")
-        v_lo = F.col(f"__lo_{alias}")
-        v_hi = F.col(f"__hi_{alias}")
+        h = f"(CAST(__n_{alias} - 1 AS DOUBLE) * {p!r}D)"
+        frac = f"({h} - CAST(FLOOR({h}) AS DOUBLE))"
         out.append(
-            F.when(frac > 0, v_lo * (F.lit(1.0) - frac) + v_hi * frac)
-            .otherwise(v_lo)
-            .alias(alias)
+            f"CASE WHEN {frac} > 0 THEN __lo_{alias} * (1.0D - {frac}) "
+            f"+ __hi_{alias} * {frac} ELSE __lo_{alias} END AS {alias}"
         )
-    return agged.select(*out)
+    return agged.selectExpr(*out)
 
 
 def column_percentiles_rank_select(

@@ -116,9 +116,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey"))
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    national = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
-        F.lit(0.0)
-    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -136,7 +133,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("ship_year")
         .agg(
-            (exact_sum(national) / exact_sum(F.col("volume"))).alias("mkt_share")
+            (
+                exact_sum(
+                    "CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0D END"
+                )
+                / exact_sum("volume")
+            ).alias("mkt_share")
         )
         .transform(lambda d: sorted_small(d, "ship_year"))
     )
@@ -246,10 +248,15 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
-        (F.lit(100.0) * exact_sum(promo) / exact_sum(rev)).alias("promo_revenue_pct")
+        (
+            F.lit(100.0)
+            * exact_sum(
+                "CASE WHEN p_type LIKE 'PROMO%'"
+                " THEN l_extendedprice * (1 - l_discount) ELSE 0.0D END"
+            )
+            / exact_sum("l_extendedprice * (1 - l_discount)")
+        ).alias("promo_revenue_pct")
     )
 
 
@@ -318,7 +325,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+        .agg(dsum("l_extendedprice * l_discount", "revenue"))
     )
 
 
@@ -352,9 +359,6 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * F.lit(0.01)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -364,7 +368,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(dsum(profit, "sum_profit"))
+        .agg(dsum("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01D", "sum_profit"))
         .transform(lambda d: sorted_small(d, "nation", F.desc("o_year")))
     )
 
@@ -490,7 +494,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "total_revenue"))
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (
@@ -595,7 +599,7 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(d1 | d2 | d3)
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            dsum("l_extendedprice * (1 - l_discount)", "revenue"),
             F.count("*").alias("n_lines"),
         )
     )
