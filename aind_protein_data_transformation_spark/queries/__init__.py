@@ -22,6 +22,7 @@ from . import llm_similarity  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
+from . import packing  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import sink_queries  # noqa: E402,F401
 from . import asof_queries  # noqa: E402,F401

@@ -137,3 +137,52 @@ def test_count_above_matches_bruteforce(spark):
     assert got == expect
     assert got[len(probe_vals) - 2] == 0       # probe above all build rows
     assert got[len(probe_vals) - 1] == 500     # probe below all build rows
+
+
+def test_partitioned_prefix_sum_matches_global_window(spark):
+    """The two-phase distributed prefix sum must equal the naive global
+    window, including with skewed values and many partitions."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from aind_protein_data_transformation_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11) for i in range(500)], "k long, v long"
+    )
+    got = {
+        r.k: r.ps
+        for r in partitioned_prefix_sum(df, "k", "v", "ps", num_partitions=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.k: r.ps for r in df.withColumn("ps", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_prefix_sum_no_global_data_window(spark, sf_dir):
+    """Scale shape: in the packing query's executed plan, every window
+    over DATA rows is partitioned (by the range-partition id); the only
+    unpartitioned window runs over the k-row per-partition totals."""
+    from aind_protein_data_transformation_spark.queries.packing import (
+        pack_sequences_fixed,
+    )
+
+    plan = (
+        pack_sequences_fixed(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # node format: `Window [exprs], [partitionSpec], [orderSpec]` when
+    # partitioned, `Window [exprs], [orderSpec]` when not
+    unpartitioned = []
+    for frag in plan.split("+- Window [")[1:]:
+        spec = frag.split("\n")[0]
+        if spec.count("], [") < 2:
+            unpartitioned.append(spec)
+    # exactly the k-row offsets window; it must sit above the partial
+    # aggregation of partition totals, never above a data-sized input
+    assert len(unpartitioned) == 1, (unpartitioned, plan)
+    assert "_ptot" in unpartitioned[0]

@@ -98,6 +98,9 @@ def test_tail_components_are_covered_in_window():
         # represented by the in-window cosine/IVF queries
         "embedding_quantize_int8": "similarity_cosine_topk",
         "sample_hash_split": "dedup_exact",
+        # sequence packing = distributed prefix sum + explode + hash agg;
+        # the running-total family's in-window representative
+        "pack_sequences_fixed": "q_window_running_totals",
         "sample_stratified": "dedup_exact",
         "shard_assign_balanced": "dedup_exact",
         # window-ranking top-k: dense_rank/ntile live in running_totals,
