@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -103,6 +105,96 @@ def decode_image_stub(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", LongType()),
+        StructField("frac", DoubleType()),
+    ]
+)
+
+
+def extract_features_stub(media: DataFrame) -> DataFrame:
+    """Feature extraction via mapInPandas + numpy: per payload, the
+    16-bucket byte-value histogram as fractions — long form
+    ``(doc_id, bucket, frac)``, all FEATURE_DIM buckets per document.
+
+    The kernel is the realistic extractor shape (whole Arrow batches
+    into vectorized numpy; a real deployment swaps in a CNN/CLIP
+    forward pass over the same batch). Deterministic, so the DuckDB
+    oracle reproduces it byte-for-byte from the ASCII payload text.
+    Empty payloads drop out (no histogram to normalize).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, buckets, fracs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if b.size == 0:
+                    continue
+                counts = np.bincount(b >> 4, minlength=16)
+                ids.extend([doc_id] * 16)
+                buckets.extend(range(16))
+                fracs.extend(counts / b.size)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bucket": pd.Series(buckets, dtype="int64"),
+                    "frac": pd.Series(fracs, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' via mapInPandas: deterministic stride-resample of each
+    payload to exactly ``target_bytes`` (nearest-byte sampling — the
+    1-D stand-in for nearest-neighbor image resize; PIL/libvips absent
+    here). Exercises the binary-IN/binary-OUT Arrow path the decode and
+    feature kernels don't: resized payloads flow back as a binary
+    column for downstream operators. Empty payloads drop out.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if b.size == 0:
+                    continue
+                idx = (np.arange(target_bytes) * b.size) // target_bytes
+                ids.append(doc_id)
+                payloads.append(b[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": payloads,
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:

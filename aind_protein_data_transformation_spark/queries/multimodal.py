@@ -9,7 +9,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.multimodal import attach_payload, decode_image_stub, frame_sample
+from ..operators.multimodal import (
+    attach_payload,
+    decode_image_stub,
+    extract_features_stub,
+    frame_sample,
+)
 from .registry import query
 
 
@@ -43,6 +48,50 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.sha2("text", 256)).alias("n_distinct_payloads"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    -- the corpus is pure ASCII, so ascii() of a character equals the
+    -- payload byte at that position and the byte-bucket histogram is
+    -- reproducible in SQL
+    WITH d AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    e AS (
+        SELECT doc_id, n,
+               CAST(ascii(substr(text, CAST(i AS BIGINT), 1)) // 16 AS BIGINT)
+                   AS bucket
+        FROM d, LATERAL (SELECT unnest(generate_series(1, n)) AS i)
+    ),
+    c AS (
+        SELECT doc_id, bucket, COUNT(*) AS cnt FROM e GROUP BY doc_id, bucket
+    ),
+    g AS (
+        SELECT d.doc_id, d.n, b.bucket
+        FROM d CROSS JOIN
+             (SELECT unnest(generate_series(0, 15)) AS bucket) b
+    )
+    SELECT g.doc_id,
+           CAST(g.bucket AS BIGINT) AS bucket,
+           CAST(COALESCE(c.cnt, 0) AS DOUBLE) / g.n AS frac
+    FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.bucket = c.bucket
+    ORDER BY g.doc_id, g.bucket
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the Arrow-batched numpy kernel
+    (operators/multimodal.py extract_features_stub): per-payload
+    16-bucket byte histograms as fractions, long form — the shape a
+    real embedding/CNN forward pass drops into. Deterministic, so the
+    oracle replays it from the ASCII text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        extract_features_stub(attach_payload(d))
+        .orderBy("doc_id", "bucket")
     )
 
 

@@ -138,6 +138,7 @@ def test_tail_components_are_covered_in_window():
         "streaming_stream_join": "streaming_stateful_totals",
         "streaming_stream_left_join": "streaming_stateful_totals",
         "multimodal_decode_stub": "multimodal_frame_sample",
+        "multimodal_feature_extract": "multimodal_frame_sample",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
