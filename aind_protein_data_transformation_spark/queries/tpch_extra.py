@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.numeric import dsum, exact_sum, sql_dsum
+from ..functions.numeric import dsum, exact_sum, exact_sum_sql, sql_dsum
 from ..plans.scale import sorted_small
 from .registry import query
 
@@ -653,4 +653,232 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
         .transform(lambda d: sorted_small(d, "c_nationkey"))
+    )
+
+
+@query(
+    "q2_min_acctbal_supplier",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 10
+      AND s.s_acctbal = (
+          SELECT MIN(s2.s_acctbal)
+          FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    GROUP BY ALL
+    ORDER BY s.s_acctbal, p.p_partkey, s.s_name
+    LIMIT 100
+    """,
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: per-part minimum-cost supplier via a correlated
+    scalar MIN subquery (s_acctbal standing in for the absent
+    ps_supplycost). Spark side decorrelates by hand: the per-part MIN is
+    one small aggregate broadcast back into the join spine — what
+    Catalyst does internally for the SQL form, made explicit."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ls = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    min_bal = ls.groupBy("l_partkey").agg(F.expr("MIN(s_acctbal) AS min_bal"))
+    return (
+        ls.join(F.broadcast(p), ls.l_partkey == p.p_partkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(min_bal, "l_partkey")
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "n_name")
+        .distinct()
+        .orderBy("s_acctbal", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_suppliers",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_suppkey AS s_suppkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'value')}
+        FROM lineitem
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, value
+    FROM v
+    WHERE value > (
+        SELECT CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * 0.002 FROM v
+    )
+    ORDER BY value DESC, s_suppkey
+    """,
+)
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: groups filtered against a scalar fraction of the
+    GLOBAL total (HAVING value > SUM(value) * f) — the one subquery form
+    nothing else covers. The global total is a 1-row aggregate OVER the
+    per-supplier aggregate, broadcast into the filter; lineitem is
+    scanned once (the grouped subframe feeds both sides via exchange
+    reuse). Exact scale-6 sums on both levels keep the knife-edge
+    comparison engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        dsum("l_extendedprice * (1 - l_discount)", "value")
+    )
+    threshold = v.agg(
+        F.expr(f"{exact_sum_sql('value')} * 0.002D AS threshold")
+    )
+    return (
+        v.join(F.broadcast(threshold))
+        .where(F.col("value") > F.col("threshold"))
+        .select("s_suppkey", "value")
+        .orderBy(F.desc("value"), "s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%'
+      )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: distinct-supplier counts per part attribute
+    slice with a NOT IN exclusion subquery. NOT IN over a non-null key
+    is a left-anti join (broadcast: the exclusion list is tiny); the
+    count-distinct shuffles (brand, size, suppkey) partials — never a
+    per-group set in one task."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%77%"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.expr("CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"))
+        .transform(lambda d: sorted_small(d, F.desc("supplier_cnt"), "p_brand", "p_size"))
+    )
+
+
+@query(
+    "q20_excess_share_suppliers",
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity', 'qty')}
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(qty AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+        FROM ps GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM ps
+    JOIN pt ON ps.l_partkey = pt.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.qty > CAST(0.15 AS DOUBLE) * pt.total_qty
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: suppliers holding an outsized share of some
+    part's flow — a correlated comparison against a fraction of the
+    per-part total (the q20 'excess stock' predicate; 0.15 rather than
+    TPC-H's 0.5 so the slice is non-empty at every test SF). Two stacked aggregates
+    over one lineitem scan; the per-part totals re-aggregate the
+    (part, supplier) partials, never the raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(dsum("l_quantity", "qty"))
+    pt = ps.groupBy("l_partkey").agg(
+        F.expr(f"{exact_sum_sql('qty')} AS total_qty")
+    )
+    return (
+        ps.join(pt, "l_partkey")
+        .where(F.expr("qty > 0.15D * total_qty"))
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .transform(lambda d: sorted_small(d, "s_suppkey"))
+    )
+
+
+@query(
+    "q21_sole_blame_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape: the only-guilty-party pattern — EXISTS plus
+    NOT EXISTS correlated on the SAME fact table ('another supplier is
+    in the order' / 'no other supplier returned in it'), with
+    l_returnflag = 'R' standing in for the absent receipt/commit dates.
+    Spark side: a semi-join then an anti-join of lineitem against
+    itself on (orderkey, suppkey<>), both shuffling on orderkey only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_key"), F.col("l_suppkey").alias("r_supp")
+    )
+    qualified = (
+        l1.join(
+            other,
+            (l1.l_orderkey == other.o_key) & (l1.l_suppkey != other.o_supp),
+            "left_semi",
+        )
+        .join(
+            other_r,
+            (l1.l_orderkey == other_r.r_key) & (l1.l_suppkey != other_r.r_supp),
+            "left_anti",
+        )
+    )
+    return (
+        qualified.join(F.broadcast(s), qualified.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.expr("CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )

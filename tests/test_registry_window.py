@@ -89,6 +89,13 @@ def test_tail_components_are_covered_in_window():
         "q17_small_quantity_revenue": "q_scalar_subquery",
         "q19_disjunctive_pushdown": "q1_pricing_summary",
         "q22_dormant_customers": "q_anti_join_customers_without_orders",
+        # round-3 completion of the 22 TPC-H shapes: each maps to the
+        # in-window representative of its dominant operator family
+        "q2_min_acctbal_supplier": "q_scalar_subquery",
+        "q11_important_suppliers": "q_scalar_subquery",
+        "q16_supplier_part_counts": "q_anti_join_customers_without_orders",
+        "q20_excess_share_suppliers": "q_semi_join_customers_with_orders",
+        "q21_sole_blame_suppliers": "q_semi_join_customers_with_orders",
         # deterministic hash-keyed sampling/sharding: the portable-hash
         # + bucketed-groupBy family is represented by exact dedup
         # transitive closure over LSH pairs: the near-dup family's
