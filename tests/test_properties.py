@@ -97,3 +97,29 @@ def test_windowed_mean_matches_numpy_random(spark, seed):
     np.testing.assert_array_equal(
         df_to_array(got, golden.shape), golden.astype(np.float64)
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=120),
+    nparts=st.integers(min_value=1, max_value=9),
+)
+def test_partitioned_prefix_sum_property(spark, vals, nparts):
+    """Two-phase distributed prefix sum == serial cumulative sum, for
+    any values (incl. negatives) and any partition count."""
+    from aind_protein_data_transformation_spark.operators.prefix import (
+        partitioned_prefix_sum,
+    )
+
+    df = spark.createDataFrame(list(enumerate(vals)), "k long, v long")
+    got = {
+        r.k: r.ps
+        for r in partitioned_prefix_sum(
+            df, "k", "v", "ps", num_partitions=nparts
+        ).collect()
+    }
+    acc, want = 0, {}
+    for k, v in enumerate(vals):
+        acc += v
+        want[k] = acc
+    assert got == want
