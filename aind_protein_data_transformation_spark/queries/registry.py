@@ -46,6 +46,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The grading driver builds its own SparkSession without
+            # session.py, so pin the two confs the determinism contract
+            # depends on at every query boundary: UTC (timestamp
+            # casts/extracts must match DuckDB's naive reading) and
+            # nanosAsLong (nanos-encoded events data must stay readable).
+            # Both are runtime-settable and idempotent.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             # Some queries persist() an intermediate (e.g. the MinHash
             # shingle relation) that stays cached until the session ends.
             # A runner sweeping the whole registry in one session would
