@@ -109,6 +109,48 @@ def test_percentiles_rank_select_no_group_wide_sort(spark, sf_dir):
         assert ("bid" in spec) or ("cnt" in spec), spec
 
 
+def test_q21_self_joins_extract_equi_key(spark, sf_dir):
+    """The EXISTS / NOT EXISTS self-correlations join lineitem to itself
+    on (orderkey equal, suppkey not-equal). Catalyst must extract the
+    orderkey equi-key into a hash-based join with the inequality as a
+    residual — a BroadcastNestedLoopJoin here would be |lineitem|^2 at
+    scale."""
+    from aind_protein_data_transformation_spark.queries.tpch_extra import (
+        q21_sole_blame_suppliers,
+    )
+
+    plan = (
+        q21_sole_blame_suppliers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_threshold_is_single_row_cross_join(spark, sf_dir):
+    """q11 compares every supplier group against a global scalar — the
+    ONE legitimate nested-loop in the registry: its build side is the
+    1-row threshold aggregate. Pin that shape so a regression (e.g. the
+    broadcast moving to the group side) can't silently go quadratic."""
+    from aind_protein_data_transformation_spark.queries.tpch_extra import (
+        q11_important_suppliers,
+    )
+
+    plan = (
+        q11_important_suppliers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    nl = [frag for frag in plan.split("BroadcastNestedLoopJoin")[1:]]
+    assert len(nl) == 1, plan
+    # the broadcast build side of that join is the threshold aggregate
+    build = plan.split("BroadcastNestedLoopJoin")[1]
+    assert "threshold" in build.split("BroadcastExchange")[1], plan
+
+
 def test_q19_disjunction_residues_push_to_both_scans(spark, sf_dir):
     """The OR-of-ANDs predicate must not evaluate only post-join: Catalyst
     extracts each side's union of disjunct constraints into the scans
