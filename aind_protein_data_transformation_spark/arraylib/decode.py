@@ -56,6 +56,37 @@ def synthetic_decoder(path: str, content: bytes) -> tuple[np.ndarray, str]:
     return flat.reshape(shape).astype(np.uint16), "uint16"
 
 
+def bioio_decoder() -> Decoder:
+    """Real CZI decoder factory (reference zeiss_job.py:145-153):
+    ``BioImage(path, reader=bioio_czi.Reader)`` -> dense 5-D TCZYX array.
+
+    Import-gated: raises ImportError where bioio/bioio_czi are not
+    installed (this container). The returned closure is the drop-in
+    ``decoder`` argument to :func:`decode_stacks` / ``run_job`` — the
+    ONLY difference between the synthetic pipeline and a production CZI
+    run is which decoder is passed; every downstream stage (pad,
+    rechunk, pyramid, sinks, OME metadata) is decoder-agnostic.
+
+    Note the content bytes are ignored: bioio reads from the path (CZI
+    is a seekable container format; decoding from an in-memory blob
+    would force the whole file through the driver). The binaryFile scan
+    should therefore list with ``with_content=False`` when using this
+    decoder at scale.
+    """
+    import bioio  # noqa: F401 — fail fast, before executors
+    import bioio_czi  # noqa: F401
+
+    def decode(path: str, content: bytes) -> tuple[np.ndarray, str]:
+        from bioio import BioImage
+        from bioio_czi import Reader
+
+        img = BioImage(path.removeprefix("file:"), reader=Reader)
+        arr = np.asarray(img.dask_data)  # TCZYX per the reference contract
+        return arr, str(arr.dtype)
+
+    return decode
+
+
 def decode_stacks(files_df: DataFrame, decoder: Decoder = synthetic_decoder) -> DataFrame:
     """A5: decode each stack file into long-form voxel rows.
 

@@ -595,3 +595,30 @@ def test_derivatives_upload_gated_on_partition_zero(spark, stack_dir, tmp_path):
                 s3_location=f"file://{bucket}",
             ),
         )
+
+
+def test_bioio_decoder_seam(spark, stack_dir, tmp_path):
+    """The real-CZI integration point: bioio_decoder() is the drop-in
+    decoder for run_job. Without bioio installed it must fail fast with
+    ImportError (never reach executors); with it installed the full
+    pipeline runs unchanged."""
+    try:
+        decoder = decode.bioio_decoder()
+    except ImportError:
+        pytest.skip("bioio/bioio_czi not installed in this container")
+    settings = StackJobSettings(
+        input_source=stack_dir,
+        output_directory=str(tmp_path / "out"),
+        chunk_size=(2, 2, 2),
+    )
+    resp = run_job(spark, settings, decoder=decoder)
+    assert resp.status_code == 0
+
+
+def test_bioio_decoder_raises_cleanly_when_absent():
+    import importlib.util
+
+    if importlib.util.find_spec("bioio") is not None:
+        pytest.skip("bioio installed; the absent-path cannot be tested")
+    with pytest.raises(ImportError):
+        decode.bioio_decoder()
