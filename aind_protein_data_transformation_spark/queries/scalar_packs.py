@@ -475,6 +475,50 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sketch_reaggregation",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_shards,
+           TRUE AS merged_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGATION — the property that makes sketches the
+    100-TB path: per-shard HLL sketches (here sharded by linestatus)
+    merge to coarser groups WITHOUT rescanning the data, i.e. a rollup
+    materialized at fine grain serves every coarser query. Checkable
+    form per FIXTURES.md §3: the merged estimate must sit within 5% of
+    the exact distinct count (HLL is deterministic for fixed input, so
+    the boolean is stable); the oracle is the constant-true frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    shards = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = shards.groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) AS n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.expr("COUNT(DISTINCT l_partkey) AS _exact")
+    )
+    return (
+        merged.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_shards",
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                <= 0.05 * F.col("_exact")
+            ).alias("merged_within_5pct"),
+        )
+        .transform(lambda d: sorted_small(d, "l_returnflag"))
+    )
+
+
+@query(
     "q_stddev_variance",
     oracle="""
     SELECT l_returnflag,

@@ -125,6 +125,9 @@ def test_tail_components_are_covered_in_window():
         "q_explode_tokens": "q_array_functions",
         "q_exists_subquery": "q_scalar_subquery",
         "q_percentiles_exact": "q_approx_aggregates",
+        # re-aggregatable HLL union: the sketch family's in-window
+        # representative carries the tolerance-boolean check shape
+        "q_sketch_reaggregation": "q_approx_aggregates",
         "q_percentiles_rank_select": "q_approx_aggregates",
         # rotated out round 3 for text_repetition_stats; conditional-agg +
         # 2-table equi-join shape keeps q1/q3/semi/anti/outer in window
