@@ -123,3 +123,47 @@ def test_partitioned_prefix_sum_property(spark, vals, nparts):
         acc += v
         want[k] = acc
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_asof_join_matches_bruteforce(spark, data):
+    """asof_join == brute force per left row: the right row with the
+    greatest time <= left time within the key, ties inclusive (DuckDB
+    ASOF semantics), 'left' keeping unmatched rows."""
+    from aind_protein_data_transformation_spark.operators.asof import asof_join
+
+    keys = st.integers(min_value=0, max_value=3)
+    times = st.integers(min_value=0, max_value=20)
+    left = data.draw(
+        st.lists(st.tuples(keys, times), min_size=1, max_size=25), label="left"
+    )
+    right = data.draw(
+        st.lists(st.tuples(keys, times), min_size=0, max_size=25), label="right"
+    )
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right)], "rid long, k long, rt long"
+    )
+    got = {
+        r.lid: (r.asof_rid, r.asof_rt)
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="rt",
+            right_values=["rid", "rt"], how="left",
+        ).collect()
+    }
+    assert set(got) == set(range(len(left)))
+    for lid, (k, t) in enumerate(left):
+        cands = [(rt, rid) for rid, (rk, rt) in enumerate(right) if rk == k and rt <= t]
+        if cands:
+            # greatest time; among equal times the implementation carries
+            # the LAST right row in (time, input-order) — pin max time
+            # and verify the returned rid is one of the max-time rows
+            best_t = max(rt for rt, _ in cands)
+            best_ids = {rid for rt, rid in cands if rt == best_t}
+            assert got[lid][1] == best_t, (lid, got[lid], cands)
+            assert got[lid][0] in best_ids
+        else:
+            assert got[lid] == (None, None)
