@@ -326,3 +326,72 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .transform(lambda d: sorted_small(d, "source", "lang"))
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+        SELECT t.doc_id,
+               ln(CAST(v.cnt AS DOUBLE) / tot.n) AS lp
+        FROM toks t JOIN vocab v ON t.token = v.token CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(lp), 6) AS avg_logprob,
+           ROUND(MIN(lp), 6) AS min_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability quality score — the perplexity-filter
+    stand-in of CCNet/Gopher-style curation (a real deployment swaps
+    the corpus-trained unigram table for a KenLM binary behind the same
+    join). Two passes over one tokenized relation: vocabulary counts
+    (map-side combined), then per-document mean/min token logprob. The
+    vocabulary joins back by token — broadcast here; at a 100-TB
+    corpus, cap it to a top-K frequency table (the standard move) or
+    let AQE pick a shuffled join. ROUND(…, 6) on both engines keeps the
+    sub-ulp ln()/sum-order differences below the driver's 6-decimal
+    hash.
+
+    The tokenized relation is persisted: vocab and scoring are its two
+    consumers, and recomputing the regex split of the whole corpus per
+    consumer is the kind of double scan a 100-TB pipeline cannot
+    afford."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.selectExpr(
+            "doc_id",
+            "explode(filter(split(text, '\\\\s+'), t -> t != '')) AS token",
+        )
+        .persist()
+    )
+    vocab = toks.groupBy("token").agg(F.expr("CAST(COUNT(*) AS BIGINT) AS cnt"))
+    total = vocab.agg(F.expr("CAST(SUM(cnt) AS DOUBLE) AS n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "token")
+        .join(F.broadcast(total))
+        .selectExpr("doc_id", "ln(CAST(cnt AS DOUBLE) / n) AS lp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT) AS n_tokens"),
+            F.expr("ROUND(AVG(lp), 6) AS avg_logprob"),
+            F.expr("ROUND(MIN(lp), 6) AS min_logprob"),
+        )
+        .orderBy("doc_id")
+    )

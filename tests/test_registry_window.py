@@ -137,6 +137,9 @@ def test_tail_components_are_covered_in_window():
         "q_lead_lag_gaps": "q_window_running_totals",
         "q_map_functions": "q_json_functions",
         "text_lang_id": "text_quality_stats",
+        # unigram-logprob quality scoring: explode + broadcast-vocab join
+        # + agg, the text-stats family's shapes
+        "text_unigram_logprob": "text_quality_stats",
         # curation family: PII scan is a scalar-pack regex shape; the
         # cross-corpus join (decontaminate) and repetition stats hold
         # window slots
