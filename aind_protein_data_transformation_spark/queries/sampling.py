@@ -162,3 +162,75 @@ def shard_assign_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+#: Target output shares for the mixing query — only listed sources
+#: participate; weights sum to 1.
+MIX_TARGETS: dict[str, float] = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+_MIX_HASH = SQL_HASH64.format(expr="CAST(d.doc_id AS VARCHAR) || ':' || d.source")
+
+
+@query(
+    "sample_mix_to_target",
+    oracle=f"""
+    WITH t(source, w) AS (VALUES
+        {', '.join(f"('{s}', {w})" for s, w in sorted(MIX_TARGETS.items()))}),
+    c AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source
+    ),
+    j AS (
+        SELECT c.source, c.cnt, CAST(t.w AS DOUBLE) AS w
+        FROM c JOIN t ON t.source = c.source
+    ),
+    m AS (SELECT MIN(cnt / w) AS m FROM j),
+    r AS (
+        SELECT source, LEAST(10000,
+               CAST(FLOOR(w * m.m / cnt * 10000) AS BIGINT)) AS bps
+        FROM j CROSS JOIN m
+    )
+    SELECT d.source, r.bps AS rate_bps, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN r ON r.source = d.source
+    WHERE {_MIX_HASH} % 10000 < r.bps
+    GROUP BY d.source, r.bps
+    ORDER BY d.source
+    """,
+)
+def sample_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to TARGET domain proportions — the data-dependent
+    sampler: per-source keep rates are COMPUTED from the corpus (the
+    largest feasible output respecting every target share is
+    min(cnt_s / w_s); rate_s = w_s * m / cnt_s), then membership is the
+    usual deterministic hash-Bernoulli. Two passes: a counts aggregate
+    (tiny, broadcast back) and the filtered scan — at 100 TB the
+    decision still evaluates inside the scan stage, and the rate table
+    is O(domains). Every arithmetic step is replayed identically by the
+    oracle, so the computed basis-point rates match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = spark.createDataFrame(
+        sorted(MIX_TARGETS.items()), "t_source string, w double"
+    )
+    counts = docs.groupBy("source").agg(F.expr("CAST(COUNT(*) AS BIGINT) AS cnt"))
+    j = counts.join(F.broadcast(t), counts.source == t.t_source).select(
+        "source", "cnt", "w"
+    )
+    m = j.agg(F.expr("MIN(cnt / w) AS m"))
+    rates = (
+        j.join(F.broadcast(m))
+        .selectExpr(
+            "source AS r_source",
+            "LEAST(10000, CAST(FLOOR(w * m / cnt * 10000) AS BIGINT)) AS bps",
+        )
+    )
+    keep = F.pmod(
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))),
+        F.lit(10000),
+    )
+    return (
+        docs.join(F.broadcast(rates), docs.source == F.col("r_source"))
+        .filter(keep < F.col("bps"))
+        .groupBy("source", F.col("bps").alias("rate_bps"))
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT) AS n_kept"))
+        .orderBy("source")
+    )

@@ -109,6 +109,9 @@ def test_tail_components_are_covered_in_window():
         # the running-total family's in-window representative
         "pack_sequences_fixed": "q_window_running_totals",
         "sample_stratified": "dedup_exact",
+        # mixing = the stratified hash-Bernoulli mechanism with
+        # data-computed rates; same family shapes
+        "sample_mix_to_target": "dedup_exact",
         "shard_assign_balanced": "dedup_exact",
         # window-ranking top-k: dense_rank/ntile live in running_totals,
         # sort+limit in q3 (TakeOrderedAndProject)
