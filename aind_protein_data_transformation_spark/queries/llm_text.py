@@ -395,3 +395,81 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               -- idf rounded to 6dp BEFORE the product: the score is then
+               -- an exact double product both engines compute identically,
+               -- so the ranking cannot flip on sub-ulp ln() differences
+               CAST(tf.tf AS DOUBLE) * ROUND(ln(n.n / df.df), 6) AS score
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, rnk, token, score
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the classic content-tagging
+    pass of a curation pipeline. tf and df stack on ONE tokenized
+    relation (persisted: df re-aggregates the tf partials, never the
+    raw tokens); idf is rounded to 6dp before the product so the
+    ranking is an exact-double comparison on both engines; the top-k
+    window partitions by doc_id (bounded groups, fully parallel)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.selectExpr(
+            "doc_id",
+            "explode(filter(split(text, '\\\\s+'), t -> t != '')) AS token",
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT) AS tf"))
+        .persist()
+    )
+    df_rel = tf.groupBy("token").agg(F.expr("CAST(COUNT(*) AS BIGINT) AS df"))
+    n = d.agg(F.expr("CAST(COUNT(*) AS DOUBLE) AS n"))
+    scored = (
+        tf.join(df_rel, "token")
+        .join(F.broadcast(n))
+        .selectExpr(
+            "doc_id",
+            "token",
+            "CAST(tf AS DOUBLE) * ROUND(ln(n / df), 6) AS score",
+        )
+    )
+    return (
+        scored.selectExpr(
+            "doc_id",
+            "token",
+            "score",
+            "ROW_NUMBER() OVER (PARTITION BY doc_id"
+            " ORDER BY score DESC, token) AS rnk",
+        )
+        .where("rnk <= 3")
+        .select("doc_id", "rnk", "token", "score")
+        .orderBy("doc_id", "rnk")
+    )

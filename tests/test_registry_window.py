@@ -143,6 +143,9 @@ def test_tail_components_are_covered_in_window():
         # unigram-logprob quality scoring: explode + broadcast-vocab join
         # + agg, the text-stats family's shapes
         "text_unigram_logprob": "text_quality_stats",
+        # tf-idf top-k: stacked aggs + per-doc ranking window; text-stats
+        # + topk family shapes
+        "text_tfidf_keywords": "text_quality_stats",
         # curation family: PII scan is a scalar-pack regex shape; the
         # cross-corpus join (decontaminate) and repetition stats hold
         # window slots
