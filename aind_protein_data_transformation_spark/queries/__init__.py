@@ -37,9 +37,10 @@ DRIVER_WINDOW = [
     # relational core (scan, filter, hash agg, equi/broadcast join)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # join variants
+    # join variants (anti join rotated to the tail round 4: Catalyst
+    # plans semi and anti through the same LeftSemi/LeftAnti hash-join
+    # machinery, and the family keeps q22/q16 twins in the local suite)
     "q_semi_join_customers_with_orders",
-    "q_anti_join_customers_without_orders",
     "q_outer_join_order_fill",
     "q_theta_join_price_band",
     # set ops / grouping
@@ -54,14 +55,24 @@ DRIVER_WINDOW = [
     "q_array_functions",
     "q_json_functions",
     "q_conditional_price_bands",
-    "q_scalar_subquery",
     "q_approx_aggregates",
+    # exact percentiles via the fully-parallel two-phase rank-select
+    # plan (promoted round 4 — the scale-safe form the driver should
+    # confirm; q_scalar_subquery rotated out, its rewrite family is
+    # covered by the semi join + the q2/q11/q15/q17 local twins)
+    "q_percentiles_rank_select",
     # LLM dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    # transitive closure over the LSH pairs (promoted round 4: first
+    # driver row for the connected-components operator)
+    "dedup_cluster_components",
+    # deterministic hash-split sampling (promoted round 4: first driver
+    # row for the sampling/sharding family)
+    "sample_hash_split",
     # similarity family
     "similarity_cosine_topk",
     "similarity_ivf_ann",
@@ -69,6 +80,8 @@ DRIVER_WINDOW = [
     # text analysis family
     "text_quality_stats",
     "text_token_count_bpe",
+    # unigram log-probability quality scoring (promoted round 4)
+    "text_unigram_logprob",
     "doc_fingerprint_winnow",
     "pipeline_clean_corpus",
     # curation: benchmark decontamination (corpus x broadcast eval set),
@@ -77,12 +90,12 @@ DRIVER_WINDOW = [
     # agg, keep 6+ in-window representatives)
     "decontaminate_ngram_overlap",
     "text_repetition_stats",
-    # multimodal
-    "multimodal_payload_stats",
+    # multimodal (payload_stats rotated to the tail round 4 after two
+    # green driver rounds; frame_sample keeps the family's window slot)
     "multimodal_frame_sample",
-    # as-of joins
+    # as-of join (inner variant rotated to the tail round 4 after its
+    # round-3 green; the last-click outer form keeps the slot)
     "asof_purchase_last_click",
-    "asof_inner_error_context",
     # §2A array layer
     "pyramid_windowed_mean",
     "pyramid_cascade_l2",
