@@ -114,7 +114,7 @@ def column_percentiles_rank_select(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
-    percentiles: list[tuple[float, float]],
+    percentiles: list[tuple[float, str]],
     n_buckets: int = 8192,
 ) -> DataFrame:
     """Two-phase exact percentiles: same result as
@@ -138,10 +138,48 @@ def column_percentiles_rank_select(
     Skew caveat: a single repeated value can concentrate a bucket, but
     phase 2 only ever sorts the targeted buckets, and ties within a
     bucket carry equal values, so correctness is unaffected.
+
+    Thin wrapper over :func:`multi_column_percentiles_rank_select`
+    (the ``stack`` stage of the multi form degenerates to a plain
+    projection for one column).
     """
-    v = F.col(value_col).cast("double")
-    rows = df.select(*group_cols, v.alias("v")).where(F.col("v").isNotNull())
-    rng = rows.groupBy(*group_cols).agg(
+    return multi_column_percentiles_rank_select(
+        df, group_cols, {value_col: percentiles}, n_buckets=n_buckets
+    )
+
+
+def multi_column_percentiles_rank_select(
+    df: DataFrame,
+    group_cols: list[str],
+    specs: dict[str, list[tuple[float, str]]],
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Rank-select percentiles for SEVERAL value columns in ONE fused
+    pipeline: ``specs`` maps value column -> [(p, alias), ...]; output
+    is one row per group with every alias.
+
+    The per-column form pays the whole two-phase plan (range agg,
+    histogram shuffle, target join) once per column; fused, the columns
+    are ``stack``-ed into (cid, v) rows so ONE scan, ONE range
+    aggregate, ONE bounded histogram, and ONE pruned phase-2 pass
+    serve them all — the column id simply joins every key. In-flight
+    rows grow k-fold through the stack, but every exchange stays
+    O(groups × columns × n_buckets) or O(selected rows), and all
+    windows partition by (group, cid[, bid]) — bounded inputs or
+    many small parallel sorts, never a per-group O(n) single-task
+    sort at any group count. Null values are excluded per column,
+    matching ``quantile_cont``.
+    """
+    cols = list(specs)
+    k = len(cols)
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    quoted_groups = [f"`{g}`" for g in group_cols]
+    rows = df.selectExpr(
+        *quoted_groups, f"stack({k}, {stack_args}) AS (cid, v)"
+    ).where(F.col("v").isNotNull())
+    keys = [*group_cols, "cid"]
+
+    rng = rows.groupBy(*keys).agg(
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
         F.count("*").alias("n"),
@@ -158,56 +196,62 @@ def column_percentiles_rank_select(
         .otherwise(F.lit(0))
         .cast("long")
     )
-    bucketed = rows.join(F.broadcast(rng), group_cols).withColumn("bid", bid)
+    bucketed = rows.join(F.broadcast(rng), keys).withColumn("bid", bid)
 
-    w_cum = Window.partitionBy(*group_cols).orderBy("bid")
+    w_cum = Window.partitionBy(*keys).orderBy("bid")
     bc = (
-        bucketed.groupBy(*group_cols, "bid")
+        bucketed.groupBy(*keys, "bid")
         .agg(F.count("*").alias("cnt"), F.max("n").alias("n"))
         .withColumn("cum_end", F.sum("cnt").over(w_cum))
         .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
     )
     hit = None
-    for p, _alias in percentiles:
-        h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
-        lo = F.floor(h)
-        hi = F.least(lo + 1, F.col("n") - 1)
-        c = ((F.col("cum_start") <= lo) & (lo < F.col("cum_end"))) | (
-            (F.col("cum_start") <= hi) & (hi < F.col("cum_end"))
-        )
-        hit = c if hit is None else (hit | c)
-    targets = bc.where(hit).select(*group_cols, "bid", "cum_start")
+    for c, percentiles in specs.items():
+        for p, _alias in percentiles:
+            h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
+            lo = F.floor(h)
+            hi = F.least(lo + 1, F.col("n") - 1)
+            cond = (F.col("cid") == c) & (
+                ((F.col("cum_start") <= lo) & (lo < F.col("cum_end")))
+                | ((F.col("cum_start") <= hi) & (hi < F.col("cum_end")))
+            )
+            hit = cond if hit is None else (hit | cond)
+    targets = bc.where(hit).select(*keys, "bid", "cum_start")
 
-    w_local = Window.partitionBy(*group_cols, "bid").orderBy("v")
-    picked = (
-        bucketed.join(F.broadcast(targets), [*group_cols, "bid"])
-        .withColumn(
-            "grank", F.col("cum_start") + F.row_number().over(w_local) - F.lit(1)
-        )
+    w_local = Window.partitionBy(*keys, "bid").orderBy("v")
+    picked = bucketed.join(F.broadcast(targets), [*keys, "bid"]).withColumn(
+        "grank", F.col("cum_start") + F.row_number().over(w_local) - F.lit(1)
     )
     aggs = []
-    for p, alias in percentiles:
-        h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
-        lo = F.floor(h)
-        hi = F.least(lo + 1, F.col("n") - 1)
-        aggs.extend(
-            [
-                F.max(F.when(F.col("grank") == lo, F.col("v"))).alias(f"__lo_{alias}"),
-                F.max(F.when(F.col("grank") == hi, F.col("v"))).alias(f"__hi_{alias}"),
-                F.max("n").alias(f"__n_{alias}"),
-            ]
-        )
+    for c, percentiles in specs.items():
+        is_c = F.col("cid") == c
+        for p, alias in percentiles:
+            h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
+            lo = F.floor(h)
+            hi = F.least(lo + 1, F.col("n") - 1)
+            aggs.extend(
+                [
+                    F.max(
+                        F.when(is_c & (F.col("grank") == lo), F.col("v"))
+                    ).alias(f"__lo_{alias}"),
+                    F.max(
+                        F.when(is_c & (F.col("grank") == hi), F.col("v"))
+                    ).alias(f"__hi_{alias}"),
+                    F.max(F.when(is_c, F.col("n"))).alias(f"__n_{alias}"),
+                ]
+            )
     agged = picked.groupBy(*group_cols).agg(*aggs)
 
     out = [F.col(c) for c in group_cols]
-    for p, alias in percentiles:
-        h = (F.col(f"__n_{alias}") - F.lit(1)).cast("double") * F.lit(p)
-        frac = h - F.floor(h).cast("double")
-        v_lo = F.col(f"__lo_{alias}")
-        v_hi = F.col(f"__hi_{alias}")
-        out.append(
-            F.when(frac > 0, v_lo * (F.lit(1.0) - frac) + v_hi * frac)
-            .otherwise(v_lo)
-            .alias(alias)
-        )
+    for c, percentiles in specs.items():
+        for p, alias in percentiles:
+            h = (F.col(f"__n_{alias}") - F.lit(1)).cast("double") * F.lit(p)
+            frac = h - F.floor(h).cast("double")
+            v_lo = F.col(f"__lo_{alias}")
+            v_hi = F.col(f"__hi_{alias}")
+            out.append(
+                F.when(frac > 0, v_lo * (F.lit(1.0) - frac) + v_hi * frac)
+                .otherwise(v_lo)
+                .alias(alias)
+            )
     return agged.select(*out)

@@ -26,7 +26,7 @@ from ..catalog import load_table, register_views
 from ..functions.numeric import exact_sum
 from ..operators.percentile import (
     column_percentiles,
-    column_percentiles_rank_select,
+    multi_column_percentiles_rank_select,
 )
 from ..plans.scale import sorted_small
 from .registry import query
@@ -366,10 +366,16 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (czi_to_zarr.py:478-480 comments out da.percentile). Computed by the
     distributed histogram + rank-interval operator
     (operators/percentile.py) instead of Spark's built-in `percentile`,
-    whose per-group value map lives in one unspillable agg buffer; the
-    histogram form is all hash-agg + window, spills, and is ~5x faster
-    here. The sketch path for when even the histogram is too wide is
-    q_approx_aggregates."""
+    whose per-group value map lives in one unspillable agg buffer.
+
+    Per-column plan choice is the point of this query: l_quantity has a
+    BOUNDED domain (~50 distinct integers at every SF), so the
+    histogram+window form is scale-safe — its window input is O(distinct)
+    rows per group, never O(n) — and cheapest. l_extendedprice is
+    near-unique, where that window would funnel O(n) rows through one
+    task, so the price leg takes the two-phase rank-select path (bounded
+    bucket histogram, then many small parallel sorts). No plan branch
+    sorts a whole group in a single task."""
     li = load_table(spark, sf_dir, "lineitem")
     qty = column_percentiles(
         li,
@@ -377,12 +383,10 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         [(0.25, "qty_p25"), (0.5, "qty_median"), (0.75, "qty_p75")],
     )
-    price = column_percentiles(
+    price = multi_column_percentiles_rank_select(
         li,
         ["l_returnflag"],
-        "l_extendedprice",
-        [(0.9, "price_p90")],
-        pre_aggregate=False,  # prices are near-unique; histogram wouldn't shrink
+        {"l_extendedprice": [(0.9, "price_p90")]},
     )
     # 3-row frames: broadcast the join, keep output deterministic
     return sorted_small(qty.join(F.broadcast(price), "l_returnflag"), "l_returnflag")
@@ -402,26 +406,30 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percentiles_rank_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same result as q_percentiles_exact via the two-phase rank-select
-    operator (operators/percentile.py:column_percentiles_rank_select):
-    bounded bucket histogram locates the target ranks, then only the hit
-    buckets are sorted — no per-group single-task sort, so the plan
-    stays fully parallel even with FEW groups over HUGE data (the one
-    scale gap of the window form)."""
+    """Same result as q_percentiles_exact via the fused two-phase
+    rank-select operator (operators/percentile.py:
+    multi_column_percentiles_rank_select): both value columns stack
+    into one (cid, v) pipeline, a bounded bucket histogram locates the
+    target ranks, then only the hit buckets are sorted — ONE scan, no
+    per-group single-task sort, so the plan stays fully parallel even
+    with FEW groups over HUGE data (the one scale gap of the window
+    form)."""
     li = load_table(spark, sf_dir, "lineitem")
-    qty = column_percentiles_rank_select(
-        li,
-        ["l_returnflag"],
-        "l_quantity",
-        [(0.25, "qty_p25"), (0.5, "qty_median"), (0.75, "qty_p75")],
+    return sorted_small(
+        multi_column_percentiles_rank_select(
+            li,
+            ["l_returnflag"],
+            {
+                "l_quantity": [
+                    (0.25, "qty_p25"),
+                    (0.5, "qty_median"),
+                    (0.75, "qty_p75"),
+                ],
+                "l_extendedprice": [(0.9, "price_p90")],
+            },
+        ),
+        "l_returnflag",
     )
-    price = column_percentiles_rank_select(
-        li,
-        ["l_returnflag"],
-        "l_extendedprice",
-        [(0.9, "price_p90")],
-    )
-    return sorted_small(qty.join(F.broadcast(price), "l_returnflag"), "l_returnflag")
 
 
 @query(

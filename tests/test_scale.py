@@ -91,22 +91,23 @@ def test_percentiles_rank_select_no_group_wide_sort(spark, sf_dir):
     partition is the bare group column over raw rows (which would funnel
     O(n/groups) rows through single tasks)."""
     from aind_protein_data_transformation_spark.queries.scalar_packs import (
+        q_percentiles_exact,
         q_percentiles_rank_select,
     )
 
-    plan = (
-        q_percentiles_rank_select(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    # no unpartitioned window anywhere
-    assert "No Partition Defined" not in plan
-    for frag in plan.split("Window ")[1:]:
-        spec = frag.split("\n")[0]
-        # every window partition key set must include the bucket id,
-        # OR operate post-histogram (its input has a cnt aggregate col)
-        assert ("bid" in spec) or ("cnt" in spec), spec
+    # Both registered percentile queries must hold the invariant:
+    # q_percentiles_rank_select everywhere, and q_percentiles_exact's
+    # hybrid plan (histogram-window for the bounded-domain qty column,
+    # rank-select for near-unique price) since round 4.
+    for fn in (q_percentiles_rank_select, q_percentiles_exact):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        # no unpartitioned window anywhere
+        assert "No Partition Defined" not in plan
+        for frag in plan.split("Window ")[1:]:
+            spec = frag.split("\n")[0]
+            # every window partition key set must include the bucket id,
+            # OR operate post-histogram (its input has a cnt aggregate col)
+            assert ("bid" in spec) or ("cnt" in spec), spec
 
 
 def test_q21_self_joins_extract_equi_key(spark, sf_dir):
