@@ -34,7 +34,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: driver-side constant per query that adds up across a suite; the
 #: underlying data is static test data, and a new SparkSession gets a
 #: fresh applicationId -> fresh entries).
+#:
+#: ASSUMPTION — static data: the memo has no invalidation. The file
+#: listing and schema are captured at first load, so a process that
+#: REWRITES files under an sf_dir mid-application must call
+#: :func:`clear_plan_memo` (and note ``spark.newSession()`` shares the
+#: applicationId, so a memoized DataFrame may be bound to the sibling
+#: session that first loaded it — clear the memo when juggling
+#: same-application sessions with different states).
 _PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_plan_memo(sf_dir: str | None = None) -> None:
+    """Invalidate memoized table plans — all of them, or only those
+    under ``sf_dir`` (for callers that regenerate one dataset
+    in-process, e.g. test fixtures rewriting a temp directory)."""
+    if sf_dir is None:
+        _PLAN_MEMO.clear()
+        return
+    prefix = os.path.abspath(sf_dir)
+    for key in [k for k in _PLAN_MEMO if k[1] == prefix]:
+        del _PLAN_MEMO[key]
 
 
 def table_path(sf_dir: str, name: str) -> str:

@@ -43,24 +43,28 @@ def asof_join(
     """
     # null-struct DDL straight from the (already analyzed, memoized)
     # schemas — building a throwaway select().schema per side would cost
-    # two extra plan analyses per call
+    # two extra plan analyses per call. Top-level identifiers are
+    # backtick-quoted; precondition: column dataTypes must have a
+    # round-trippable simpleString (true of every Spark SQL type whose
+    # NESTED field names are identifier-safe — simpleString does not
+    # quote nested struct fields).
     ltypes = {f.name: f.dataType.simpleString() for f in left.schema.fields}
     rtypes = {f.name: f.dataType.simpleString() for f in right.schema.fields}
-    ltype = "struct<" + ",".join(f"{c}:{ltypes[c]}" for c in left.columns) + ">"
-    rtype = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_values) + ">"
+    ltype = "struct<" + ",".join(f"`{c}`:{ltypes[c]}" for c in left.columns) + ">"
+    rtype = "struct<" + ",".join(f"`{c}`:{rtypes[c]}" for c in right_values) + ">"
     lt = left.selectExpr(
-        on,
-        f"{left_time} AS _t",
+        f"`{on}`",
+        f"`{left_time}` AS _t",
         "1 AS _is_left",
-        f"struct({', '.join(left.columns)}) AS _l",
+        f"struct({', '.join(f'`{c}`' for c in left.columns)}) AS _l",
         f"CAST(NULL AS {rtype}) AS _r",
     )
     rt = right.selectExpr(
-        on,
-        f"{right_time} AS _t",
+        f"`{on}`",
+        f"`{right_time}` AS _t",
         "0 AS _is_left",
         f"CAST(NULL AS {ltype}) AS _l",
-        f"struct({', '.join(right_values)}) AS _r",
+        f"struct({', '.join(f'`{c}`' for c in right_values)}) AS _r",
     )
     # right rows sort first at equal _t -> inclusive match (DuckDB ASOF).
     w = (
@@ -77,6 +81,6 @@ def asof_join(
     elif how != "left":
         raise ValueError(f"unsupported how={how!r}")
     return merged.selectExpr(
-        *[f"_l.{c} AS {c}" for c in left.columns],
-        *[f"_asof.{c} AS asof_{c}" for c in right_values],
+        *[f"_l.`{c}` AS `{c}`" for c in left.columns],
+        *[f"_asof.`{c}` AS `asof_{c}`" for c in right_values],
     )

@@ -89,14 +89,14 @@ def shingle_set(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str
     parts = ", ".join(f"element_at(tk, i + {j})" for j in range(k))
     return (
         docs.selectExpr(
-            id_col, f"filter(split({text_col}, '\\\\s+'), t -> t <> '') AS tk"
+            f"`{id_col}`", f"filter(split(`{text_col}`, '\\\\s+'), t -> t <> '') AS tk"
         )
         .where(f"size(tk) >= {k}")
-        .selectExpr(id_col, "tk", f"explode(sequence(1, size(tk) - {k - 1})) AS i")
-        .selectExpr(id_col, f"concat_ws(' ', {parts}) AS s")
+        .selectExpr(f"`{id_col}`", "tk", f"explode(sequence(1, size(tk) - {k - 1})) AS i")
+        .selectExpr(f"`{id_col}`", f"concat_ws(' ', {parts}) AS s")
         .distinct()
         .selectExpr(
-            id_col,
+            f"`{id_col}`",
             "CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT) "
             f"% {MINHASH_PRIME} AS h",
         )
@@ -142,16 +142,16 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
         )
         for b in range(n_bands)
     )
-    banded = signatures.selectExpr(id_col, f"inline(array({structs}))")
+    banded = signatures.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
     a = banded.alias("a")
     b = banded.alias("b")
     key_eq = " AND ".join(
-        ["a.band = b.band", f"a.{id_col} < b.{id_col}"]
+        ["a.band = b.band", f"a.`{id_col}` < b.`{id_col}`"]
         + [f"a.k{j} = b.k{j}" for j in range(LSH_BAND_SIZE)]
     )
     return (
         a.join(b, F.expr(key_eq))
-        .selectExpr(f"a.{id_col} AS doc_a", f"b.{id_col} AS doc_b")
+        .selectExpr(f"a.`{id_col}` AS doc_a", f"b.`{id_col}` AS doc_b")
         .distinct()
     )
 
@@ -181,16 +181,16 @@ def jaccard_for_pairs(
     otherwise it costs one more pass over ``shingles``."""
     if sizes is None:
         sizes = shingles.groupBy(id_col).agg(F.expr("count(*) AS n"))
-    sa = shingles.selectExpr(f"{id_col} AS doc_a", "h")
-    sb = shingles.selectExpr(f"{id_col} AS doc_b", "h")
+    sa = shingles.selectExpr(f"`{id_col}` AS doc_a", "h")
+    sb = shingles.selectExpr(f"`{id_col}` AS doc_b", "h")
     shared = (
         F.broadcast(pairs).join(sa, "doc_a")
         .join(sb, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.expr("count(*) AS shared"))
     )
-    na = sizes.selectExpr(f"{id_col} AS doc_a", "n AS n_a")
-    nb = sizes.selectExpr(f"{id_col} AS doc_b", "n AS n_b")
+    na = sizes.selectExpr(f"`{id_col}` AS doc_a", "n AS n_a")
+    nb = sizes.selectExpr(f"`{id_col}` AS doc_b", "n AS n_b")
     return (
         shared.join(na, "doc_a")
         .join(nb, "doc_b")

@@ -58,24 +58,29 @@ def column_percentiles(
     # SQL-string construction throughout (selectExpr / F.expr): the
     # composed-Column form of this plan costs ~0.5s of py4j round-trips
     # per build; the string form is the identical plan in a few calls.
-    g = ", ".join(group_cols)
+    # Identifiers are backtick-quoted so column names with spaces/dots/
+    # reserved words survive the string round-trip; empty group_cols
+    # means GLOBAL percentiles (the window spec drops its PARTITION BY).
+    qgroups = [f"`{c}`" for c in group_cols]
+    qval = f"`{value_col}`"
+    part = f"PARTITION BY {', '.join(qgroups)} " if group_cols else ""
     if pre_aggregate:
         hist = df.groupBy(*group_cols, value_col).agg(F.expr("count(*) AS cnt"))
         ranked = hist.selectExpr(
-            *group_cols,
-            f"CAST({value_col} AS DOUBLE) AS v",
+            *qgroups,
+            f"CAST({qval} AS DOUBLE) AS v",
             "cnt",
-            f"SUM(cnt) OVER (PARTITION BY {g} ORDER BY {value_col}) AS cum_end",
-            f"SUM(cnt) OVER (PARTITION BY {g}) AS n",
+            f"SUM(cnt) OVER ({part}ORDER BY {qval}) AS cum_end",
+            f"SUM(cnt) OVER ({part.strip() or ''}) AS n",
         ).withColumn("cum_start", F.expr("cum_end - cnt"))
     else:
         ranked = df.selectExpr(
-            *group_cols, f"CAST({value_col} AS DOUBLE) AS v"
+            *qgroups, f"CAST({qval} AS DOUBLE) AS v"
         ).selectExpr(
             "*",
-            f"CAST(ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY v) AS BIGINT)"
+            f"CAST(ROW_NUMBER() OVER ({part}ORDER BY v) AS BIGINT)"
             " AS cum_end",
-            f"COUNT(*) OVER (PARTITION BY {g}) AS n",
+            f"COUNT(*) OVER ({part.strip() or ''}) AS n",
         ).withColumn("cum_start", F.expr("cum_end - 1"))
 
     aggs = []
@@ -99,7 +104,7 @@ def column_percentiles(
         )
     agged = ranked.groupBy(*group_cols).agg(*aggs)
 
-    out = list(group_cols)
+    out = list(qgroups)
     for p, alias in percentiles:
         h = f"(CAST(__n_{alias} - 1 AS DOUBLE) * {p!r}D)"
         frac = f"({h} - CAST(FLOOR({h}) AS DOUBLE))"

@@ -45,7 +45,14 @@ def partitioned_prefix_sum(
         if num_partitions
         else df.repartitionByRange(order_col)
     )
-    staged = parts.withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint pins the range partitioning: ``staged`` fans out
+    # into two plan branches (local sums, per-partition offsets), and a
+    # re-evaluated range exchange re-SAMPLES its boundaries — two
+    # independent evaluations could assign rows different _pids, making
+    # the recombined totals silently wrong. Materializing here makes
+    # both branches read the same partitions (and pays for itself: the
+    # relation is consumed twice).
+    staged = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
 
     w_local = (
         Window.partitionBy("_pid")

@@ -487,7 +487,7 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_shards,
-           TRUE AS merged_within_5pct
+           TRUE AS merged_within_10pct
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -498,9 +498,14 @@ def q_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB path: per-shard HLL sketches (here sharded by linestatus)
     merge to coarser groups WITHOUT rescanning the data, i.e. a rollup
     materialized at fine grain serves every coarser query. Checkable
-    form per FIXTURES.md §3: the merged estimate must sit within 5% of
+    form per FIXTURES.md §3: the merged estimate must sit within 10% of
     the exact distinct count (HLL is deterministic for fixed input, so
-    the boolean is stable); the oracle is the constant-true frame."""
+    the boolean is stable; default lgConfigK=12 gives ~1.6% expected
+    error, so 10% leaves generous headroom against a driver data
+    regeneration — the margin actually observed is pinned much tighter
+    by tests/test_curation.py's relative-error assertion, which is
+    where a near-threshold drift becomes diagnosable); the oracle is
+    the constant-true frame."""
     li = load_table(spark, sf_dir, "lineitem")
     shards = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_partkey").alias("sk")
@@ -519,8 +524,8 @@ def q_sketch_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shards",
             (
                 F.abs(F.col("_approx") - F.col("_exact"))
-                <= 0.05 * F.col("_exact")
-            ).alias("merged_within_5pct"),
+                <= 0.10 * F.col("_exact")
+            ).alias("merged_within_10pct"),
         )
         .transform(lambda d: sorted_small(d, "l_returnflag"))
     )

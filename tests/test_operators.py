@@ -186,3 +186,31 @@ def test_prefix_sum_no_global_data_window(spark, sf_dir):
     # aggregation of partition totals, never above a data-sized input
     assert len(unpartitioned) == 1, (unpartitioned, plan)
     assert "_ptot" in unpartitioned[0]
+
+
+def test_sketch_reaggregation_error_headroom(spark, sf_dir):
+    """q_sketch_reaggregation's driver row only checks a <=10% tolerance
+    boolean (the oracle is constant TRUE, per the FIXTURES.md pattern),
+    so this is where a near-threshold drift becomes diagnosable: the
+    merged-HLL estimate must sit within 5% of exact — half the driver
+    margin — and the assertion message carries the observed error."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    shards = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = shards.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact")
+    )
+    for r in merged.join(exact, "l_returnflag").collect():
+        rel = abs(r.approx - r.exact) / r.exact
+        assert rel <= 0.05, (
+            f"group {r.l_returnflag}: merged HLL estimate {r.approx} vs exact "
+            f"{r.exact} — relative error {rel:.4f} is eating the driver margin"
+        )
