@@ -184,10 +184,16 @@ def multi_column_percentiles_rank_select(
     ).where(F.col("v").isNotNull())
     keys = [*group_cols, "cid"]
 
-    rng = rows.groupBy(*keys).agg(
-        F.min("v").alias("vmin"),
-        F.max("v").alias("vmax"),
-        F.count("*").alias("n"),
+    # Bucket bounds are GLOBAL per column, not per group: boundaries
+    # only need to be order-preserving within a group, so a k-row
+    # min/max aggregate replaces a per-group range join, and the
+    # per-group total n is recovered from the histogram itself (sum of
+    # cnt over the group partition). Phase 2's re-scan then depends on
+    # nothing but this k-row broadcast — no agg shuffle in its lineage.
+    # (Groups spanning a narrow slice of the global range use fewer
+    # distinct buckets; that skews bucket sizes, never results.)
+    bounds = rows.groupBy("cid").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
     )
     width = F.col("vmax") - F.col("vmin")
     bid = (
@@ -201,14 +207,26 @@ def multi_column_percentiles_rank_select(
         .otherwise(F.lit(0))
         .cast("long")
     )
-    bucketed = rows.join(F.broadcast(rng), keys).withColumn("bid", bid)
+    bucketed = (
+        rows.join(F.broadcast(bounds), "cid")
+        .withColumn("bid", bid)
+        .drop("vmin", "vmax")
+    )
 
+    w_part = Window.partitionBy(*keys)
     w_cum = Window.partitionBy(*keys).orderBy("bid")
     bc = (
         bucketed.groupBy(*keys, "bid")
-        .agg(F.count("*").alias("cnt"), F.max("n").alias("n"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("n", F.sum("cnt").over(w_part))
         .withColumn("cum_end", F.sum("cnt").over(w_cum))
         .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
+        # The histogram is BOUNDED (<= groups x columns x n_buckets
+        # rows): checkpoint it so the targets broadcast and the final
+        # aggregation don't each re-run the scan+histogram subtree —
+        # Catalyst's exchange reuse cannot deduplicate across a
+        # broadcast boundary.
+        .localCheckpoint()
     )
     hit = None
     for c, percentiles in specs.items():
@@ -221,7 +239,7 @@ def multi_column_percentiles_rank_select(
                 | ((F.col("cum_start") <= hi) & (hi < F.col("cum_end")))
             )
             hit = cond if hit is None else (hit | cond)
-    targets = bc.where(hit).select(*keys, "bid", "cum_start")
+    targets = bc.where(hit).select(*keys, "bid", "cum_start", "n")
 
     w_local = Window.partitionBy(*keys, "bid").orderBy("v")
     picked = bucketed.join(F.broadcast(targets), [*keys, "bid"]).withColumn(

@@ -35,8 +35,12 @@ def main(argv: list[str]) -> int:
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            # multi-file layout (scripts/bench_layout.py): glob the parts
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     # events.ts parity with the Spark catalog (ns -> us)
     timings: dict[str, float] = {}
