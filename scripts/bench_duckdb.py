@@ -43,8 +43,12 @@ def main(argv: list[str]) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     # events.ts parity with the Spark catalog (ns -> us)
+    names = list(HEADLINE)
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        names = [n for n in subset.split(",") if n]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         sql = q.REGISTRY[name].oracle
         best = float("inf")
         for _ in range(3):
