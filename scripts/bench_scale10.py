@@ -119,17 +119,26 @@ def main(argv: list[str]) -> int:
     # documents/embeddings pass through unscaled (single copy) so every
     # headline query still RUNS if pointed here; only QUERIES below are
     # part of the experiment's claim.
-    print(f"scaling {sf_dir} x{COPIES} -> {out_dir}", file=sys.stderr, flush=True)
-    for t in (*SINGLE, *SHIFT):
-        scale_table(sf_dir, out_dir, t)
-    for t in ("documents", "embeddings"):
-        dst = os.path.join(out_dir, f"{t}.parquet")
-        os.makedirs(dst, exist_ok=True)
-        pq.write_table(
-            pq.read_table(os.path.join(sf_dir, f"{t}.parquet")),
-            os.path.join(dst, "part-00000.parquet"),
-            compression="zstd",
+    have_all = all(
+        os.path.isdir(os.path.join(out_dir, f"{t}.parquet"))
+        for t in (*SINGLE, *SHIFT, "documents", "embeddings")
+    )
+    if have_all:
+        print(f"reusing existing layout {out_dir}", file=sys.stderr, flush=True)
+    else:
+        print(
+            f"scaling {sf_dir} x{COPIES} -> {out_dir}", file=sys.stderr, flush=True
         )
+        for t in (*SINGLE, *SHIFT):
+            scale_table(sf_dir, out_dir, t)
+        for t in ("documents", "embeddings"):
+            dst = os.path.join(out_dir, f"{t}.parquet")
+            os.makedirs(dst, exist_ok=True)
+            pq.write_table(
+                pq.read_table(os.path.join(sf_dir, f"{t}.parquet")),
+                os.path.join(dst, "part-00000.parquet"),
+                compression="zstd",
+            )
 
     env = {
         **os.environ,
