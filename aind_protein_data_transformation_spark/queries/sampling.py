@@ -234,3 +234,67 @@ def sample_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(COUNT(*) AS BIGINT) AS n_kept"))
         .orderBy("source")
     )
+
+
+_TEMP_HASH = SQL_HASH64.format(expr="CAST(d.doc_id AS VARCHAR) || '#' || d.lang")
+
+
+@query(
+    "sample_temperature_alpha",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY lang
+    ),
+    w AS (SELECT lang, cnt, sqrt(CAST(cnt AS DOUBLE)) AS w FROM c),
+    m AS (SELECT MIN(cnt / w) AS m FROM w),
+    r AS (
+        SELECT lang, cnt, LEAST(10000,
+               CAST(FLOOR(w.w * m.m / cnt * 10000) AS BIGINT)) AS bps
+        FROM w CROSS JOIN m
+    )
+    SELECT d.lang, r.cnt AS n_docs, r.bps AS rate_bps,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN r ON r.lang = d.lang
+    WHERE {_TEMP_HASH} % 10000 < r.bps
+    GROUP BY d.lang, r.cnt, r.bps
+    ORDER BY d.lang
+    """,
+)
+def sample_temperature_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling at alpha=0.5 — the multilingual-LM
+    rebalancing scheme (sample languages proportional to p^alpha, so
+    dominant languages shrink and tails survive; alpha=0.5 is the
+    square-root smoothing case). Normalization cancels, so the weight
+    is simply sqrt(cnt); the largest feasible output keeps the SMALLEST
+    language whole (its rate is exactly 1) and downsamples the rest
+    toward sqrt proportions: rate_l = sqrt(cnt_l) * min_k(sqrt(cnt_k))
+    / cnt_l.
+
+    Same two-pass scale shape as sample_mix_to_target: a tiny per-lang
+    counts aggregate broadcast back, then the deterministic
+    hash-Bernoulli keep decision evaluated inside the scan stage.
+    alpha=0.5 is deliberate for the oracle: sqrt, *, / are all
+    IEEE-754 correctly-rounded in both engines, so the computed
+    basis-point rates are bit-identical (a pow()-based alpha would
+    differ in the last ulp between libm implementations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.expr("CAST(COUNT(*) AS BIGINT) AS cnt"))
+    w = counts.selectExpr("lang", "cnt", "sqrt(CAST(cnt AS DOUBLE)) AS w")
+    m = w.agg(F.expr("MIN(cnt / w) AS m"))
+    rates = w.join(F.broadcast(m)).selectExpr(
+        "lang AS r_lang",
+        "cnt",
+        "LEAST(10000, CAST(FLOOR(w * m / cnt * 10000) AS BIGINT)) AS bps",
+    )
+    keep = F.pmod(
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("lang"))),
+        F.lit(10000),
+    )
+    return (
+        docs.join(F.broadcast(rates), docs.lang == F.col("r_lang"))
+        .filter(keep < F.col("bps"))
+        .groupBy("lang", F.col("cnt").alias("n_docs"), F.col("bps").alias("rate_bps"))
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT) AS n_kept"))
+        .orderBy("lang")
+    )

@@ -123,6 +123,9 @@ def test_tail_components_are_covered_in_window():
         # the running-total family's in-window representative
         "pack_sequences_fixed": "q_window_running_totals",
         "sample_stratified": "dedup_exact",
+        # alpha=0.5 temperature resampling: the data-computed-rates
+        # hash-Bernoulli family, driver-checked via sample_hash_split
+        "sample_temperature_alpha": "sample_hash_split",
         # mixing = the stratified hash-Bernoulli mechanism with
         # data-computed rates; same family shapes
         "sample_mix_to_target": "dedup_exact",
