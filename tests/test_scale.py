@@ -218,3 +218,20 @@ def test_dedup_embedding_cosine_is_bucketed_not_all_pairs(spark, sf_dir):
     got = {(r.id_a, r.id_b) for r in df.collect()}
     want = {(r.id_a, r.id_b) for r in brute.collect()}
     assert got == want
+
+
+def test_minhash_verify_plan_is_bucketed(spark, sf_dir):
+    """The MinHash pipeline's pair stage must stay bucketed: no
+    CartesianProduct, and the exact-Jaccard verify must probe the
+    shingle relation with the (broadcast) candidate pairs, never
+    shuffle-join shingles against shingles without the band/hash key."""
+    from aind_protein_data_transformation_spark.queries.llm_dedup import dedup_minhash_lsh
+
+    plan = (
+        dedup_minhash_lsh(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
