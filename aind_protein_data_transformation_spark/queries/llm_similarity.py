@@ -383,3 +383,121 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda d: sorted_small(d, "vec_id"))
     )
+
+
+SEMDEDUP_STRIDE = 40
+SEMDEDUP_TAU = 0.9
+
+
+@query(
+    "dedup_semantic_keep",
+    oracle=f"""
+    WITH perturbed AS (
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(CAST(embedding[i] AS DOUBLE)
+                        + 0.02 * ((i % 3) - 1) AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    corpus AS (
+        SELECT vec_id, {sql_unit_normalize('embedding')} AS en
+        FROM (SELECT vec_id, embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM perturbed)
+    ),
+    c AS (SELECT vec_id AS vid, en AS ve FROM corpus),
+    cent AS (
+        SELECT vec_id AS centroid_id, en AS centroid_vec FROM corpus
+        WHERE vec_id % {SEMDEDUP_STRIDE} = 0 AND vec_id < 1000000
+    ),
+    assigned AS ({_sql_assign('c', 'cent')}),
+    wb AS (
+        SELECT co.vec_id, co.en, a.bucket
+        FROM corpus co JOIN assigned a ON a.vid = co.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id AS did
+        FROM wb a JOIN wb b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         AND {sql_dot('a.en', 'b.en')} >= {SEMDEDUP_TAU}
+    )
+    SELECT wb.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN d.did IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           CAST(SUM(CASE WHEN d.did IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM wb LEFT JOIN dropped d ON d.did = wb.vec_id
+    GROUP BY wb.bucket
+    ORDER BY wb.bucket
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus
+    (nearest stride centroid — the deterministic, oracle-replayable
+    stand-in for the k-means index the production path trains), then
+    WITHIN each cluster drop every item whose cosine to a lower-id
+    cluster-mate reaches tau=0.9, keeping the earliest representative.
+    Reports per-cluster item/dropped/kept counts.
+
+    This is the standard single-pass simplification of SemDeDup's
+    iterative keep-list (drop-if-similar-to-any-lower-id vs
+    drop-if-similar-to-a-KEPT-item): deterministic, SQL-expressible,
+    and it upper-bounds the true drop set. Scale shape: the pair stage
+    is cluster-bucketed (cluster size ~ stride), never all-pairs; the
+    assignment is one broadcast-centroid pass, the same index build
+    similarity_ivf_ann probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: (
+                F.element_at("embedding", i).cast("double")
+                + 0.02 * ((i % 3) - 1)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionByName(perturbed)
+        .select("vec_id", unit_normalize("embedding").alias("en"))
+        .persist()
+    )
+    cents = corpus.filter(
+        (F.col("vec_id") % SEMDEDUP_STRIDE == 0) & (F.col("vec_id") < 1000000)
+    ).select(F.col("vec_id").alias("centroid_id"), F.col("en").alias("centroid_vec"))
+    assigned = assign_buckets(
+        corpus.select(F.col("vec_id").alias("vid"), F.col("en").alias("ve")), cents
+    )
+    wb = corpus.join(assigned, corpus.vec_id == assigned.vid).select(
+        "vec_id", "en", "bucket"
+    )
+    a = wb.select(
+        F.col("vec_id").alias("id_a"), F.col("en").alias("ea"), "bucket"
+    )
+    b = wb.select(
+        F.col("vec_id").alias("id_b"), F.col("en").alias("eb"), "bucket"
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot("ea", "eb") >= SEMDEDUP_TAU)
+        .select(F.col("id_b").alias("did"))
+        .distinct()
+    )
+    return (
+        wb.join(dropped, wb.vec_id == dropped.did, "left")
+        .groupBy("bucket")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT) AS n_items"),
+            F.expr(
+                "CAST(SUM(CASE WHEN did IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                " AS n_dropped"
+            ),
+            F.expr(
+                "CAST(SUM(CASE WHEN did IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                " AS n_kept"
+            ),
+        )
+        .transform(lambda d: sorted_small(d, "bucket"))
+    )

@@ -119,6 +119,9 @@ def test_tail_components_are_covered_in_window():
         # element-wise vector projection family (fold-parity ops):
         # represented by the in-window cosine/IVF queries
         "embedding_quantize_int8": "similarity_cosine_topk",
+        # SemDeDup-style cluster-bucketed representative keep: the
+        # bucketed embedding near-dup family's in-window representative
+        "dedup_semantic_keep": "dedup_embedding_cosine",
         # sequence packing = distributed prefix sum + explode + hash agg;
         # the running-total family's in-window representative
         "pack_sequences_fixed": "q_window_running_totals",
