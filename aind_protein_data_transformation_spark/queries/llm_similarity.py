@@ -14,9 +14,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.vector import (
-    cosine,
     dot,
-    norm,
     sql_cosine,
     sql_dot,
     sql_unit_normalize,
