@@ -235,3 +235,22 @@ def test_minhash_verify_plan_is_bucketed(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dedup_semantic_keep_is_cluster_bucketed(spark, sf_dir):
+    """SemDeDup's pair stage must join on the cluster bucket (equi),
+    never corpus x corpus: no CartesianProduct, and every nested-loop
+    join is the broadcast centroid assignment."""
+    from aind_protein_data_transformation_spark.queries.llm_similarity import (
+        dedup_semantic_keep,
+    )
+
+    plan = (
+        dedup_semantic_keep(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "centroid_vec" in frag.split("BroadcastExchange")[1], plan
