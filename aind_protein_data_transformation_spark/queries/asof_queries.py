@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_banded
 from .registry import query
 
 
@@ -124,4 +124,68 @@ def asof_inner_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_view_value"),
         )
         .orderBy("user_id")
+    )
+
+
+BANDED_WIDTH_US = 3_600_000_000  # 1-hour bands
+
+
+@query(
+    "asof_banded_last_click",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.us, p.value,
+           c.click_id AS asof_click_id,
+           c.us AS asof_click_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.us >= c.us
+    ORDER BY p.event_id
+    """,
+)
+def asof_banded_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution join again, through the SKEW-RESISTANT banded
+    as-of operator (operators/asof.py:asof_join_banded, 1-hour bands):
+    identical answers to asof_purchase_last_click — same oracle — but a
+    hot user's events spread over per-(user, hour) tasks instead of one
+    per-user window partition. This is the plan to pick when a key
+    holds millions of rows; the plain union-sort form stays cheaper
+    (one shuffle) when keys are well spread."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "us", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("us").alias("click_us"),
+    )
+    return (
+        asof_join_banded(
+            purchases,
+            clicks,
+            on="user_id",
+            left_time="us",
+            right_time="click_us",
+            right_values=["click_id", "click_us"],
+            band_width=BANDED_WIDTH_US,
+            how="left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            "value",
+            "asof_click_id",
+            F.col("asof_click_us").alias("asof_click_us"),
+        )
+        .orderBy("event_id")
     )

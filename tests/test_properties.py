@@ -167,3 +167,49 @@ def test_asof_join_matches_bruteforce(spark, data):
             assert got[lid][0] in best_ids
         else:
             assert got[lid] == (None, None)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_asof_join_banded_matches_plain(spark, data):
+    """The skew-resistant banded as-of must equal the plain union-sort
+    as-of for ANY band width — including widths that put everything in
+    one band (degenerates to plain) and width 1 (every timestamp its
+    own band, answers come mostly from the spine carry). Right times
+    are drawn unique per key so the tie order both forms share is
+    fully determined."""
+    from aind_protein_data_transformation_spark.operators.asof import (
+        asof_join,
+        asof_join_banded,
+    )
+
+    keys = st.integers(min_value=0, max_value=3)
+    times = st.integers(min_value=0, max_value=40)
+    left = data.draw(
+        st.lists(st.tuples(keys, times), min_size=1, max_size=25), label="left"
+    )
+    right_pairs = data.draw(
+        st.lists(st.tuples(keys, times), min_size=0, max_size=25, unique=True),
+        label="right",
+    )
+    band_width = data.draw(st.sampled_from([1, 3, 7, 100]), label="band_width")
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid long, k long, t long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right_pairs)],
+        "rid long, k long, rt long",
+    )
+    kwargs = dict(
+        on="k", left_time="t", right_time="rt",
+        right_values=["rid", "rt"], how="left",
+    )
+    plain = {
+        r.lid: (r.asof_rid, r.asof_rt)
+        for r in asof_join(ldf, rdf, **kwargs).collect()
+    }
+    banded = {
+        r.lid: (r.asof_rid, r.asof_rt)
+        for r in asof_join_banded(ldf, rdf, band_width=band_width, **kwargs).collect()
+    }
+    assert banded == plain

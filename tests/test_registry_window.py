@@ -111,6 +111,9 @@ def test_tail_components_are_covered_in_window():
         "q_anti_join_customers_without_orders": "q_semi_join_customers_with_orders",
         "q_scalar_subquery": "q_semi_join_customers_with_orders",
         "asof_inner_error_context": "asof_purchase_last_click",
+        # the skew-resistant banded form, answer-identical by property
+        # test and by shared oracle with the in-window plain form
+        "asof_banded_last_click": "asof_purchase_last_click",
         "multimodal_payload_stats": "multimodal_frame_sample",
         "q20_excess_share_suppliers": "q_semi_join_customers_with_orders",
         "q21_sole_blame_suppliers": "q_semi_join_customers_with_orders",
