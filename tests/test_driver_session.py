@@ -31,7 +31,7 @@ spark = (
 import aind_protein_data_transformation_spark.queries as q
 
 out = {}
-for name in ["q_date_functions", "asof_purchase_last_click", "streaming_tumbling_window"]:
+for name in ["q_date_functions", "asof_purchase_last_click", "streaming_tumbling_window", "q_percentiles_rank_select"]:
     df = q.REGISTRY[name].fn(spark, sf_dir)
     rows = df.collect()
     out[name] = {
@@ -73,6 +73,12 @@ def test_queries_survive_bare_default_session(sf_dir, duck):
                 FROM events GROUP BY 1, 2
             )
             """
+        ).fetchone()[0],
+        # promoted into the driver window round 4; its plan collects
+        # bucket bounds and localCheckpoints the histogram, both of
+        # which must work under a bare 200-shuffle-partition session
+        "q_percentiles_rank_select": duck.execute(
+            "SELECT COUNT(DISTINCT l_returnflag) FROM lineitem"
         ).fetchone()[0],
     }
     for name, want in want_rows.items():
