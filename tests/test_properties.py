@@ -213,3 +213,61 @@ def test_asof_join_banded_matches_plain(spark, data):
         for r in asof_join_banded(ldf, rdf, band_width=band_width, **kwargs).collect()
     }
     assert banded == plain
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_rank_select_percentiles_match_duckdb_on_random_data(spark, data):
+    """multi_column_percentiles_rank_select == DuckDB quantile_cont
+    bit-for-bit on RANDOM grouped data: duplicates, negatives, nulls,
+    single-row groups, and groups spanning very different value ranges
+    (which stresses the shared global bucket bounds)."""
+    import duckdb
+
+    from aind_protein_data_transformation_spark.operators.percentile import (
+        multi_column_percentiles_rank_select,
+    )
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.one_of(
+                    st.none(),
+                    st.integers(min_value=-1000, max_value=1000),
+                    st.integers(min_value=900000, max_value=901000),
+                ),
+            ),
+            min_size=1,
+            max_size=80,
+        ),
+        label="rows",
+    )
+    # every group needs >=1 non-null value for quantile_cont to emit it
+    if not any(v is not None for _, v in rows):
+        rows.append((0, 0))
+    df = spark.createDataFrame(
+        [(g, float(v) if v is not None else None) for g, v in rows],
+        "g long, x double",
+    )
+    got = {
+        r.g: (r.p25, r.p50, r.p90)
+        for r in multi_column_percentiles_rank_select(
+            df, ["g"], {"x": [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]},
+            n_buckets=16,  # tiny buckets: force multi-row phase-2 sorts
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        g: (p25, p50, p90)
+        for g, p25, p50, p90 in con.execute(
+            """
+            SELECT g, quantile_cont(x, 0.25), quantile_cont(x, 0.5),
+                   quantile_cont(x, 0.9)
+            FROM t WHERE x IS NOT NULL GROUP BY g
+            """
+        ).fetchall()
+    }
+    assert got == want
