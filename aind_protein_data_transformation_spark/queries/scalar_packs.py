@@ -779,3 +779,56 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_flag, g_status, returnflag, linestatus
         """
     )
+
+
+@query(
+    "q_mad_robust_stats",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT l.l_returnflag,
+               abs(CAST(l.l_extendedprice AS DOUBLE) - m.med) AS adev,
+               m.med
+        FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+    )
+    SELECT l_returnflag,
+           MAX(med) AS price_median,
+           quantile_cont(adev, 0.5) AS price_mad
+    FROM dev
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread
+    statistic outlier-heavy pipelines use instead of stddev. Two
+    composed rank-select passes: exact median per group (broadcast
+    back, group-sized), then exact median of |x - median| through the
+    same operator. Each pass is the scale-safe two-phase plan, so the
+    whole statistic is computable at any group count / data size with
+    no per-group single-task sort; both interpolations are the
+    DuckDB-weighted form, so the composition stays bit-identical
+    across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = multi_column_percentiles_rank_select(
+        li, ["l_returnflag"], {"l_extendedprice": [(0.5, "med")]}
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = multi_column_percentiles_rank_select(
+        dev, ["l_returnflag"], {"adev": [(0.5, "price_mad")]}
+    )
+    meds = dev.groupBy("l_returnflag").agg(F.max("med").alias("price_median"))
+    return sorted_small(
+        meds.join(F.broadcast(mad), "l_returnflag").select(
+            "l_returnflag", "price_median", "price_mad"
+        ),
+        "l_returnflag",
+    )

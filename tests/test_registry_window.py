@@ -154,6 +154,9 @@ def test_tail_components_are_covered_in_window():
         # re-aggregatable HLL union: the sketch family's in-window
         # representative carries the tolerance-boolean check shape
         "q_sketch_reaggregation": "q_approx_aggregates",
+        # MAD = two composed rank-select passes; the percentile
+        # family's in-window representative covers the machinery
+        "q_mad_robust_stats": "q_percentiles_rank_select",
         # rotated out round 3 for text_repetition_stats; conditional-agg +
         # 2-table equi-join shape keeps q1/q3/semi/anti/outer in window
         "q12_shipmode_priority": "q1_pricing_summary",
