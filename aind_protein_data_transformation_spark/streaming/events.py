@@ -14,12 +14,38 @@ processing-time dependence).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
+
+#: Extra options applied to every events file-stream source — set via
+#: :func:`stream_replay_options` (tests use it to force
+#: ``maxFilesPerTrigger=1`` so a multi-file fixture replays as one
+#: micro-batch per file, exercising watermark/state advancement across
+#: batch boundaries instead of a single availableNow mega-batch).
+_STREAM_READ_OPTIONS: dict[str, str] = {}
+
+#: Batch count of the most recent :func:`run_stream_to_memory` replay
+#: (``lastProgress.batchId + 1``); lets tests assert a replay really
+#: crossed N micro-batch boundaries.
+LAST_REPLAY_BATCHES: int = 0
+
+
+@contextlib.contextmanager
+def stream_replay_options(**options: str | int):
+    """Scoped extra source options for events streams (e.g.
+    ``maxFilesPerTrigger=1``). Not thread-safe — test-only."""
+    global _STREAM_READ_OPTIONS
+    prev = _STREAM_READ_OPTIONS
+    _STREAM_READ_OPTIONS = {k: str(v) for k, v in options.items()}
+    try:
+        yield
+    finally:
+        _STREAM_READ_OPTIONS = prev
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,14 +62,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
     # The file-stream source needs a DIRECTORY (it watches for new
-    # files); select just the events parquet out of sf_dir via glob.
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # files). The driver ships events.parquet as a single FILE — select
+    # it out of sf_dir via glob; but when a fixture provides
+    # events.parquet as a DIRECTORY of part files (the multi-micro-batch
+    # replay tests), stream that directory itself so each part file can
+    # become its own micro-batch under maxFilesPerTrigger.
+    reader = spark.readStream.schema(schema)
+    for k, v in _STREAM_READ_OPTIONS.items():
+        reader = reader.option(k, v)
+    if os.path.isdir(events_path):
+        raw = reader.parquet(events_path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     ts_type = schema["ts"].dataType
     if isinstance(ts_type, LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -71,4 +104,7 @@ def run_stream_to_memory(
         .start()
     )
     query.awaitTermination()
+    global LAST_REPLAY_BATCHES
+    progress = query.lastProgress
+    LAST_REPLAY_BATCHES = (progress["batchId"] + 1) if progress else 0
     return sdf.sparkSession.table(qname)

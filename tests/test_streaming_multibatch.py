@@ -1,0 +1,110 @@
+"""Multi-micro-batch replay equivalence (VERDICT r3 ask #6).
+
+availableNow over the driver's single events file is effectively ONE
+micro-batch, so the streaming queries' replay checks never exercised
+state carry-over or watermark advancement ACROSS batch boundaries —
+exactly where watermark bugs live. These tests split the events fixture
+into three time-ordered files, force ``maxFilesPerTrigger=1`` so the
+replay runs one micro-batch per file (asserted via the recorded batch
+count), and require the final answer to be identical to the
+single-mega-batch replay of the same data:
+
+- tumbling windows (complete mode): window state must accumulate across
+  batches, not reset;
+- dropDuplicatesWithinWatermark (append): dedup state must survive long
+  enough to catch duplicates while the watermark advances batch-by-batch;
+- watermark late-data policy (append): windows must emit exactly when
+  the advancing watermark passes their end, never re-emit, and the final
+  no-data batch must flush everything below the final watermark;
+- applyInPandasWithState totals (update): per-key GroupState must carry
+  across batches and the last update per key must equal the batch total.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aind_protein_data_transformation_spark.catalog import load_table
+from aind_protein_data_transformation_spark.queries.streaming_queries import (
+    streaming_dedup_watermark,
+    streaming_late_data_policy,
+    streaming_stateful_totals,
+    streaming_tumbling_window,
+)
+from aind_protein_data_transformation_spark.streaming import events as events_mod
+from aind_protein_data_transformation_spark.streaming.events import (
+    stream_replay_options,
+)
+
+N_FILES = 3
+
+
+@pytest.fixture(scope="module")
+def split_sf_dir(spark, sf_dir, tmp_path_factory) -> str:
+    """A fixture sf_dir whose events table is a DIRECTORY of N_FILES
+    part files, split by event-time range, with file modification times
+    ascending in event-time order (the file stream source picks oldest
+    mtime first, so the replay sees time-ordered micro-batches — the
+    arrival order a live ingest would produce)."""
+    root = tmp_path_factory.mktemp("multibatch_sf")
+    events_dir = os.path.join(str(root), "events.parquet")
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.withColumn(
+        "bucket", F.ntile(N_FILES).over(Window.orderBy("ts", "event_id"))
+    )
+    base_mtime = 1_700_000_000
+    for b in range(1, N_FILES + 1):
+        before = set(os.listdir(events_dir)) if os.path.isdir(events_dir) else set()
+        (
+            bucketed.filter(F.col("bucket") == b)
+            .drop("bucket")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(events_dir)
+        )
+        for name in set(os.listdir(events_dir)) - before:
+            if name.endswith(".parquet"):
+                path = os.path.join(events_dir, name)
+                os.utime(path, (base_mtime + b, base_mtime + b))
+    parts = [n for n in os.listdir(events_dir) if n.endswith(".parquet")]
+    assert len(parts) == N_FILES, parts
+    yield str(root)
+    shutil.rmtree(str(root), ignore_errors=True)
+
+
+def _run(qfn, spark, sf_dir_, multibatch: bool):
+    if multibatch:
+        with stream_replay_options(maxFilesPerTrigger=1):
+            rows = qfn(spark, sf_dir_).collect()
+        # >= N_FILES data batches (a final no-data batch may add one)
+        assert events_mod.LAST_REPLAY_BATCHES >= N_FILES, (
+            qfn.__name__,
+            events_mod.LAST_REPLAY_BATCHES,
+        )
+    else:
+        rows = qfn(spark, sf_dir_).collect()
+        assert events_mod.LAST_REPLAY_BATCHES <= 2
+    return [tuple(r) for r in rows]
+
+
+@pytest.mark.parametrize(
+    "qfn",
+    [
+        streaming_tumbling_window,
+        streaming_dedup_watermark,
+        streaming_late_data_policy,
+        streaming_stateful_totals,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_multibatch_replay_matches_single_batch(qfn, spark, split_sf_dir):
+    single = _run(qfn, spark, split_sf_dir, multibatch=False)
+    multi = _run(qfn, spark, split_sf_dir, multibatch=True)
+    assert len(single) > 0
+    assert multi == single
