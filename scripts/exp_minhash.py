@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Same-session A/B experiments for dedup_minhash_lsh (VERDICT r3 ask #7).
+
+VM timing noise is +-50% across sessions, so every variant here runs
+best-of-N inside ONE session, interleaved round-robin so slow drift
+hits all variants equally. Variants (same final result, asserted):
+
+  current        registered query (distinct-before-hash shingles,
+                 4-key band join)
+  hash_first     md5 every shingle occurrence, distinct on the numeric
+                 (doc_id, h) instead of the string (doc_id, shingle)
+  packed_bands   band self-join key packed bijectively: p01 = k0*P+k1,
+                 p23 = k2*P+k3 (2 bigints instead of 4; identical
+                 collision set since the packing is injective)
+  packed_hash    both of the above
+
+Usage: python scripts/exp_minhash.py [sf_dir] [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from aind_protein_data_transformation_spark.operators.dedup import (  # noqa: E402
+    LSH_BAND_SIZE,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    minhash_signatures,
+)
+from aind_protein_data_transformation_spark.plans.scale import sorted_small  # noqa: E402
+from aind_protein_data_transformation_spark.queries.llm_dedup import (  # noqa: E402
+    _MH_VERIFY_SQL,
+    _corpus_near,
+    dedup_minhash_lsh,
+)
+from aind_protein_data_transformation_spark.session import get_spark  # noqa: E402
+
+N_BANDS = MINHASH_PERMS // LSH_BAND_SIZE
+
+
+def shingles_hash_first(corpus: DataFrame, k: int = 3) -> DataFrame:
+    parts = ", ".join(f"element_at(tk, i + {j})" for j in range(k))
+    return (
+        corpus.selectExpr(
+            "doc_id", "filter(split(text, '\\\\s+'), t -> t <> '') AS tk"
+        )
+        .where(f"size(tk) >= {k}")
+        .selectExpr("doc_id", "tk", f"explode(sequence(1, size(tk) - {k - 1})) AS i")
+        .selectExpr(
+            "doc_id",
+            f"CAST(CONV(SUBSTRING(MD5(concat_ws(' ', {parts})), 1, 15), 16, 10) "
+            f"AS BIGINT) % {MINHASH_PRIME} AS h",
+        )
+        .distinct()
+    )
+
+
+_PACKED_STRUCTS = ", ".join(
+    "struct({b} AS band, "
+    "m{i0} * CAST({p} AS BIGINT) + m{i1} AS p01, "
+    "m{i2} * CAST({p} AS BIGINT) + m{i3} AS p23)".format(
+        b=b,
+        p=MINHASH_PRIME,
+        i0=b * LSH_BAND_SIZE,
+        i1=b * LSH_BAND_SIZE + 1,
+        i2=b * LSH_BAND_SIZE + 2,
+        i3=b * LSH_BAND_SIZE + 3,
+    )
+    for b in range(N_BANDS)
+)
+
+_PACKED_VERIFY_SQL = f"""
+    WITH banded AS (
+        SELECT doc_id, inline(array({_PACKED_STRUCTS})) FROM _mh_sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.p01 = b.p01 AND a.p23 = b.p23
+         AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT /*+ BROADCAST(p) */ p.doc_a, p.doc_b, COUNT(*) AS shared
+        FROM pairs p
+        JOIN _mh_shingles sa ON sa.doc_id = p.doc_a
+        JOIN _mh_shingles sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) AS jaccard
+    FROM shared s
+    JOIN _mh_sig na ON na.doc_id = s.doc_a
+    JOIN _mh_sig nb ON nb.doc_id = s.doc_b
+    WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.4
+"""
+
+
+def _variant(spark: SparkSession, sf_dir: str, hash_first: bool, packed: bool):
+    from aind_protein_data_transformation_spark.operators.dedup import shingle_set
+
+    corpus = _corpus_near(spark, sf_dir)
+    sh = (shingles_hash_first(corpus) if hash_first else shingle_set(corpus, k=3)).persist()
+    sh.createOrReplaceTempView("_mh_shingles")
+    minhash_signatures(sh).persist().createOrReplaceTempView("_mh_sig")
+    sql = _PACKED_VERIFY_SQL if packed else _MH_VERIFY_SQL
+    return spark.sql(sql).transform(lambda d: sorted_small(d, "doc_a", "doc_b"))
+
+
+VARIANTS = {
+    "current": lambda s, d: dedup_minhash_lsh(s, d),
+    "hash_first": lambda s, d: _variant(s, d, True, False),
+    "packed_bands": lambda s, d: _variant(s, d, False, True),
+    "packed_hash": lambda s, d: _variant(s, d, True, True),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark("exp-minhash")
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # result equality across variants (once, warm-up doubling as check)
+    base = None
+    for name, fn in VARIANTS.items():
+        rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        spark.catalog.clearCache()
+        if base is None:
+            base = rows
+        else:
+            assert rows == base, f"{name} diverges: {len(rows)} vs {len(base)}"
+    print(f"# all variants agree: {len(base)} pairs", flush=True)
+
+    best: dict[str, float] = {k: float("inf") for k in VARIANTS}
+    for r in range(rounds):
+        for name, fn in VARIANTS.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best[name] = min(best[name], dt)
+            spark.catalog.clearCache()
+        print(f"# round {r}: " + json.dumps({k: round(v, 3) for k, v in best.items()}), flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "best": {k: round(v, 4) for k, v in best.items()}}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
