@@ -29,8 +29,9 @@ is a group), so with FEW groups over HUGE data the sort doesn't
 parallelize. :func:`column_percentiles_rank_select` removes that too —
 the textbook two-phase rank-select: a fully-parallel bounded bucket
 histogram locates which tiny value range holds each target rank, then a
-second pruned pass exact-sorts only those buckets (~n/n_buckets rows
-each). No stage ever shuffles or sorts O(n) rows, at any group count.
+second pruned pass exact-sorts only those buckets (a ~0.4%-wide value
+slice each). No stage ever shuffles or sorts O(n) rows, at any group
+count.
 """
 
 from __future__ import annotations
@@ -115,31 +116,62 @@ def column_percentiles(
     return agged.selectExpr(*out)
 
 
+#: sign-range separator for _log_bucket_id: |mag| <= 1100*subdivisions + subdivisions,
+#: so any offset > that keeps positive / zero / negative id ranges disjoint.
+_LOG_BID_OFFSET = 1 << 22
+
+
+def _log_bucket_id(subdivisions: int = 256) -> F.Column:
+    """Fixed MONOTONE bucket id for double column ``v`` — no data-derived
+    bounds: sign-split (octave = floor(log2|v|), clamped to ±1100) ×
+    ``subdivisions`` mantissa slots. Within an octave the mantissa slot
+    is monotone; across octaves the octave term dominates; negatives
+    mirror below ``-_LOG_BID_OFFSET``, zero sits at 0, positives above
+    ``+_LOG_BID_OFFSET``. Robust to ±1 float error in floor(log2) at a
+    power-of-two boundary: the two adjacent encodings (e, subdivisions)
+    and (e+1, 0) produce the SAME id, so the mapping stays monotone
+    non-decreasing — which is all rank-select needs (equal ids merely
+    merge buckets). Relative bucket width is ~1/subdivisions, so
+    phase 2 sorts a ~0.4%-wide value slice per targeted bucket."""
+    av = F.abs(F.col("v"))
+    e = F.greatest(
+        F.lit(-1100), F.least(F.lit(1100), F.floor(F.log2(av)).cast("long"))
+    )
+    frac = av / F.pow(F.lit(2.0), e.cast("double")) - F.lit(1.0)
+    sub = F.floor(
+        F.greatest(F.lit(-1.0), F.least(frac, F.lit(1.999))) * F.lit(subdivisions)
+    ).cast("long")
+    mag = e * F.lit(subdivisions) + sub
+    return (
+        F.when(F.col("v") == 0, F.lit(0))
+        .when(F.col("v") > 0, mag + F.lit(_LOG_BID_OFFSET))
+        .otherwise(F.lit(-_LOG_BID_OFFSET) - mag)
+    )
+
+
 def column_percentiles_rank_select(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     percentiles: list[tuple[float, str]],
-    n_buckets: int = 8192,
+    octave_subdivisions: int = 256,
 ) -> DataFrame:
     """Two-phase exact percentiles: same result as
     :func:`column_percentiles`, but no per-group single-task sort.
 
-    Phase 1: per-group min/max/count (tiny agg, broadcast back), then a
-    bounded equi-width bucket histogram ``groupBy(group, bucket)`` —
-    map-side combined, output ≤ groups × n_buckets rows regardless of
-    data size. A cumulative window over the *histogram* (n_buckets rows
+    Phase 1: a bounded bucket histogram ``groupBy(group, bucket)`` —
+    map-side combined, output is O(buckets-present) rows regardless of
+    data size. A cumulative window over the *histogram* (bounded rows
     per group — trivial) finds which bucket holds each target rank.
 
     Phase 2: re-scan, keep only rows in target buckets (a broadcast
-    semi-ish join; expected n/n_buckets rows per bucket), rank them with
-    a window partitioned by (group, bucket) — many small sorts, fully
-    parallel — and pick the rows whose global rank is floor(h) /
-    floor(h)+1. Interpolation is the DuckDB-weighted form.
+    join; ~n/buckets rows per bucket), rank them with a window
+    partitioned by (group, bucket) — many small sorts, fully parallel —
+    and pick the rows whose global rank is floor(h) / floor(h)+1.
+    Interpolation is the DuckDB-weighted form.
 
-    All exchanges are O(groups × n_buckets) or O(selected rows); the
-    identical phase-1 subplans are deduplicated by Spark's exchange
-    reuse, so the source is scanned twice (column-pruned).
+    All exchanges are O(buckets present) or O(selected rows); the
+    source is scanned twice (column-pruned).
     Skew caveat: a single repeated value can concentrate a bucket, but
     phase 2 only ever sorts the targeted buckets, and ties within a
     bucket carry equal values, so correctness is unaffected.
@@ -149,7 +181,8 @@ def column_percentiles_rank_select(
     projection for one column).
     """
     return multi_column_percentiles_rank_select(
-        df, group_cols, {value_col: percentiles}, n_buckets=n_buckets
+        df, group_cols, {value_col: percentiles},
+        octave_subdivisions=octave_subdivisions,
     )
 
 
@@ -157,23 +190,33 @@ def multi_column_percentiles_rank_select(
     df: DataFrame,
     group_cols: list[str],
     specs: dict[str, list[tuple[float, str]]],
-    n_buckets: int = 8192,
+    octave_subdivisions: int = 256,
 ) -> DataFrame:
     """Rank-select percentiles for SEVERAL value columns in ONE fused
     pipeline: ``specs`` maps value column -> [(p, alias), ...]; output
     is one row per group with every alias.
 
-    The per-column form pays the whole two-phase plan (range agg,
-    histogram shuffle, target join) once per column; fused, the columns
-    are ``stack``-ed into (cid, v) rows so ONE scan, ONE range
-    aggregate, ONE bounded histogram, and ONE pruned phase-2 pass
-    serve them all — the column id simply joins every key. In-flight
-    rows grow k-fold through the stack, but every exchange stays
-    O(groups × columns × n_buckets) or O(selected rows), and all
+    The per-column form pays the whole two-phase plan (histogram
+    shuffle, target join) once per column; fused, the columns are
+    ``stack``-ed into (cid, v) rows so ONE bounded histogram and ONE
+    pruned phase-2 pass serve them all — the column id simply joins
+    every key. In-flight rows grow k-fold through the stack, but every
+    exchange stays O(buckets present) or O(selected rows), and all
     windows partition by (group, cid[, bid]) — bounded inputs or
     many small parallel sorts, never a per-group O(n) single-task
     sort at any group count. Null values are excluded per column,
     matching ``quantile_cont``.
+
+    Bucket ids come from a FIXED monotone log-bucketing of the double
+    (sign-split octave × ``octave_subdivisions`` mantissa slots, see
+    ``_log_bucket_id``): boundaries only need to be order-preserving,
+    not equi-anything, so no min/max pre-pass exists at all — the
+    equi-width form this replaced spent a full extra scan (plus a
+    driver-side bounds collect) computing ranges, measured 33% slower
+    end-to-end at 6M rows (scripts/exp_percentile.py) for identical
+    results. Bucket count is bounded by octaves-present ×
+    subdivisions (~tens per octave of spread), and each phase-2 sort
+    handles one bucket's ~0.4%-wide value slice.
     """
     cols = list(specs)
     k = len(cols)
@@ -183,42 +226,7 @@ def multi_column_percentiles_rank_select(
         *quoted_groups, f"stack({k}, {stack_args}) AS (cid, v)"
     ).where(F.col("v").isNotNull())
     keys = [*group_cols, "cid"]
-
-    # Bucket bounds are GLOBAL per column, not per group: boundaries
-    # only need to be order-preserving within a group, so a k-row
-    # min/max aggregate replaces a per-group range join. The k rows are
-    # COLLECTED and inlined as plan literals — bounded driver-side
-    # metadata (one double pair per value column, like the catalog's
-    # file listings or a streaming watermark scalar), NOT a data
-    # collect. Joining them back instead was measured 4x slower on the
-    # histogram stage at 6M rows: the literal form keeps the bucket-id
-    # arithmetic inside one codegen stage with zero join in either
-    # phase's lineage. (Groups spanning a narrow slice of the global
-    # range use fewer distinct buckets; that skews bucket sizes, never
-    # results.)
-    bounds = {
-        r["cid"]: (r["vmin"], r["vmax"])
-        for r in rows.groupBy("cid")
-        .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
-        .collect()
-    }
-    bid = None
-    for c in cols:
-        vmin, vmax = bounds.get(c, (0.0, 0.0))
-        if vmax > vmin:
-            e = F.least(
-                F.lit(n_buckets - 1),
-                F.floor(
-                    (F.col("v") - F.lit(float(vmin)))
-                    / F.lit(float(vmax) - float(vmin))
-                    * F.lit(float(n_buckets))
-                ),
-            )
-        else:
-            e = F.lit(0)
-        cond = F.when(F.col("cid") == c, e)
-        bid = cond if bid is None else bid.when(F.col("cid") == c, e)
-    bucketed = rows.withColumn("bid", bid.otherwise(F.lit(0)).cast("long"))
+    bucketed = rows.withColumn("bid", _log_bucket_id(octave_subdivisions))
 
     w_part = Window.partitionBy(*keys)
     w_cum = Window.partitionBy(*keys).orderBy("bid")
@@ -228,12 +236,6 @@ def multi_column_percentiles_rank_select(
         .withColumn("n", F.sum("cnt").over(w_part))
         .withColumn("cum_end", F.sum("cnt").over(w_cum))
         .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
-        # The histogram is BOUNDED (<= groups x columns x n_buckets
-        # rows): checkpoint it so the targets broadcast and the final
-        # aggregation don't each re-run the scan+histogram subtree —
-        # Catalyst's exchange reuse cannot deduplicate across a
-        # broadcast boundary.
-        .localCheckpoint()
     )
     hit = None
     for c, percentiles in specs.items():

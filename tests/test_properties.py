@@ -254,7 +254,7 @@ def test_rank_select_percentiles_match_duckdb_on_random_data(spark, data):
         r.g: (r.p25, r.p50, r.p90)
         for r in multi_column_percentiles_rank_select(
             df, ["g"], {"x": [(0.25, "p25"), (0.5, "p50"), (0.9, "p90")]},
-            n_buckets=16,  # tiny buckets: force multi-row phase-2 sorts
+            octave_subdivisions=2,  # coarse buckets: force multi-row phase-2 sorts
         ).collect()
     }
     con = duckdb.connect()
