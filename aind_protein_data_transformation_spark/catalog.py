@@ -10,6 +10,7 @@ Catalyst pushes filters/projections into the parquet reader.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,6 +50,7 @@ def clear_plan_memo(sf_dir: str | None = None) -> None:
     """Invalidate memoized table plans — all of them, or only those
     under ``sf_dir`` (for callers that regenerate one dataset
     in-process, e.g. test fixtures rewriting a temp directory)."""
+    _VIEW_MEMO.clear()  # next SQL-form query re-registers its views
     if sf_dir is None:
         _PLAN_MEMO.clear()
         return
@@ -115,7 +117,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+#: (session -> {table: abs sf_dir}) of already-registered temp views.
+#: Weakly keyed so a stopped session's entries vanish with it. Same
+#: static-data assumption as _PLAN_MEMO (clear_plan_memo wipes both).
+_VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def ensure_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Register temp views for ``tables`` (all of TABLES when empty),
+    skipping tables already registered for the SAME sf_dir in this
+    session — steady-state cost of a SQL-form query drops to zero
+    crossings here. A different sf_dir re-registers (tests hop between
+    scale factors and tmp fixtures in one session)."""
+    reg = _VIEW_MEMO.setdefault(spark, {})
+    prefix = os.path.abspath(sf_dir)
+    for name in tables or TABLES:
+        if reg.get(name) != prefix:
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+            reg[name] = prefix
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view so SQL-form queries can run."""
-    for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    ensure_views(spark, sf_dir)

@@ -104,6 +104,17 @@ def davg(col: Column | str, alias: str) -> Column:
     return (exact_sum(col) / F.count(col)).alias(alias)
 
 
+def spark_dsum_sql(expr: str, alias: str) -> str:
+    """Spark-SQL text twin of :func:`dsum` — for queries shipped as one
+    static ``spark.sql`` statement."""
+    return f"{exact_sum_sql(expr)} AS {alias}"
+
+
+def spark_davg_sql(expr: str, alias: str) -> str:
+    """Spark-SQL text twin of :func:`davg`."""
+    return f"{exact_sum_sql(expr)} / COUNT({expr}) AS {alias}"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
     """DuckDB-side twin of :func:`dsum` (plain exact decimal sum)."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"

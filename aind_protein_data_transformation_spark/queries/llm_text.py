@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import ensure_views, load_table
 from ..functions.text import hash64, tokens
 from ..plans.scale import sorted_small
 from .registry import query
@@ -39,6 +39,38 @@ def _sql_stopword_values() -> str:
 
 def _sql_en_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+
+
+_PIPELINE_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, text,
+           filter(split(text, '\\\\s+'), t -> t <> '') AS t
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, lang, source, text FROM toks
+    WHERE size(t) >= 10 AND size(t) <= 5000
+      AND CAST(size(filter(t, x -> array_contains(
+              array({", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])}),
+              lower(x)))) AS DOUBLE) / size(t) <= 0.6
+),
+hashed AS (
+    SELECT doc_id, lang, source,
+           sha2(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 256)
+               AS content_hash
+    FROM quality
+),
+survivors AS (
+    SELECT lang, source FROM (
+        SELECT lang, source,
+               ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        FROM hashed
+    ) WHERE rn = 1
+)
+SELECT source, lang, COUNT(*) AS n_docs
+FROM survivors
+GROUP BY source, lang
+"""
 
 
 @query(
@@ -301,31 +333,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor counts. One linear operator chain, two shuffles total
     (dedup window + final aggregate); every stage is the same operator
     the standalone queries check individually — this pins that they
-    compose."""
-    d = load_table(spark, sf_dir, "documents")
-    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    toks = d.select("doc_id", "lang", "source", "text", tokens("text").alias("t"))
-    stop_ratio = (
-        F.size(F.filter("t", lambda x: F.array_contains(en, F.lower(x)))).cast("double")
-        / F.size("t")
-    )
-    quality = toks.filter(
-        (F.size("t") >= 10) & (F.size("t") <= 5000) & (stop_ratio <= 0.6)
-    )
-    from ..functions.text import normalize_text
-
-    hashed = quality.select(
-        "doc_id", "lang", "source", F.sha2(normalize_text("text"), 256).alias("content_hash")
-    )
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
-    survivors = (
-        hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    )
-    return (
-        survivors.groupBy("source", "lang")
-        .agg(F.count("*").alias("n_docs"))
-        .transform(lambda d: sorted_small(d, "source", "lang"))
-    )
+    compose. Static-SQL form (one py4j crossing; same plan as the
+    Column chain — the lambda HOFs are Catalyst LambdaFunctions either
+    way)."""
+    ensure_views(spark, sf_dir, "documents")
+    return sorted_small(spark.sql(_PIPELINE_SQL), "source", "lang")
 
 
 @query(

@@ -14,11 +14,69 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
-from ..functions.numeric import davg, dsum, exact_sum, sql_davg, sql_dsum
+from ..catalog import ensure_views, load_table
+from ..functions.numeric import (
+    davg,
+    dsum,
+    exact_sum,
+    spark_davg_sql,
+    spark_dsum_sql,
+    sql_davg,
+    sql_dsum,
+)
 from ..operators.range_join import count_above
 from ..plans.scale import sorted_small
 from .registry import query
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {spark_dsum_sql('l_quantity', 'sum_qty')},
+       {spark_dsum_sql('l_extendedprice', 'sum_base_price')},
+       {spark_dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {spark_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {spark_davg_sql('l_quantity', 'avg_qty')},
+       {spark_davg_sql('l_extendedprice', 'avg_price')},
+       {spark_davg_sql('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+_Q3_SQL = f"""
+SELECT /*+ BROADCAST(c) */
+       l.l_orderkey,
+       {spark_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       o.o_orderdate, o.o_orderpriority
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+_Q5_SQL = f"""
+SELECT /*+ BROADCAST(c), BROADCAST(s), BROADCAST(n), BROADCAST(r) */
+       n.n_name,
+       {spark_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
 
 
 @query(
@@ -43,23 +101,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: scan -> pushed filter -> hash agg
     (partial+final map-side combine) -> sort. Generalizes the reference's
     windowed-mean aggregation stage (czi_to_zarr.py:342-386) to relational
-    grouping; the flagship end-to-end slice (SURVEY.md §7 M1)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
-            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-        .transform(lambda d: sorted_small(d, "l_returnflag", "l_linestatus"))
-    )
+    grouping; the flagship end-to-end slice (SURVEY.md §7 M1).
+
+    Static-SQL form (identical plan to the dsum/davg Column chain; the
+    string builds in one py4j crossing instead of ~40 — per-call plan
+    construction is a measured 3s across the 20-query headline suite)."""
+    ensure_views(spark, sf_dir, "lineitem")
+    return sorted_small(spark.sql(_Q1_SQL), "l_returnflag", "l_linestatus")
 
 
 @query(
@@ -82,23 +130,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped: selective dim filter -> fact joins -> agg -> global
     top-k. customer is broadcast (tiny at every SF); orders⋈lineitem
-    shuffles on orderkey, which AQE sizes at runtime. Top-k via sort+limit
-    is a TakeOrderedAndProject — no full global sort materialization."""
-    cutoff = F.lit("1998-03-15").cast("timestamp")
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(10)
-    )
+    shuffles on orderkey, which AQE sizes at runtime. Top-k via ORDER BY
+    + LIMIT is a TakeOrderedAndProject — no full global sort
+    materialization. Static-SQL form (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "lineitem", "orders", "customer")
+    return spark.sql(_Q3_SQL)
 
 
 @query(
@@ -122,30 +158,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped 6-way join. All dims (region/nation/supplier/
     customer) broadcast; only orders⋈lineitem shuffles. At 100 TB the
-    star-join order matters: filter region first so dynamic partition
-    pruning / broadcast semi-reduction shrinks the fact scan."""
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n = load_table(spark, sf_dir, "nation")
-    s = load_table(spark, sf_dir, "supplier")
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    star-join order matters: Catalyst pushes the region filter first so
+    broadcast semi-reduction shrinks the fact scan. Static-SQL form."""
+    ensure_views(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
-        .transform(lambda d: sorted_small(d, F.desc("revenue"), "n_name"))
-    )
+    return sorted_small(spark.sql(_Q5_SQL), F.desc("revenue"), "n_name")
 
 
 @query(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, register_views
+from ..catalog import ensure_views, load_table, register_views
 from ..functions.numeric import exact_sum
 from ..operators.percentile import (
     column_percentiles,
@@ -468,7 +468,7 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator composition (operators/percentile.py) builds, minus
     ~120 py4j crossings of per-call construction; the operators remain
     the general API (property-tested vs this query's oracle)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    ensure_views(spark, sf_dir, "lineitem")
     return sorted_small(spark.sql(_PCT_EXACT_SQL), "l_returnflag")
 
 

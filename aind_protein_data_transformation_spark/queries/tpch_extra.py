@@ -13,10 +13,78 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
-from ..functions.numeric import dsum, exact_sum, exact_sum_sql, sql_dsum
+from ..catalog import ensure_views, load_table
+from ..functions.numeric import (
+    dsum,
+    exact_sum,
+    exact_sum_sql,
+    spark_dsum_sql,
+    sql_dsum,
+)
 from ..plans.scale import sorted_small
 from .registry import query
+
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, ship_year,
+       {spark_dsum_sql('volume', 'revenue')}
+FROM (
+    SELECT /*+ BROADCAST(s), BROADCAST(n1), BROADCAST(n2) */
+           n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS ship_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+_Q8_SQL = f"""
+SELECT ship_year,
+       {exact_sum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0D END")}
+       / {exact_sum_sql('volume')} AS mkt_share
+FROM (
+    SELECT /*+ BROADCAST(n2), BROADCAST(r), BROADCAST(s), BROADCAST(n1) */
+           year(o.o_orderdate) AS ship_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n1.n_name AS supp_nation
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+)
+GROUP BY ship_year
+"""
+
+
+_Q10_SQL = f"""
+SELECT /*+ BROADCAST(n) */
+       c.c_custkey, c.c_name,
+       {spark_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       n.n_name AS nation
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
 
 
 @query(
@@ -46,34 +114,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q7 shape: bilateral trade volume between two nations by
     ship year. Nation joins twice under different roles (supplier vs
     customer side) — the classic dimension self-role pattern; the
-    OR-of-pairs predicate survives into a single broadcast spine."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .filter(pair)
-        .select(
-            "supp_nation",
-            "cust_nation",
-            F.year("l_shipdate").alias("ship_year"),
-            volume.alias("volume"),
-        )
-        .groupBy("supp_nation", "cust_nation", "ship_year")
-        .agg(dsum("volume", "revenue"))
-        .transform(lambda d: sorted_small(d, "supp_nation", "cust_nation", "ship_year"))
+    OR-of-pairs predicate survives into a single broadcast spine.
+    Static-SQL form (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    return sorted_small(
+        spark.sql(_Q7_SQL), "supp_nation", "cust_nation", "ship_year"
     )
 
 
@@ -106,42 +151,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume per year — conditional aggregation (CASE inside SUM) over a
     6-table join; numerator and denominator come from ONE pass, not two
     scans. Ratio of two decimal-exact sums divides as double on both
-    engines."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey"))
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .join(
-            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
-            F.col("n2_rkey") == F.col("r_regionkey"),
-        )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .select(
-            F.year("o_orderdate").alias("ship_year"),
-            volume.alias("volume"),
-            "supp_nation",
-        )
-        .groupBy("ship_year")
-        .agg(
-            (
-                exact_sum(
-                    "CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0D END"
-                )
-                / exact_sum("volume")
-            ).alias("mkt_share")
-        )
-        .transform(lambda d: sorted_small(d, "ship_year"))
+    engines. Static-SQL form (one py4j crossing)."""
+    ensure_views(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
     )
+    return sorted_small(spark.sql(_Q8_SQL), "ship_year")
 
 
 @query(
@@ -165,26 +179,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q10 shape: customers ranked by revenue lost to returns in
     one year. Pushed flag+date filters shrink the fact scan before any
-    join; TakeOrderedAndProject caps the result without a global sort."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), revenue.alias("rev"))
-        .groupBy("c_custkey", "c_name", "nation")
-        .agg(dsum("rev", "revenue"))
-        .select("c_custkey", "c_name", "revenue", "nation")
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
-        .limit(20)
-    )
+    join; TakeOrderedAndProject caps the result without a global sort.
+    Static-SQL form (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return spark.sql(_Q10_SQL)
 
 
 @query(
