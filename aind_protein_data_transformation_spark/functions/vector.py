@@ -71,6 +71,23 @@ def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
 
 
+def spark_dot_sql(a: str, b: str) -> str:
+    """Spark-SQL text twin of :func:`dot` — identical fold (same lambda
+    shape, same element order), for queries shipped as static SQL."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def spark_cosine_sql(a: str, b: str) -> str:
+    """Spark-SQL text twin of :func:`cosine`."""
+    return (
+        f"({spark_dot_sql(a, b)} / "
+        f"(SQRT({spark_dot_sql(a, a)}) * SQRT({spark_dot_sql(b, b)})))"
+    )
+
+
 # ----------------------------------------------------------- pandas UDF path
 #
 # The production path for 1k+-dim embeddings (§2B "UDF surface"): Arrow

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import ensure_views, load_table
 from ..functions.text import normalize_text
 from ..operators.graph import connected_components
 from ..plans.scale import sorted_small
@@ -60,6 +60,22 @@ def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- exact
 
+_EXACT_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, CONCAT(UPPER(text), '   ') AS text
+    FROM documents WHERE doc_id % 10 = 0
+)
+SELECT sha2(trim(regexp_replace(lower(text), '\\\\s+', ' ')), 256)
+           AS content_hash,
+       MIN(doc_id) AS kept_doc, COUNT(*) AS group_size
+FROM corpus
+GROUP BY 1
+ORDER BY kept_doc
+"""
+
+
 @query(
     "dedup_exact",
     oracle="""
@@ -85,23 +101,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-text sha256: one shuffle on the content
     hash, deterministic survivor (min doc_id). The mutants differ only
     in case/whitespace, so every one of them collapses onto its source
-    (group_size 2) — verified by the oracle groups."""
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mutants = base.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.upper("text"), F.lit("   ")).alias("text"),
-    )
-    corpus = base.unionByName(mutants)
-    # Aggregate directly on the content hash (ONE shuffle) — the
-    # row-marking form (operators/dedup.py exact_dedup, window-based
-    # is_kept) exists for pipelines that must keep full rows; a group
-    # summary never needs it.
-    return (
-        corpus.select("doc_id", F.sha2(normalize_text("text"), 256).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(F.min("doc_id").alias("kept_doc"), F.count("*").alias("group_size"))
-        .orderBy("kept_doc")
-    )
+    (group_size 2) — verified by the oracle groups.
+
+    Aggregates directly on the content hash (ONE shuffle) — the
+    row-marking form (operators/dedup.py exact_dedup, window-based
+    is_kept) exists for pipelines that must keep full rows; a group
+    summary never needs it. Static-SQL form (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "documents")
+    return spark.sql(_EXACT_SQL)
 
 
 # ---------------------------------------------------------------- minhash lsh
@@ -223,33 +230,68 @@ _MH_VERIFY_SQL = f"""
 """
 
 
+#: Spark twin of the oracle's corpus+shingle chain (shingle_set over
+#: _corpus_near): distinct on the shingle STRING before the md5 —
+#: identical hash-call-minimizing order, ending at (doc_id, h).
+_MH_SHINGLES_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           regexp_replace(text, '^\\\\S+\\\\s+', '') AS text
+    FROM documents WHERE doc_id % 20 = 0
+),
+toks AS (
+    SELECT doc_id, filter(split(text, '\\\\s+'), t -> t <> '') AS tk
+    FROM corpus
+),
+pos AS (
+    SELECT doc_id, tk, explode(sequence(1, size(tk) - 2)) AS i
+    FROM toks WHERE size(tk) >= 3
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+                     element_at(tk, i + 2)) AS s
+    FROM pos
+)
+SELECT doc_id,
+       CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)
+           % {MINHASH_PRIME} AS h
+FROM sh
+"""
+
+#: 32 min-aggregates + the distinct-shingle count, one GROUP BY pass.
+_MH_SIG_SQL = "SELECT doc_id, " + ", ".join(
+    f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{i}"
+    for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(MINHASH_PERMS))
+) + ", count(*) AS n FROM _mh_shingles GROUP BY doc_id"
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, then exact-Jaccard verification of
     the LSH candidates only. Spark computes signatures as 32 min-agg
     columns in ONE pass (no per-permutation row expansion — the oracle
     replays it row-expanded, same arithmetic). Shingle k=3, 32 perms,
-    8 bands of 4; verified pairs filtered at J >= 0.4."""
-    corpus = _corpus_near(spark, sf_dir)
-    # The shingle set feeds three consumers (signatures+sizes in one
-    # aggregation, both sides of the Jaccard join); persist it so the
-    # tokenize+distinct+md5 subtree runs once — at 100 TB this is the
-    # difference between one and three passes over the corpus.
-    shingles = shingle_set(corpus, k=3).persist()
-    shingles.createOrReplaceTempView("_mh_shingles")
-    # The signature frame (one row per doc, 33 numeric cols) appears
-    # THREE times in the final plan: both sides of the LSH band
-    # self-join and the Jaccard sizes leg. Persist it too — it's tiny
-    # (corpus-row count, not shingle count) and saves two replays of the
-    # 32-min aggregation over the shingle relation.
-    minhash_signatures(shingles).persist().createOrReplaceTempView("_mh_sig")
-    # Band join + Jaccard verify as ONE static SQL statement over the
-    # two persisted views: the same logical plan the operator
-    # composition (lsh_candidate_pairs + jaccard_for_pairs) builds, in
-    # ~6 py4j crossings instead of ~300 — driver-side plan construction
-    # was a measured 0.5s/run of the bench time for this query. CTE
-    # inlining is harmless here because every multiply-referenced
-    # relation is one of the persisted views.
+    8 bands of 4; verified pairs filtered at J >= 0.4.
+
+    Every phase is a static SQL statement (~8 py4j crossings for the
+    whole query; the Column-form composition cost a measured 0.36s of
+    per-call plan construction):
+    - shingles (corpus union + tokenize + distinct + md5) persist as a
+      view — they feed three consumers (signatures+sizes in one
+      aggregation, both sides of the Jaccard join), so at 100 TB this
+      is the difference between one and three passes over the corpus;
+    - the signature frame (one row per doc, 33 numeric cols) appears
+      three times in the verify plan (both band-join sides + sizes) —
+      persisted too, it's tiny;
+    - band join + Jaccard verify run over the two persisted views
+      (_MH_VERIFY_SQL). CTE inlining is harmless because every
+      multiply-referenced relation is one of the persisted views."""
+    ensure_views(spark, sf_dir, "documents")
+    spark.sql(_MH_SHINGLES_SQL).persist().createOrReplaceTempView("_mh_shingles")
+    spark.sql(_MH_SIG_SQL).persist().createOrReplaceTempView("_mh_sig")
     return spark.sql(_MH_VERIFY_SQL).transform(
         lambda d: sorted_small(d, "doc_a", "doc_b")
     )

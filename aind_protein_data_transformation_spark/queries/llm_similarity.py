@@ -12,9 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import ensure_views, load_table
 from ..functions.vector import (
     dot,
+    spark_cosine_sql,
     sql_cosine,
     sql_dot,
     sql_unit_normalize,
@@ -51,6 +52,26 @@ def _sql_assign(corpus_rel: str, cent_rel: str) -> str:
     """
 
 
+_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {TOPK_NQUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+sims AS (
+    SELECT /*+ BROADCAST(q) */ query_id, neighbor_id,
+           {spark_cosine_sql('qe', 'ce')} AS cosine
+    FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rank
+FROM ranked WHERE rank <= {TOPK_K}
+"""
+
+
 @query(
     "similarity_cosine_topk",
     oracle=f"""
@@ -75,19 +96,12 @@ def _sql_assign(corpus_rel: str, cent_rel: str) -> str:
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k (the ANN baseline): broadcast the
     query set over the corpus scan; WindowGroupLimit trims each
-    partition to k before the final shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
-    )
-    return (
-        brute_force_topk(queries, corpus, k=TOPK_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-        .transform(lambda d: sorted_small(d, "query_id", "rank"))
-    )
+    partition to k before the final shuffle. Static-SQL form of
+    operators.similarity.brute_force_topk (one py4j crossing; identical
+    plan — the rank<=k filter over the window still plans the
+    WindowGroupLimit pushdown)."""
+    ensure_views(spark, sf_dir, "embeddings")
+    return sorted_small(spark.sql(_TOPK_SQL), "query_id", "rank")
 
 
 @query(

@@ -73,6 +73,35 @@ GROUP BY source, lang
 """
 
 
+_SPARK_EN_ARRAY = "array(" + ", ".join(
+    f"'{w}'" for w in LANG_STOPWORDS["en"]
+) + ")"
+
+_QUALITY_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, text,
+           filter(split(text, '\\\\s+'), t -> t <> '') AS t
+    FROM documents
+)
+SELECT doc_id, lang, source,
+       length(text) AS n_chars,
+       size(t) AS n_tokens,
+       size(array_distinct(t)) AS n_unique_tokens,
+       CAST(length(regexp_replace(text, '\\\\s+', '')) AS DOUBLE) / size(t)
+           AS avg_token_len,
+       size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) AS n_punct,
+       size(regexp_extract_all(text, '\\\\d', 0)) AS n_digits,
+       size(filter(t, x -> array_contains({_SPARK_EN_ARRAY}, x)))
+           AS stopword_hits,
+       CAST(size(filter(t, x -> array_contains({_SPARK_EN_ARRAY}, x))) AS DOUBLE)
+           / size(t) AS stopword_ratio,
+       CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS lexical_diversity
+FROM toks
+WHERE size(t) > 0
+ORDER BY doc_id
+"""
+
+
 @query(
     "text_quality_stats",
     oracle=f"""
@@ -102,38 +131,10 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: char/token/unique-token counts,
     average token length, punctuation & digit counts, stopword ratio,
     lexical diversity — the standard pre-training quality-filter
-    feature set, computed in one codegen'd projection."""
-    d = load_table(spark, sf_dir, "documents")
-    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    t = tokens("text")
-    d = d.select("doc_id", "lang", "source", "text", t.alias("t")).filter(
-        F.size("t") > 0
-    )
-    stop_hits = F.size(F.filter("t", lambda x: F.array_contains(en, x)))
-    return (
-        d.select(
-            "doc_id",
-            "lang",
-            "source",
-            F.length("text").alias("n_chars"),
-            F.size("t").alias("n_tokens"),
-            F.size(F.array_distinct("t")).alias("n_unique_tokens"),
-            (
-                F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
-                / F.size("t")
-            ).alias("avg_token_len"),
-            F.size(F.expr(r"regexp_extract_all(text, '[^\\w\\s]', 0)")).alias(
-                "n_punct"
-            ),
-            F.size(F.expr(r"regexp_extract_all(text, '\\d', 0)")).alias("n_digits"),
-            stop_hits.alias("stopword_hits"),
-            (stop_hits.cast("double") / F.size("t")).alias("stopword_ratio"),
-            (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias(
-                "lexical_diversity"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    feature set, computed in one codegen'd projection. Static-SQL form
+    (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "documents")
+    return spark.sql(_QUALITY_SQL)
 
 
 @query(

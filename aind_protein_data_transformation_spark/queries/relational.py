@@ -255,6 +255,61 @@ def q_outer_join_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: banded range-count (operators/range_join.py count_above) as one
+#: static statement: bucket both sides by floor(acctbal/100), count
+#: whole build buckets above each probe bucket from the O(buckets)
+#: histogram window, and evaluate the > predicate only inside the
+#: shared boundary bucket.
+_THETA_SQL = """
+WITH bvals AS (
+    SELECT c_acctbal AS bv,
+           FLOOR(CAST(c_acctbal AS DOUBLE) / 100.0D) AS bb
+    FROM customer
+),
+hist AS (SELECT bb, COUNT(*) AS cnt FROM bvals GROUP BY bb),
+buckets AS (
+    SELECT bb, SUM(cnt) AS cnt FROM (
+        SELECT bb, cnt FROM hist
+        UNION ALL
+        SELECT DISTINCT FLOOR(CAST(s_acctbal AS DOUBLE) / 100.0D) AS bb,
+               0L AS cnt
+        FROM supplier
+    ) GROUP BY bb
+),
+cum AS (
+    SELECT bb,
+           COALESCE(SUM(cnt) OVER (ORDER BY bb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L) AS above
+    FROM buckets
+),
+pb AS (
+    SELECT s_suppkey, s_name, s_acctbal,
+           FLOOR(CAST(s_acctbal AS DOUBLE) / 100.0D) AS pbkt
+    FROM supplier
+),
+based AS (
+    SELECT /*+ BROADCAST(cum) */ pb.s_suppkey, pb.s_name, pb.s_acctbal,
+           pb.pbkt, cum.above
+    FROM pb LEFT JOIN cum ON pb.pbkt = cum.bb
+),
+boundary AS (
+    SELECT s_suppkey, s_name, s_acctbal, COUNT(*) AS bnd
+    FROM pb JOIN bvals ON pb.pbkt = bvals.bb
+    WHERE bvals.bv > pb.s_acctbal
+    GROUP BY s_suppkey, s_name, s_acctbal
+),
+counted AS (
+    SELECT b.s_suppkey, b.s_name,
+           COALESCE(b.above, 0L) + COALESCE(d.bnd, 0L) AS n_richer_customers
+    FROM based b LEFT JOIN boundary d
+      ON b.s_suppkey = d.s_suppkey AND b.s_name = d.s_name
+         AND b.s_acctbal = d.s_acctbal
+)
+SELECT s_suppkey, s_name, n_richer_customers
+FROM counted WHERE n_richer_customers > 0
+"""
+
+
 @query(
     "q_theta_join_price_band",
     oracle="""
@@ -266,30 +321,19 @@ def q_outer_join_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi (theta) join via the BANDED range operator
-    (operators/range_join.py) instead of a broadcast nested-loop join:
-    a BNLJ evaluates the predicate |supplier|x|customer| times (15M at
-    sf0.1, quadratic at scale); banding counts whole buckets above each
-    supplier from an O(buckets) histogram and equi-joins only the
-    boundary bucket, so the predicate runs ~|n·m/buckets| times and
-    every stage is a hash join or bounded window. The inner-join
-    GROUP BY semantics of the oracle (suppliers with zero richer
-    customers absent) are restored with the final positive filter."""
-    s = load_table(spark, sf_dir, "supplier")
-    c = load_table(spark, sf_dir, "customer")
-    counted = count_above(
-        s.select("s_suppkey", "s_name", "s_acctbal"),
-        c.select("c_acctbal"),
-        probe_col="s_acctbal",
-        build_col="c_acctbal",
-        bucket_width=100.0,  # acctbal spans ~[-1000, 10000] -> ~110 buckets
-        out_col="n_richer_customers",
-    )
-    return (
-        counted.where(F.col("n_richer_customers") > 0)
-        .select("s_suppkey", "s_name", "n_richer_customers")
-        .transform(lambda d: sorted_small(d, "s_suppkey"))
-    )
+    """Non-equi (theta) join via the BANDED range plan (the same shape
+    as operators/range_join.py count_above) instead of a broadcast
+    nested-loop join: a BNLJ evaluates the predicate
+    |supplier|x|customer| times (15M at sf0.1, quadratic at scale);
+    banding counts whole buckets above each supplier from an O(buckets)
+    histogram and equi-joins only the boundary bucket, so the predicate
+    runs ~|n·m/buckets| times and every stage is a hash join or bounded
+    window. The inner-join GROUP BY semantics of the oracle (suppliers
+    with zero richer customers absent) are restored with the final
+    positive filter. Static-SQL form (one py4j crossing); the operator
+    keeps the general API and its own tests."""
+    ensure_views(spark, sf_dir, "supplier", "customer")
+    return sorted_small(spark.sql(_THETA_SQL), "s_suppkey")
 
 
 @query(
