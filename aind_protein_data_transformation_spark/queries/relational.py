@@ -79,6 +79,56 @@ GROUP BY n.n_name
 """
 
 
+_SET_OPS_SQL = """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+SELECT 'union' AS op, c_custkey FROM (
+    SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich)
+UNION ALL
+SELECT 'intersect' AS op, c_custkey FROM (
+    SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (
+    SELECT DISTINCT c_custkey FROM (
+        SELECT c_custkey FROM building EXCEPT ALL SELECT c_custkey FROM rich))
+ORDER BY op, c_custkey
+"""
+
+
+_ROLLUP_SQL = f"""
+SELECT COALESCE(r_name, '<ALL>') AS region_name,
+       COALESCE(n_name, '<ALL>') AS nation_name,
+       total_acctbal, n_customers
+FROM (
+    SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name,
+           {spark_dsum_sql('c_acctbal', 'total_acctbal')},
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+)
+"""
+
+
+_WINDOW_PACK_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROW_NUMBER() OVER w AS order_seq,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       DENSE_RANK() OVER w AS dense_seq,
+       NTILE(4) OVER w AS spend_quartile,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 @query(
     "q1_pricing_summary",
     oracle=f"""
@@ -233,26 +283,23 @@ def q_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Da
 def q_outer_join_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join against a pre-aggregated subquery + COALESCE fill.
     Aggregating BEFORE the join keeps the shuffle on the small aggregate,
-    not the raw fact table — the scalable shape for per-entity rollups."""
-    c = load_table(spark, sf_dir, "customer")
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.max("o_totalprice").alias("max_price"),
-        )
-    )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .select(
-            "c_custkey",
-            "c_name",
-            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-            F.coalesce("max_price", F.lit(0.0)).alias("max_price"),
-        )
-        .orderBy("c_custkey")
-    )
+    not the raw fact table — the scalable shape for per-entity rollups.
+    Static-SQL form (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_OUTER_FILL_SQL)
+
+
+_OUTER_FILL_SQL = """
+SELECT c.c_custkey, c.c_name,
+       COALESCE(o.n_orders, 0L) AS n_orders,
+       COALESCE(o.max_price, 0.0D) AS max_price
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+ORDER BY c_custkey
+"""
 
 
 #: banded range-count (operators/range_join.py count_above) as one
@@ -360,28 +407,21 @@ def q_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window pack: row_number + lag + running sum over one window spec.
     A single partitionBy keeps it to ONE shuffle; the frame runs inside
     each partition. Generalizes the reference's deterministic round-robin
-    dealing (zeiss_job.py:33-44 uses index % n; here row_number)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.row_number().over(w).alias("order_seq"),
-            F.lag("o_totalprice").over(w).alias("prev_price"),
-            F.lead("o_totalprice").over(w).alias("next_price"),
-            F.first("o_totalprice").over(w).alias("first_price"),
-            F.dense_rank().over(w).alias("dense_seq"),
-            F.ntile(4).over(w).alias("spend_quartile"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-            .over(wsum)
-            .cast("double")
-            .alias("running_spend"),
-        )
-        .orderBy("o_custkey", "o_orderkey")
-    )
+    dealing (zeiss_job.py:33-44 uses index % n; here row_number).
+    Static-SQL form (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "orders")
+    return spark.sql(_WINDOW_PACK_SQL)
+
+
+_TOPK_GROUP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+    FROM orders
+) WHERE rk <= 3
+ORDER BY o_custkey, rk, o_orderkey
+"""
 
 
 @query(
@@ -400,21 +440,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via rank window — the distributed top-k idiom
     (no per-group collect). Spark pushes a per-partition k-limit below
     the shuffle (WindowGroupLimit) so the shuffle carries ≤k rows per
-    group, which is what makes this viable on 100 TB facts."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        o.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.rank().over(w).alias("rk"),
-        )
-        .filter(F.col("rk") <= 3)
-        .orderBy("o_custkey", "rk", "o_orderkey")
-    )
+    group, which is what makes this viable on 100 TB facts. Static-SQL
+    form (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "orders")
+    return spark.sql(_TOPK_GROUP_SQL)
 
 
 @query(
@@ -466,19 +495,10 @@ def q_ntile_wealth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT over two predicates on customer, tagged
-    and stacked with UNION ALL (SURVEY.md §2B set ops)."""
-    c = load_table(spark, sf_dir, "customer")
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
-    tagged = [
-        building.union(rich).distinct().select(F.lit("union").alias("op"), "c_custkey"),
-        building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey"),
-        building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey"),
-    ]
-    out = tagged[0]
-    for t in tagged[1:]:
-        out = out.unionByName(t)
-    return out.orderBy("op", "c_custkey")
+    and stacked with UNION ALL (SURVEY.md §2B set ops). Static-SQL form
+    (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "customer")
+    return spark.sql(_SET_OPS_SQL)
 
 
 @query(
@@ -498,24 +518,10 @@ def q_set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy region -> nation -> grand total. Spark expands
     grouping sets in a single aggregate (no query-per-level); NULL group
-    cells are coalesced to '<ALL>' so the oracle hash is unambiguous."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
-    )
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(dsum("c_acctbal", "total_acctbal"), F.count("*").alias("n_customers"))
-        .select(
-            F.coalesce("r_name", F.lit("<ALL>")).alias("region_name"),
-            F.coalesce("n_name", F.lit("<ALL>")).alias("nation_name"),
-            "total_acctbal",
-            "n_customers",
-        )
-        .transform(lambda d: sorted_small(d, "region_name", "nation_name"))
-    )
+    cells are coalesced to '<ALL>' so the oracle hash is unambiguous.
+    Static-SQL form (one py4j crossing)."""
+    ensure_views(spark, sf_dir, "customer", "nation", "region")
+    return sorted_small(spark.sql(_ROLLUP_SQL), "region_name", "nation_name")
 
 
 @query(
