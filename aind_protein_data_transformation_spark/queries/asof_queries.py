@@ -12,9 +12,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import ensure_views, load_table
 from ..operators.asof import asof_join, asof_join_banded
 from .registry import query
+
+#: union-sort as-of (operators/asof.py asof_join) as one static SQL
+#: statement over the normalized events view: both sides tagged into one
+#: relation, ONE shuffle on (user_id), last-ignoreNulls window carries
+#: the latest click at-or-before each purchase (right rows sort first at
+#: equal time -> inclusive match, same as DuckDB ASOF).
+_ASOF_CLICK_SQL = """
+WITH ev AS (
+    SELECT event_id, user_id, event_type, unix_micros(ts) AS us, value
+    FROM events
+),
+merged AS (
+    SELECT *,
+           last(_r, true) OVER (PARTITION BY user_id ORDER BY _t, _is_left
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _asof
+    FROM (
+        SELECT user_id, us AS _t, 1 AS _is_left,
+               struct(event_id, user_id, us, value) AS _l,
+               CAST(NULL AS struct<click_id:bigint,click_us:bigint>) AS _r
+        FROM ev WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, us AS _t, 0 AS _is_left,
+               CAST(NULL AS
+                   struct<event_id:bigint,user_id:bigint,us:bigint,value:double>)
+                   AS _l,
+               struct(event_id AS click_id, us AS click_us) AS _r
+        FROM ev WHERE event_type = 'click'
+    )
+)
+SELECT _l.event_id AS event_id, _l.user_id AS user_id, _l.us AS us,
+       _l.value AS value,
+       _asof.click_id AS asof_click_id, _asof.click_us AS asof_click_us
+FROM merged WHERE _is_left = 1
+ORDER BY event_id
+"""
 
 
 @query(
@@ -38,39 +73,11 @@ from .registry import query
 )
 def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every purchase, the user's most recent click at-or-before it
-    (attribution join). Spark side: union-sort as-of (operators/asof.py,
-    one shuffle); oracle: DuckDB's native ASOF LEFT JOIN."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "us", F.unix_micros("ts")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "us", "value"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.col("us").alias("click_us"),
-    )
-    return (
-        asof_join(
-            purchases,
-            clicks,
-            on="user_id",
-            left_time="us",
-            right_time="click_us",
-            right_values=["click_id", "click_us"],
-            how="left",
-        )
-        .select(
-            "event_id",
-            "user_id",
-            "us",
-            "value",
-            "asof_click_id",
-            F.col("asof_click_us").alias("asof_click_us"),
-        )
-        .orderBy("event_id")
-    )
+    (attribution join). Spark side: union-sort as-of (one shuffle; the
+    static-SQL twin of operators/asof.py asof_join, which stays the
+    general API); oracle: DuckDB's native ASOF LEFT JOIN."""
+    ensure_views(spark, sf_dir, "events")
+    return spark.sql(_ASOF_CLICK_SQL)
 
 
 @query(
