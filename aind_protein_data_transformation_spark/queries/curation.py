@@ -320,3 +320,132 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda df: sorted_small(df, "doc_id"))
     )
+
+
+# ------------------------------------------------------- boilerplate mining
+
+#: shared Spark-SQL trigram relation: DISTINCT (doc_id, trigram) per doc.
+_TG_SQL = """
+toks AS (
+    SELECT doc_id, filter(split(text, '\\\\s+'), t -> t <> '') AS t
+    FROM documents
+),
+tg AS (
+    SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               explode(CASE WHEN size(t) < 3 THEN array()
+                       ELSE transform(sequence(1, size(t) - 2),
+                            i -> concat_ws(' ', element_at(t, i),
+                                 element_at(t, i + 1), element_at(t, i + 2)))
+                       END) AS g
+        FROM toks
+    )
+)
+"""
+
+_FREQ_NGRAMS_SQL = f"""
+WITH {_TG_SQL}
+SELECT g AS ngram, COUNT(*) AS doc_freq
+FROM tg GROUP BY g
+ORDER BY doc_freq DESC, ngram
+LIMIT 20
+"""
+
+#: DuckDB twin of the trigram relation.
+_SQL_TG_DUCK = """
+toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS t
+    FROM documents
+),
+tg AS (
+    SELECT DISTINCT doc_id,
+           unnest(CASE WHEN len(t) < 3 THEN []
+                  ELSE list_transform(generate_series(1, len(t) - 2),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS g
+    FROM toks
+)
+"""
+
+
+@query(
+    "text_frequent_ngrams",
+    oracle=f"""
+    WITH {_SQL_TG_DUCK}
+    SELECT g AS ngram, COUNT(*) AS doc_freq
+    FROM tg GROUP BY g
+    ORDER BY doc_freq DESC, ngram
+    LIMIT 20
+    """,
+)
+def text_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate candidate mining: the 20 word-trigrams appearing in
+    the most documents (document frequency over DISTINCT per-doc
+    trigrams — a trigram repeated inside one doc counts once). The
+    C4/RefinedWeb-style signal for templated text: headers, footers,
+    cookie banners all surface here first.
+
+    Scale shape: per-doc distinct happens in the same shuffle as the
+    df groupBy (partial aggregation map-side); top-20 is a TakeOrdered,
+    never a global sort."""
+    from ..catalog import ensure_views
+
+    ensure_views(spark, sf_dir, "documents")
+    return spark.sql(_FREQ_NGRAMS_SQL)
+
+
+_BOILERPLATE_SQL = f"""
+WITH {_TG_SQL},
+df AS (SELECT g, COUNT(*) AS doc_freq FROM tg GROUP BY g),
+tot AS (
+    SELECT GREATEST(CAST(3 AS BIGINT),
+                    CAST(CEIL(0.01D * COUNT(*)) AS BIGINT)) AS thr
+    FROM documents
+),
+freq AS (SELECT g FROM df CROSS JOIN tot WHERE doc_freq >= thr)
+SELECT /*+ BROADCAST(f) */ t.doc_id,
+       COUNT(*) AS n_ngrams,
+       COUNT(f.g) AS n_common,
+       CAST(COUNT(f.g) AS DOUBLE) / COUNT(*) AS common_ratio
+FROM tg t LEFT JOIN freq f ON t.g = f.g
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query(
+    "curate_boilerplate_ratio",
+    oracle=f"""
+    WITH {_SQL_TG_DUCK},
+    df AS (SELECT g, COUNT(*) AS doc_freq FROM tg GROUP BY g),
+    tot AS (
+        SELECT GREATEST(CAST(3 AS BIGINT),
+                        CAST(CEIL(0.01 * COUNT(*)) AS BIGINT)) AS thr
+        FROM documents
+    ),
+    freq AS (SELECT g FROM df CROSS JOIN tot WHERE doc_freq >= thr)
+    SELECT t.doc_id,
+           COUNT(*) AS n_ngrams,
+           COUNT(f.g) AS n_common,
+           CAST(COUNT(f.g) AS DOUBLE) / COUNT(*) AS common_ratio
+    FROM tg t LEFT JOIN freq f ON t.g = f.g
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def curate_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate signal: the fraction of a doc's distinct
+    trigrams that are corpus-common (document frequency >= max(3,
+    1% of docs)) — the filter stage that pairs with
+    ``text_frequent_ngrams``'s mining stage; docs above a ratio cutoff
+    get dropped or line-cleaned in a production pipeline.
+
+    Scale shape: the frequent set is tiny by construction (df threshold
+    scales with corpus size) so it BROADCASTS back into the trigram
+    scan; the corpus pays two passes (df aggregation + probe), both
+    map-side combined, no corpus x corpus join anywhere. Docs with
+    fewer than 3 tokens have no trigrams and drop out on both engines."""
+    from ..catalog import ensure_views
+
+    ensure_views(spark, sf_dir, "documents")
+    return spark.sql(_BOILERPLATE_SQL)

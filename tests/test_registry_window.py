@@ -180,6 +180,11 @@ def test_tail_components_are_covered_in_window():
         "streaming_stream_left_join": "streaming_stateful_totals",
         "multimodal_decode_stub": "multimodal_frame_sample",
         "multimodal_feature_extract": "multimodal_frame_sample",
+        # boilerplate mining/ratio: distinct-shingle explode + df
+        # aggregation + broadcast-back — the shingle-df machinery the
+        # in-window decontamination query drives end-to-end
+        "text_frequent_ngrams": "decontaminate_ngram_overlap",
+        "curate_boilerplate_ratio": "decontaminate_ngram_overlap",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
