@@ -165,3 +165,37 @@ def test_json_single_document_scan(spark, tmp_path_factory):
         )[0]["scale"].alias("scale")
     ).first()["scale"]
     assert [float(s) for s in scale] == [0.75, 0.5, 0.5]
+
+
+def test_ensure_views_switches_sf_dirs(spark, sf_dir, tmp_path_factory):
+    """The (session, sf_dir, table) view memo must re-register when the
+    SAME view name points at a DIFFERENT sf_dir — a stale view would
+    silently serve the wrong dataset to every SQL-form query — and must
+    skip re-registration (the whole point) when the sf_dir repeats."""
+    from aind_protein_data_transformation_spark import catalog
+
+    other = tmp_path_factory.mktemp("ensure_views_sf")
+    spark.range(3).selectExpr(
+        "id AS r_regionkey", "concat('X', id) AS r_name", "'c' AS r_comment"
+    ).write.parquet(str(other / "region.parquet"))
+
+    catalog.ensure_views(spark, sf_dir, "region")
+    n_real = spark.sql("SELECT COUNT(*) AS n FROM region").first()["n"]
+    assert n_real == 5
+
+    catalog.ensure_views(spark, str(other), "region")
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").first()["n"] == 3
+
+    # back again — and the memo must dedupe repeat registration
+    catalog.ensure_views(spark, sf_dir, "region")
+    reg = catalog._VIEW_MEMO[spark]
+    before = dict(reg)
+    catalog.ensure_views(spark, sf_dir, "region")
+    assert catalog._VIEW_MEMO[spark] == before
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").first()["n"] == 5
+
+    # clear_plan_memo invalidates the view memo (data-rewrite path)
+    catalog.clear_plan_memo()
+    assert spark not in catalog._VIEW_MEMO or not catalog._VIEW_MEMO[spark]
+    catalog.ensure_views(spark, sf_dir, "region")
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").first()["n"] == 5
