@@ -85,7 +85,7 @@ def test_percentile_forms_bit_equal_duckdb(spark, sf_dir):
             li, ["l_returnflag"], "l_extendedprice", spec, pre_aggregate=False
         ),
         column_percentiles_rank_select(
-            li, ["l_returnflag"], "l_extendedprice", spec, n_buckets=64
+            li, ["l_returnflag"], "l_extendedprice", spec, octave_subdivisions=16
         ),
     ):
         got = {
@@ -107,7 +107,7 @@ def test_percentile_rank_select_degenerate_groups(spark):
     got = {
         r.g: (r.med, r.p90)
         for r in column_percentiles_rank_select(
-            df, ["g"], "v", [(0.5, "med"), (0.9, "p90")], n_buckets=16
+            df, ["g"], "v", [(0.5, "med"), (0.9, "p90")], octave_subdivisions=4
         ).collect()
     }
     assert got == {"a": (5.0, 5.0), "b": (7.5, 7.5)}

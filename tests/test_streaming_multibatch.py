@@ -34,7 +34,10 @@ from aind_protein_data_transformation_spark.catalog import load_table
 from aind_protein_data_transformation_spark.queries.streaming_queries import (
     streaming_dedup_watermark,
     streaming_late_data_policy,
+    streaming_session_window,
     streaming_stateful_totals,
+    streaming_stream_join,
+    streaming_stream_left_join,
     streaming_tumbling_window,
 )
 from aind_protein_data_transformation_spark.streaming import events as events_mod
@@ -100,6 +103,13 @@ def _run(qfn, spark, sf_dir_, multibatch: bool):
         streaming_dedup_watermark,
         streaming_late_data_policy,
         streaming_stateful_totals,
+        # session state must MERGE windows that straddle a batch
+        # boundary (a user's burst split across files)
+        streaming_session_window,
+        # join state must hold each side until the watermark proves no
+        # cross-batch partner can still arrive
+        streaming_stream_join,
+        streaming_stream_left_join,
     ],
     ids=lambda f: f.__name__,
 )
@@ -108,3 +118,39 @@ def test_multibatch_replay_matches_single_batch(qfn, spark, split_sf_dir):
     multi = _run(qfn, spark, split_sf_dir, multibatch=True)
     assert len(single) > 0
     assert multi == single
+
+
+def test_transform_with_state(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas operator (import-gated: its
+    Python worker requires protobuf, absent in this container — see
+    streaming/transform_with_state.py). When runnable, the stateful
+    totals must equal the batch GROUP BY exactly."""
+    from aind_protein_data_transformation_spark.streaming.transform_with_state import (
+        protobuf_available,
+        tws_user_totals,
+    )
+
+    if not protobuf_available():
+        pytest.skip("google.protobuf not installed - transformWithState "
+                    "Python runner cannot start in this container")
+    from aind_protein_data_transformation_spark.catalog import load_table
+
+    got = [tuple(r) for r in tws_user_totals(spark, sf_dir).collect()]
+    want = [
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+                )
+                / 1_000_000.0
+            ).alias("total_value"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .orderBy("user_id")
+        .collect()
+    ]
+    assert got == want
