@@ -250,11 +250,24 @@ def multi_column_percentiles_rank_select(
     keys = [*group_cols, "cid"]
     bucketed = rows.withColumn("bid", _log_bucket_id(octave_subdivisions))
 
+    # The histogram also carries per-bucket min/max: a SINGLE-VALUED
+    # bucket (min == max — every bucket of a bounded-domain column like
+    # an integer quantity, plus any pure-tie bucket) resolves ANY rank
+    # inside it to that value straight from the histogram, so such
+    # targets skip phase 2 entirely. Only multi-valued target buckets
+    # pay the second scan + local sort — the histogram-window vs
+    # rank-select plan choice the old hybrid made per COLUMN happens
+    # here per BUCKET, data-adaptively, inside one operator; a query
+    # whose target buckets are all single-valued never scans twice.
     w_part = Window.partitionBy(*keys)
     w_cum = Window.partitionBy(*keys).orderBy("bid")
     bc = (
         bucketed.groupBy(*keys, "bid")
-        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
         .withColumn("n", F.sum("cnt").over(w_part))
         .withColumn("cum_end", F.sum("cnt").over(w_cum))
         .withColumn("cum_start", F.col("cum_end") - F.col("cnt"))
@@ -270,12 +283,36 @@ def multi_column_percentiles_rank_select(
                 | ((F.col("cum_start") <= hi) & (hi < F.col("cum_end")))
             )
             hit = cond if hit is None else (hit | cond)
-    targets = bc.where(hit).select(*keys, "bid", "cum_start", "n")
-
-    w_local = Window.partitionBy(*keys, "bid").orderBy("v")
-    picked = bucketed.join(F.broadcast(targets), [*keys, "bid"]).withColumn(
-        "grank", F.col("cum_start") + F.row_number().over(w_local) - F.lit(1)
+    targets = bc.where(hit).select(
+        *keys, "bid", "cum_start", "cum_end", "n", "vmin", "vmax"
     )
+
+    needy = targets.where(F.col("vmin") < F.col("vmax"))
+    w_local = Window.partitionBy(*keys, "bid").orderBy("v")
+    picked = (
+        bucketed.join(
+            F.broadcast(needy.select(*keys, "bid", "cum_start", "n")),
+            [*keys, "bid"],
+        )
+        .withColumn(
+            "grank", F.col("cum_start") + F.row_number().over(w_local) - F.lit(1)
+        )
+        # normalized to rank-interval form so phase-2 and direct rows
+        # aggregate under ONE condition: v answers every rank in
+        # [cum_start, cum_end)
+        .select(
+            *keys,
+            "n",
+            F.col("grank").alias("cum_start"),
+            (F.col("grank") + F.lit(1)).alias("cum_end"),
+            "v",
+        )
+    )
+    direct = targets.where(F.col("vmin") == F.col("vmax")).select(
+        *keys, "n", "cum_start", "cum_end", F.col("vmin").alias("v")
+    )
+    resolved = picked.unionByName(direct)
+
     aggs = []
     for c, percentiles in specs.items():
         is_c = F.col("cid") == c
@@ -283,18 +320,16 @@ def multi_column_percentiles_rank_select(
             h = (F.col("n") - F.lit(1)).cast("double") * F.lit(p)
             lo = F.floor(h)
             hi = F.least(lo + 1, F.col("n") - 1)
+            at_lo = (F.col("cum_start") <= lo) & (lo < F.col("cum_end"))
+            at_hi = (F.col("cum_start") <= hi) & (hi < F.col("cum_end"))
             aggs.extend(
                 [
-                    F.max(
-                        F.when(is_c & (F.col("grank") == lo), F.col("v"))
-                    ).alias(f"__lo_{alias}"),
-                    F.max(
-                        F.when(is_c & (F.col("grank") == hi), F.col("v"))
-                    ).alias(f"__hi_{alias}"),
+                    F.max(F.when(is_c & at_lo, F.col("v"))).alias(f"__lo_{alias}"),
+                    F.max(F.when(is_c & at_hi, F.col("v"))).alias(f"__hi_{alias}"),
                     F.max(F.when(is_c, F.col("n"))).alias(f"__n_{alias}"),
                 ]
             )
-    agged = picked.groupBy(*group_cols).agg(*aggs)
+    agged = resolved.groupBy(*group_cols).agg(*aggs)
 
     out = [F.col(c) for c in group_cols]
     for c, percentiles in specs.items():
