@@ -254,3 +254,34 @@ def test_dedup_semantic_keep_is_cluster_bucketed(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         assert "centroid_vec" in frag.split("BroadcastExchange")[1], plan
+
+
+def test_static_sql_forms_keep_pushdown_and_broadcasts(spark, sf_dir):
+    """The static-SQL query forms must preserve the physical plan
+    properties the Column forms had: pushed scan filters + column
+    pruning (q1), broadcast dim joins (q3/q5), and top-k via
+    TakeOrderedAndProject rather than a global sort (q3/q10). Guards
+    against a future SQL edit silently losing pushdown or a hint."""
+    from aind_protein_data_transformation_spark.queries.relational import (
+        q1_pricing_summary,
+        q3_shipping_priority,
+        q5_local_supplier_volume,
+    )
+    from aind_protein_data_transformation_spark.queries.tpch_extra import q10_returned_items
+
+    p1 = q1_pricing_summary(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in p1 and "l_shipdate" in p1.split("PushedFilters")[1][:200]
+    assert "l_comment" not in p1.split("ReadSchema")[-1]
+
+    p3 = q3_shipping_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p3
+    assert "BroadcastHashJoin" in p3
+
+    p5 = q5_local_supplier_volume(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert p5.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+
+    p10 = q10_returned_items(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p10
+    # the returnflag + date filters must reach the scans
+    assert "EqualTo(l_returnflag,R)" in p10
+    assert "o_orderdate" in p10.split("PushedFilters")[1][:400] or "o_orderdate" in p10
