@@ -298,3 +298,63 @@ def sample_temperature_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(COUNT(*) AS BIGINT) AS n_kept"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------- weighted reservoir
+
+#: 2^60 — hash64's range; u = (h + 1) / 2^60 lies in (0, 1].
+_H_RANGE = 1 << 60
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               ln(CAST(({_SPLIT_HASH}) + 1 AS DOUBLE) / {_H_RANGE}.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY k DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY lang, rk
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted reservoir sample (Efraimidis-Spirakis
+    A-ES): keep the top-5 documents per language with probability
+    proportional to weight (here n_chars — 'sample proportional to
+    content'). Each doc's uniform u = (hash64(doc_id)+1)/2^60 is
+    hash-derived, so the 'random' sample is reproducible on any cluster
+    with no RNG state; the A-ES key ln(u)/w gives exactly the weighted
+    inclusion probabilities.
+
+    Scale shape: the key is a stateless projection in the scan; top-k
+    per group is a rank window that WindowGroupLimit trims to k rows
+    per partition BEFORE the shuffle — a 100-TB corpus ships only
+    k x groups rows. This is the streaming-compatible way to subsample
+    'the best k per domain' without a global sort.
+
+    Cross-engine note: ranking compares ln() outputs, which the two
+    engines may round differently in the last ulp — a flip needs two
+    keys within ~1e-16 relative, vanishing under 60-bit hashing (same
+    determinism class as the cosine-fold rankings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash64(F.col("doc_id").cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(_H_RANGE))
+    key = F.ln(u) / F.col("n_chars").cast("double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )

@@ -185,6 +185,9 @@ def test_tail_components_are_covered_in_window():
         # in-window decontamination query drives end-to-end
         "text_frequent_ngrams": "decontaminate_ngram_overlap",
         "curate_boilerplate_ratio": "decontaminate_ngram_overlap",
+        # A-ES weighted reservoir = hash-derived-decision family
+        # (driver-checked via the hash split) + rank-window trim
+        "sample_weighted_reservoir": "sample_hash_split",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
