@@ -24,7 +24,6 @@ from ..functions.vector import (
 from ..plans.scale import sorted_small
 from ..operators.similarity import (
     assign_buckets,
-    brute_force_topk,
     centroid_update_exact,
     ivf_topk,
     sql_centroid_update,

@@ -24,7 +24,6 @@ from ..functions.numeric import (
     sql_davg,
     sql_dsum,
 )
-from ..operators.range_join import count_above
 from ..plans.scale import sorted_small
 from .registry import query
 

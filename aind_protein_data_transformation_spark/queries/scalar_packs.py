@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from ..catalog import ensure_views, load_table, register_views
 from ..functions.numeric import exact_sum
 from ..operators.percentile import (
-    column_percentiles,
     log_bucket_id_sql,
     multi_column_percentiles_rank_select,
 )
