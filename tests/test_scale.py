@@ -285,3 +285,58 @@ def test_static_sql_forms_keep_pushdown_and_broadcasts(spark, sf_dir):
     # the returnflag + date filters must reach the scans
     assert "EqualTo(l_returnflag,R)" in p10
     assert "o_orderdate" in p10.split("PushedFilters")[1][:400] or "o_orderdate" in p10
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path_factory):
+    """The 100-TB skew story is AQE's skew-join split, not hand salting:
+    build a join where one key holds ~90% of the fact rows, force the
+    sort-merge path (no broadcast), lower the skew thresholds to match
+    the fixture size, and assert the executed plan actually marks the
+    join input `skew=true` (i.e. the hot partition was split at
+    runtime). Guards the session defaults that keep skewJoin enabled."""
+    root = tmp_path_factory.mktemp("skew")
+    # hot key 0: 500k rows; keys 1..2000: 10 rows each. The payload must
+    # FLOW THROUGH the join (referenced downstream) — if the join only
+    # needs `k`, column pruning shrinks the hot shuffle partition below
+    # any sane skew threshold at fixture scale.
+    fact = spark.range(500_000).selectExpr(
+        "CAST(0 AS BIGINT) AS k", "repeat('x', 32) AS payload"
+    ).unionAll(
+        spark.range(20_000).selectExpr(
+            "(id % 2000) + 1 AS k", "repeat('y', 32) AS payload"
+        )
+    )
+    dim = spark.range(2_001).selectExpr("id AS k", "concat('d', id) AS name")
+    fact.write.parquet(str(root / "fact"))
+    dim.write.parquet(str(root / "dim"))
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    old = {key: spark.conf.get(key) for key in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        f = spark.read.parquet(str(root / "fact"))
+        d = spark.read.parquet(str(root / "dim"))
+        joined = (
+            f.join(d, "k")
+            .selectExpr("name", "length(payload) AS lp")
+            .groupBy("name")
+            .sum("lp")
+        )
+        # execute THIS DataFrame's queryExecution (a sink write clones
+        # the plan, leaving this one isFinalPlan=false)
+        assert len(joined.collect()) == 2001
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for key, val in old.items():
+            spark.conf.set(key, val)
