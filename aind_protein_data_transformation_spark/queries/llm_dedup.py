@@ -195,16 +195,29 @@ def _minhash_oracle() -> str:
 # Spark-side band join + Jaccard verify, mirroring lsh_candidate_pairs +
 # jaccard_for_pairs over the persisted _mh_shingles/_mh_sig views.
 # Static module-level string: zero per-call construction cost.
+#
+# Band keys are PACKED bijectively into two bigints (p01 = m0*P + m1,
+# p23 = m2*P + m3; every m < P = 2^31-1 so the products stay under
+# 2^62): the collision set is identical to joining on the four raw
+# keys, but the self-join exchange carries 2 longs instead of 4 and
+# the join-key comparator is half as wide. Measured on the registered
+# query round-robin same-session (scripts/exp_minhash.py): 1.31s vs
+# 1.61s unpacked, and 1.69 vs 2.39 on a loaded VM — adopted round 4
+# (the round-3 wash measurement is outvoted by two later sessions).
 _MH_BAND_STRUCTS = ", ".join(
-    "struct({b} AS band, {ks})".format(
+    "struct({b} AS band, "
+    "m{i0} * CAST({p} AS BIGINT) + m{i1} AS p01, "
+    "m{i2} * CAST({p} AS BIGINT) + m{i3} AS p23)".format(
         b=b,
-        ks=", ".join(
-            f"m{b * LSH_BAND_SIZE + j} AS k{j}" for j in range(LSH_BAND_SIZE)
-        ),
+        p=MINHASH_PRIME,
+        i0=b * LSH_BAND_SIZE,
+        i1=b * LSH_BAND_SIZE + 1,
+        i2=b * LSH_BAND_SIZE + 2,
+        i3=b * LSH_BAND_SIZE + 3,
     )
     for b in range(MINHASH_PERMS // LSH_BAND_SIZE)
 )
-_MH_BAND_EQ = " AND ".join(f"a.k{j} = b.k{j}" for j in range(LSH_BAND_SIZE))
+_MH_BAND_EQ = "a.p01 = b.p01 AND a.p23 = b.p23"
 _MH_VERIFY_SQL = f"""
     WITH banded AS (
         SELECT doc_id, inline(array({_MH_BAND_STRUCTS})) FROM _mh_sig

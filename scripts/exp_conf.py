@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Round-robin conf experiment over the headline suite.
+
+Runs the full headline suite under several RUNTIME-settable conf
+variants, interleaved round-robin within ONE session so VM drift hits
+every variant equally (the harness VM moves ±50% between minutes).
+Reports per-variant suite totals (best-of-N per query).
+
+Usage: python scripts/exp_conf.py [rounds]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from aind_protein_data_transformation_spark.catalog import DEFAULT_SF_DIR
+from aind_protein_data_transformation_spark.session import get_spark
+
+VARIANTS: dict[str, dict[str, str]] = {
+    "aqe_on": {"spark.sql.adaptive.enabled": "true"},
+    "aqe_off": {"spark.sql.adaptive.enabled": "false"},
+}
+
+
+def main() -> int:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    import aind_protein_data_transformation_spark.queries as q
+    from bench import HEADLINE
+
+    spark = get_spark("exp-conf")
+    # warmup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    best: dict[tuple[str, str], float] = {}
+    for r in range(rounds):
+        for vname, conf in VARIANTS.items():
+            for k, v in conf.items():
+                spark.conf.set(k, v)
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                q.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                key = (vname, name)
+                best[key] = min(best.get(key, float("inf")), dt)
+                spark.catalog.clearCache()
+        print(f"round {r} done", file=sys.stderr)
+
+    for vname in VARIANTS:
+        total = sum(best[(vname, n)] for n in HEADLINE)
+        print(f"{vname}: {total:.2f}s")
+        for n in HEADLINE:
+            print(f"  {n:38s} {best[(vname, n)]:.3f}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

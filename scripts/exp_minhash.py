@@ -112,11 +112,74 @@ def _variant(spark: SparkSession, sf_dir: str, hash_first: bool, packed: bool):
     return spark.sql(sql).transform(lambda d: sorted_small(d, "doc_a", "doc_b"))
 
 
+def _mapside_docs_sql() -> str:
+    """Doc-level relation with the ENTIRE signature computed map-side:
+    per-doc shingle array -> array_distinct (replaces the string-shuffle
+    DISTINCT) -> md5 hash array -> 32 array_min transforms. Zero
+    exchanges; one scan of documents. Same arithmetic as the current
+    plan (distinct on the STRING then hash, so duplicate h values from
+    md5 collisions survive in hs exactly as they do in the exploded
+    relation)."""
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        minhash_coeffs,
+    )
+
+    p = MINHASH_PRIME
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {p})) AS m{i}"
+        for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(MINHASH_PERMS))
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\\\\S+\\\\s+', '') AS text
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    toks AS (
+        SELECT doc_id, filter(split(text, '\\\\s+'), t -> t <> '') AS tk
+        FROM corpus
+    ),
+    hashed AS (
+        SELECT doc_id,
+               transform(
+                   array_distinct(transform(sequence(1, size(tk) - 2),
+                       i -> concat_ws(' ', element_at(tk, i),
+                                      element_at(tk, i + 1),
+                                      element_at(tk, i + 2)))),
+                   s -> CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10)
+                             AS BIGINT) % {p}) AS hs
+        FROM toks WHERE size(tk) >= 3
+    )
+    SELECT doc_id, hs, size(hs) AS n, {mins} FROM hashed
+    """
+
+
+def _variant_mapside(spark: SparkSession, sf_dir: str):
+    from aind_protein_data_transformation_spark.catalog import ensure_views
+
+    ensure_views(spark, sf_dir, "documents")
+    docs = spark.sql(_mapside_docs_sql()).persist()
+    docs.createOrReplaceTempView("_mh_docs")
+    spark.sql("SELECT doc_id, explode(hs) AS h FROM _mh_docs").createOrReplaceTempView(
+        "_mh_shingles"
+    )
+    spark.sql(
+        "SELECT doc_id, n, "
+        + ", ".join(f"m{i}" for i in range(MINHASH_PERMS))
+        + " FROM _mh_docs"
+    ).createOrReplaceTempView("_mh_sig")
+    return spark.sql(_MH_VERIFY_SQL).transform(
+        lambda d: sorted_small(d, "doc_a", "doc_b")
+    )
+
+
 VARIANTS = {
     "current": lambda s, d: dedup_minhash_lsh(s, d),
     "hash_first": lambda s, d: _variant(s, d, True, False),
     "packed_bands": lambda s, d: _variant(s, d, False, True),
-    "packed_hash": lambda s, d: _variant(s, d, True, True),
+    "mapside": _variant_mapside,
 }
 
 
