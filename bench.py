@@ -125,20 +125,46 @@ def main(argv: list[str]) -> int:
             cold[name] = round(first, 4)
 
         total = round(sum(timings.values()), 4)
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_suite_wall_seconds",
-                    "value": total,
-                    "unit": "sec",
-                    "runs_per_query": 3,
-                    "queries": timings,
-                    "cold_first_run": cold,
-                    "session_floor_seconds": floor,
-                    "sf": _sf_from_dir(sf_dir),
-                }
+        out = {
+            "metric": "headline_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "runs_per_query": 3,
+            "queries": timings,
+            "cold_first_run": cold,
+            "session_floor_seconds": floor,
+            "sf": _sf_from_dir(sf_dir),
+        }
+        # Same-session DuckDB comparator (identical methodology: the
+        # oracle SQL best-of-3 on 32 threads, run back-to-back with the
+        # Spark suite above). The BASELINE.md gate is a RATIO, and this
+        # VM's absolute timings drift ±50% between sessions — a ratio of
+        # two same-minute measurements is meaningful where a ratio of a
+        # fresh numerator over a days-old denominator is not. Failure to
+        # produce the comparator (missing module, oracle drift) never
+        # fails the bench — the Spark numbers above stand alone.
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "bench_duckdb",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "scripts",
+                    "bench_duckdb.py",
+                ),
             )
-        )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            duck = mod.run_comparator(sf_dir, names)
+            duck_total = round(sum(duck.values()), 4)
+            out["duckdb_comparator_seconds"] = duck_total
+            out["duckdb_queries"] = duck
+            if duck_total > 0:
+                out["ratio_vs_duckdb"] = round(total / duck_total, 3)
+        except Exception as exc:  # pragma: no cover - diagnostic path
+            out["duckdb_comparator_error"] = repr(exc)
+        print(json.dumps(out))
     finally:
         spark.stop()
     return 0

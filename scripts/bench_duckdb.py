@@ -25,11 +25,13 @@ TABLES = (
 ).split()
 
 
-def main(argv: list[str]) -> int:
-    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    from bench import HEADLINE  # noqa: E402
+def run_comparator(
+    sf_dir: str, names: list[str], runs: int = 3
+) -> dict[str, float]:
+    """Best-of-``runs`` DuckDB wall seconds per query name (oracle SQL on
+    32 threads over the same parquet). Importable so bench.py can take a
+    back-to-back same-session pair — cross-session ratios on this VM are
+    ±50% noise."""
     import aind_protein_data_transformation_spark.queries as q  # noqa: E402
 
     con = duckdb.connect()
@@ -42,20 +44,30 @@ def main(argv: list[str]) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
-    # events.ts parity with the Spark catalog (ns -> us)
-    names = list(HEADLINE)
-    subset = os.environ.get("SPARK_GRAFT_QUERIES")
-    if subset:
-        names = [n for n in subset.split(",") if n]
     timings: dict[str, float] = {}
     for name in names:
         sql = q.REGISTRY[name].oracle
         best = float("inf")
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+    con.close()
+    return timings
+
+
+def main(argv: list[str]) -> int:
+    sf_dir = argv[1] if len(argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from bench import HEADLINE  # noqa: E402
+
+    names = list(HEADLINE)
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        names = [n for n in subset.split(",") if n]
+    timings = run_comparator(sf_dir, names)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
