@@ -113,11 +113,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- minhash lsh
 
-def _minhash_chain(recursive: bool = False) -> str:
+def _minhash_chain(recursive: bool = False, set_h: bool = False) -> str:
     """The shared WITH-chain computing LSH-verified near-dup pairs,
     ending at CTE ``verified(doc_a, doc_b, jaccard)`` (J >= 0.4).
     ``recursive=True`` emits WITH RECURSIVE so callers can append
-    recursive CTEs (DuckDB requires the keyword up front)."""
+    recursive CTEs (DuckDB requires the keyword up front).
+
+    ``set_h=True`` counts the pair intersection as DISTINCT shared
+    hashes (set semantics on the hashed shingles — what the registered
+    query's array_intersect verify computes); ``False`` keeps the
+    row-join count (what the operator pipeline jaccard_for_pairs
+    computes, used by dedup_cluster_components). The two differ only
+    when one document holds two distinct shingle strings whose md5 mod
+    P collide (~1e-5 per document); each query is self-consistent with
+    its oracle either way."""
     perms = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(MINHASH_PERMS))
     )
@@ -168,7 +177,7 @@ def _minhash_chain(recursive: bool = False) -> str:
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
     inter AS (
-        SELECT p.doc_a, p.doc_b, COUNT(*) AS shared
+        SELECT p.doc_a, p.doc_b, COUNT({"DISTINCT a.h" if set_h else "*"}) AS shared
         FROM pairs p
         JOIN shh a ON a.doc_id = p.doc_a
         JOIN shh b ON b.doc_id = p.doc_b AND b.h = a.h
@@ -187,7 +196,7 @@ def _minhash_chain(recursive: bool = False) -> str:
 
 def _minhash_oracle() -> str:
     return f"""
-    {_minhash_chain()}
+    {_minhash_chain(set_h=True)}
     SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b
     """
 
@@ -227,19 +236,19 @@ _MH_VERIFY_SQL = f"""
         FROM banded a JOIN banded b
           ON a.band = b.band AND {_MH_BAND_EQ} AND a.doc_id < b.doc_id
     ),
+    withA AS (
+        SELECT /*+ BROADCAST(p) */ p.doc_a, p.doc_b, d.hs AS ha, d.n AS na
+        FROM pairs p JOIN _mh_sig d ON d.doc_id = p.doc_a
+    ),
     shared AS (
-        SELECT /*+ BROADCAST(p) */ p.doc_a, p.doc_b, COUNT(*) AS shared
-        FROM pairs p
-        JOIN _mh_shingles sa ON sa.doc_id = p.doc_a
-        JOIN _mh_shingles sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
-        GROUP BY p.doc_a, p.doc_b
+        SELECT /*+ BROADCAST(w) */ w.doc_a, w.doc_b, w.na, d.n AS nb,
+               size(array_intersect(w.ha, d.hs)) AS shared
+        FROM withA w JOIN _mh_sig d ON d.doc_id = w.doc_b
     )
-    SELECT s.doc_a, s.doc_b,
-           CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) AS jaccard
-    FROM shared s
-    JOIN _mh_sig na ON na.doc_id = s.doc_a
-    JOIN _mh_sig nb ON nb.doc_id = s.doc_b
-    WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.4
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+    FROM shared
+    WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.4
 """
 
 
@@ -274,11 +283,19 @@ SELECT doc_id,
 FROM sh
 """
 
-#: 32 min-aggregates + the distinct-shingle count, one GROUP BY pass.
+#: 32 min-aggregates + the distinct-shingle count + the doc's sorted
+#: hash set, one GROUP BY pass. Carrying ``hs`` (~distinct-shingles
+#: longs per doc) lets the verify phase compute pair intersections with
+#: array_intersect instead of re-joining the exploded shingle relation
+#: — the per-doc set must fit one aggregation buffer, which it does for
+#: any real document (a 1 MB doc is ~200k shingles = 1.6 MB of longs);
+#: the exploded-join verify (operators/dedup.py jaccard_for_pairs)
+#: remains the unbounded-document fallback.
 _MH_SIG_SQL = "SELECT doc_id, " + ", ".join(
     f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{i}"
     for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(MINHASH_PERMS))
-) + ", count(*) AS n FROM _mh_shingles GROUP BY doc_id"
+) + ", count(*) AS n, sort_array(collect_list(h)) AS hs" \
+    " FROM _mh_shingles GROUP BY doc_id"
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
@@ -289,21 +306,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays it row-expanded, same arithmetic). Shingle k=3, 32 perms,
     8 bands of 4; verified pairs filtered at J >= 0.4.
 
-    Every phase is a static SQL statement (~8 py4j crossings for the
+    Every phase is a static SQL statement (~6 py4j crossings for the
     whole query; the Column-form composition cost a measured 0.36s of
     per-call plan construction):
-    - shingles (corpus union + tokenize + distinct + md5) persist as a
-      view — they feed three consumers (signatures+sizes in one
-      aggregation, both sides of the Jaccard join), so at 100 TB this
-      is the difference between one and three passes over the corpus;
-    - the signature frame (one row per doc, 33 numeric cols) appears
-      three times in the verify plan (both band-join sides + sizes) —
-      persisted too, it's tiny;
-    - band join + Jaccard verify run over the two persisted views
-      (_MH_VERIFY_SQL). CTE inlining is harmless because every
-      multiply-referenced relation is one of the persisted views."""
+    - shingles (corpus union + tokenize + distinct + md5) flow straight
+      into ONE aggregation producing the signature frame: 32 min
+      columns, the set size n, and the doc's sorted hash set ``hs``;
+    - that signature frame (one row per doc) is the ONLY persisted
+      relation — it feeds both band-join sides AND the verify, so the
+      corpus is scanned once at any scale;
+    - verify needs no pass over an exploded shingle relation at all:
+      candidate pairs broadcast-join the signature frame twice and the
+      intersection is size(array_intersect(ha, hb)) — set semantics on
+      the hashed shingles, replayed by the oracle as COUNT(DISTINCT h)
+      (measured 1.40s vs 1.64s for the exploded-join verify at sf0.1
+      same-session; no exchange downstream of the band join)."""
     ensure_views(spark, sf_dir, "documents")
-    spark.sql(_MH_SHINGLES_SQL).persist().createOrReplaceTempView("_mh_shingles")
+    spark.sql(_MH_SHINGLES_SQL).createOrReplaceTempView("_mh_shingles")
     spark.sql(_MH_SIG_SQL).persist().createOrReplaceTempView("_mh_sig")
     return spark.sql(_MH_VERIFY_SQL).transform(
         lambda d: sorted_small(d, "doc_a", "doc_b")
