@@ -347,14 +347,18 @@ def q_conditional_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pct_lohi_sql(p: float, alias: str) -> str:
+def _pct_lohi_sql(p: float, alias: str, guard: str = "") -> str:
+    """lo/hi/n aggregates for one percentile over rank-interval rows
+    (v answers every rank in [cum_start, cum_end)). ``guard`` is ANDed
+    into each CASE so several legs can share ONE aggregation pass."""
     lo = f"FLOOR(CAST(n - 1 AS DOUBLE) * {p!r}D)"
+    g = f"{guard} AND " if guard else ""
     return (
-        f"max(CASE WHEN cum_start <= {lo} AND {lo} < cum_end THEN v END)"
+        f"max(CASE WHEN {g}cum_start <= {lo} AND {lo} < cum_end THEN v END)"
         f" AS __lo_{alias},\n"
-        f"max(CASE WHEN cum_start <= {lo} + 1 AND {lo} + 1 < cum_end THEN v END)"
-        f" AS __hi_{alias},\n"
-        f"max(n) AS __n_{alias}"
+        f"max(CASE WHEN {g}cum_start <= {lo} + 1 AND {lo} + 1 < cum_end"
+        f" THEN v END) AS __hi_{alias},\n"
+        f"max(CASE WHEN {guard or 'true'} THEN n END) AS __n_{alias}"
     )
 
 
@@ -387,10 +391,6 @@ qr AS (
     FROM qh
 ),
 qre AS (SELECT *, cum_end - cnt AS cum_start FROM qr),
-qagg AS (
-    SELECT l_returnflag, {", ".join(_pct_lohi_sql(p, a) for p, a in _PCT_QTY)}
-    FROM qre GROUP BY l_returnflag
-),
 pb AS (
     SELECT l_returnflag, v, {log_bucket_id_sql("v")} AS bid
     FROM (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem)
@@ -418,18 +418,27 @@ picked AS (
                                             ORDER BY p.v) - 1 AS grank
     FROM pb p JOIN targets t ON p.l_returnflag = t.l_returnflag AND p.bid = t.bid
 ),
-pagg AS (
+united AS (
+    -- both legs normalized to rank-interval rows (v answers every rank
+    -- in [cum_start, cum_end)) and tagged, so ONE aggregation replaces
+    -- the former qagg + pagg + broadcast join — two fewer stages; the
+    -- union carries O(distinct qty values) + O(selected price rows).
+    SELECT l_returnflag, 1 AS isq, v, cum_start, cum_end, n FROM qre
+    UNION ALL
+    SELECT l_returnflag, 0 AS isq, v, grank AS cum_start,
+           grank + 1 AS cum_end, n
+    FROM picked
+),
+agg AS (
     SELECT l_returnflag,
-           max(CASE WHEN grank = FLOOR({_PCT_H90}) THEN v END) AS __lo_price_p90,
-           max(CASE WHEN grank = LEAST(FLOOR({_PCT_H90}) + 1, n - 1) THEN v END)
-               AS __hi_price_p90,
-           max(n) AS __n_price_p90
-    FROM picked GROUP BY l_returnflag
+           {", ".join(_pct_lohi_sql(p, a, "isq = 1") for p, a in _PCT_QTY)},
+           {_pct_lohi_sql(0.9, "price_p90", "isq = 0")}
+    FROM united GROUP BY l_returnflag
 )
-SELECT /*+ BROADCAST(pa) */ qa.l_returnflag,
+SELECT l_returnflag,
        {", ".join(_pct_interp_sql(p, a) for p, a in _PCT_QTY)},
        {_pct_interp_sql(0.9, "price_p90")}
-FROM qagg qa JOIN pagg pa ON qa.l_returnflag = pa.l_returnflag
+FROM agg
 """
 
 

@@ -222,9 +222,10 @@ def test_dedup_embedding_cosine_is_bucketed_not_all_pairs(spark, sf_dir):
 
 def test_minhash_verify_plan_is_bucketed(spark, sf_dir):
     """The MinHash pipeline's pair stage must stay bucketed: no
-    CartesianProduct, and the exact-Jaccard verify must probe the
-    shingle relation with the (broadcast) candidate pairs, never
-    shuffle-join shingles against shingles without the band/hash key."""
+    CartesianProduct, and the exact-Jaccard verify must consume the
+    per-doc hash sets via broadcast joins of the candidate pairs into
+    the signature frame — never a shuffle join of an exploded shingle
+    relation against itself."""
     from aind_protein_data_transformation_spark.queries.llm_dedup import dedup_minhash_lsh
 
     plan = (
@@ -235,6 +236,12 @@ def test_minhash_verify_plan_is_bucketed(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the verify is array_intersect over two broadcast probes, and the
+    # only sort-merge-eligible join (band self-join) must also have
+    # planned as a hash join on the packed band keys
+    assert "array_intersect" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_dedup_semantic_keep_is_cluster_bucketed(spark, sf_dir):
