@@ -35,7 +35,6 @@ from aind_protein_data_transformation_spark.operators.dedup import (  # noqa: E4
 )
 from aind_protein_data_transformation_spark.plans.scale import sorted_small  # noqa: E402
 from aind_protein_data_transformation_spark.queries.llm_dedup import (  # noqa: E402
-    _MH_VERIFY_SQL,
     _corpus_near,
     dedup_minhash_lsh,
 )
@@ -75,6 +74,42 @@ _PACKED_STRUCTS = ", ".join(
     for b in range(N_BANDS)
 )
 
+_UNPACKED_STRUCTS = ", ".join(
+    "struct({b} AS band, {ks})".format(
+        b=b,
+        ks=", ".join(
+            f"m{b * LSH_BAND_SIZE + j} AS k{j}" for j in range(LSH_BAND_SIZE)
+        ),
+    )
+    for b in range(N_BANDS)
+)
+
+#: the pre-round-4 registered verify: exploded-join Jaccard, 4 raw band keys
+_UNPACKED_VERIFY_SQL = f"""
+    WITH banded AS (
+        SELECT doc_id, inline(array({_UNPACKED_STRUCTS})) FROM _mh_sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND {" AND ".join(f"a.k{j} = b.k{j}" for j in range(LSH_BAND_SIZE))}
+         AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT /*+ BROADCAST(p) */ p.doc_a, p.doc_b, COUNT(*) AS shared
+        FROM pairs p
+        JOIN _mh_shingles sa ON sa.doc_id = p.doc_a
+        JOIN _mh_shingles sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) AS jaccard
+    FROM shared s
+    JOIN _mh_sig na ON na.doc_id = s.doc_a
+    JOIN _mh_sig nb ON nb.doc_id = s.doc_b
+    WHERE CAST(s.shared AS DOUBLE) / (na.n + nb.n - s.shared) >= 0.4
+"""
+
 _PACKED_VERIFY_SQL = f"""
     WITH banded AS (
         SELECT doc_id, inline(array({_PACKED_STRUCTS})) FROM _mh_sig
@@ -104,11 +139,16 @@ _PACKED_VERIFY_SQL = f"""
 def _variant(spark: SparkSession, sf_dir: str, hash_first: bool, packed: bool):
     from aind_protein_data_transformation_spark.operators.dedup import shingle_set
 
+    # Both A/B legs use the script's own exploded-join verify
+    # (_PACKED_VERIFY_SQL / _UNPACKED_VERIFY_SQL): the registered
+    # query's _MH_VERIFY_SQL switched to array_intersect over an ``hs``
+    # column that minhash_signatures doesn't emit, so the operator
+    # composition exercises the exploded fallback path here.
     corpus = _corpus_near(spark, sf_dir)
     sh = (shingles_hash_first(corpus) if hash_first else shingle_set(corpus, k=3)).persist()
     sh.createOrReplaceTempView("_mh_shingles")
     minhash_signatures(sh).persist().createOrReplaceTempView("_mh_sig")
-    sql = _PACKED_VERIFY_SQL if packed else _MH_VERIFY_SQL
+    sql = _PACKED_VERIFY_SQL if packed else _UNPACKED_VERIFY_SQL
     return spark.sql(sql).transform(lambda d: sorted_small(d, "doc_a", "doc_b"))
 
 
@@ -170,7 +210,7 @@ def _variant_mapside(spark: SparkSession, sf_dir: str):
         + ", ".join(f"m{i}" for i in range(MINHASH_PERMS))
         + " FROM _mh_docs"
     ).createOrReplaceTempView("_mh_sig")
-    return spark.sql(_MH_VERIFY_SQL).transform(
+    return spark.sql(_UNPACKED_VERIFY_SQL).transform(
         lambda d: sorted_small(d, "doc_a", "doc_b")
     )
 
