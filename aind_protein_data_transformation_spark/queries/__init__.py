@@ -17,6 +17,7 @@ from .registry import REGISTRY, oracle_sql, queries, query  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import tpch_extra  # noqa: E402,F401
 from . import scalar_packs  # noqa: E402,F401
+from . import reshape  # noqa: E402,F401
 from . import llm_dedup  # noqa: E402,F401
 from . import llm_similarity  # noqa: E402,F401
 from . import llm_text  # noqa: E402,F401

@@ -188,6 +188,14 @@ def test_tail_components_are_covered_in_window():
         # A-ES weighted reservoir = hash-derived-decision family
         # (driver-checked via the hash split) + rank-window trim
         "sample_weighted_reservoir": "sample_hash_split",
+        # round-4 reshape/stats additions: pivot/unpivot and the
+        # co-moment aggregates are conditional/hash aggregates (q1's
+        # family); batch sessionization is window frames + running sum
+        # (the running-totals family)
+        "q_pivot_status_by_priority": "q1_pricing_summary",
+        "q_unpivot_flag_measures": "q1_pricing_summary",
+        "q_corr_regr_aggregates": "q1_pricing_summary",
+        "q_sessionize_events": "q_window_running_totals",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
