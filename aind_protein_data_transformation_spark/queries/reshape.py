@@ -10,8 +10,10 @@ sessionization is the batch twin of the streaming session window
 running sum instead of state.
 
 Scale notes:
-- PIVOT with an explicit value list is ONE hash aggregate (conditional
-  aggregates per cell) — no values-discovery job, no second pass.
+- PIVOT with an explicit value list needs no values-discovery job;
+  Catalyst plans it as a two-level aggregate — map-side partials on the
+  fine (row, pivot) key, then a tiny pivotfirst aggregate per row key —
+  so the exchanges carry combined cells, never raw rows.
 - UNPIVOT is a generator projection (no shuffle); the input here is a
   3-row aggregate.
 - corr/covar/regr are single-pass streaming co-moments (map-side
@@ -64,9 +66,11 @@ ORDER BY o_orderstatus
 )
 def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order counts pivoted wide: one row per status, one column per
-    priority. The explicit IN list keeps it a single conditional hash
-    aggregate (Spark's values-discovery variant would add a distinct
-    pass); the oracle replays it as FILTERed counts."""
+    priority. The explicit IN list avoids the values-discovery pass
+    (Spark's dynamic pivot first collects distinct values to the
+    driver); Catalyst plans the rest as a two-level aggregate whose
+    exchanges carry combined (status, priority) cells, never raw rows.
+    The oracle replays it as FILTERed counts."""
     ensure_views(spark, sf_dir, "orders")
     return spark.sql(_PIVOT_SQL)
 

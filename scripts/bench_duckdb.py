@@ -47,6 +47,8 @@ def run_comparator(
     timings: dict[str, float] = {}
     for name in names:
         sql = q.REGISTRY[name].oracle
+        if sql is None:  # non-SQL-expressible op (bench --all path)
+            continue
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

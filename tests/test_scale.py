@@ -347,3 +347,42 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path_factory):
     finally:
         for key, val in old.items():
             spark.conf.set(key, val)
+
+
+def _executed_plan(spark, sf_dir, name):
+    import aind_protein_data_transformation_spark.queries as q
+
+    return (
+        q.REGISTRY[name].fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_pivot_plan_is_two_level_aggregate(spark, sf_dir):
+    """Explicit-values PIVOT must not collect values to the driver and
+    must shuffle combined cells, not raw rows: a two-level aggregate
+    (fine-key partials -> pivotfirst) with exactly two hash exchanges."""
+    plan = _executed_plan(spark, sf_dir, "q_pivot_status_by_priority")
+    assert "pivotfirst" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:4000]
+
+
+def test_sessionize_plan_reuses_user_partitioning(spark, sf_dir):
+    """Both window passes AND the session aggregate must share the ONE
+    hash exchange on user_id (the aggregate's (user_id, session_id) key
+    is clustered by the window partitioning); only the final ORDER BY
+    adds a range exchange."""
+    plan = _executed_plan(spark, sf_dir, "q_sessionize_events")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+    assert plan.count("Exchange rangepartitioning") == 1, plan[:4000]
+
+
+def test_unpivot_plan_is_generator_projection(spark, sf_dir):
+    """UNPIVOT must plan as an Expand over the feeding aggregate — no
+    join, no extra shuffle beyond the aggregate's own exchange."""
+    plan = _executed_plan(spark, sf_dir, "q_unpivot_flag_measures")
+    assert "Expand" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+    assert "Join" not in plan, plan[:4000]
