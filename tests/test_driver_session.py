@@ -31,7 +31,7 @@ spark = (
 import aind_protein_data_transformation_spark.queries as q
 
 out = {}
-for name in ["q_date_functions", "asof_purchase_last_click", "streaming_tumbling_window", "q_percentiles_rank_select"]:
+for name in ["q_date_functions", "asof_purchase_last_click", "streaming_tumbling_window", "q_percentiles_rank_select", "q_sessionize_events"]:
     df = q.REGISTRY[name].fn(spark, sf_dir)
     rows = df.collect()
     out[name] = {
@@ -79,6 +79,25 @@ def test_queries_survive_bare_default_session(sf_dir, duck):
         # which must work under a bare 200-shuffle-partition session
         "q_percentiles_rank_select": duck.execute(
             "SELECT COUNT(DISTINCT l_returnflag) FROM lineitem"
+        ).fetchone()[0],
+        # round-4 addition; timestamp-gap arithmetic must agree under a
+        # bare session (no preset timezone) — micros epochs make it
+        # timezone-free, but the boundary belongs in this regression net
+        "q_sessionize_events": duck.execute(
+            """
+            WITH gapped AS (
+                SELECT user_id,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 > 21600000000
+                              OR LAG(ts) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id)
+                                 IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
+            SELECT SUM(is_new) FROM gapped
+            """
         ).fetchone()[0],
     }
     for name, want in want_rows.items():
