@@ -54,11 +54,18 @@ def _canon_cell(value):
 
 
 def canonicalize_pandas(df: pd.DataFrame) -> list[tuple]:
-    """Sorted list of canonical row tuples, columns ordered by name."""
+    """Sorted list of canonical row tuples, columns ordered by name.
+
+    Iterates with ``itertuples`` (per-column dtypes preserved), NOT
+    ``iterrows``: iterrows materializes each row as a Series, and an
+    all-numeric frame with mixed int64/float64 columns gets upcast to
+    float64 wholesale — which silently defeated the dtype-strict
+    int-vs-float tagging whenever every column was numeric (caught by
+    q_histogram_equi_width, the first all-numeric registered query)."""
     cols = sorted(df.columns)
     rows = [
-        tuple(_canon_cell(row[c]) for c in cols)
-        for _, row in df[cols].iterrows()
+        tuple(_canon_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
     ]
     return sorted(rows, key=repr)
 

@@ -226,3 +226,71 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange for the whole query."""
     ensure_views(spark, sf_dir, "events")
     return spark.sql(_SESSIONIZE_SQL)
+
+
+# ----------------------------------------------------------- histogram
+
+#: fixed-width 50k bins over o_totalprice (domain ~[1k, 500k]); FIXED
+#: edges mean the binning is a pure projection — no min/max pre-scan,
+#: no driver-side bounds collect, one map-side-combined aggregate.
+_HIST_BIN_W = 50_000
+
+_HISTOGRAM_SQL = f"""
+SELECT CAST(FLOOR(o_totalprice / {_HIST_BIN_W}) AS BIGINT) AS bin,
+       CAST(FLOOR(o_totalprice / {_HIST_BIN_W}) AS BIGINT) * {_HIST_BIN_W}.0
+           AS bin_lo,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       {{dsum}}
+FROM orders
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@query(
+    "q_histogram_equi_width",
+    oracle=_HISTOGRAM_SQL.format(
+        dsum="CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
+        " AS sum_price"
+    ),
+)
+def q_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram of order totals: fixed 50k-wide bins,
+    per-bin count/min/max and the exact-decimal sum. Fixed edges make
+    the bin id a projection expression (contrast the rank-select
+    percentile operator, whose log-buckets earn their keep when the
+    domain is unknown); the whole query is one map-side-combined
+    aggregate over O(bins) groups at any data size."""
+    from ..functions.numeric import spark_dsum_sql
+
+    ensure_views(spark, sf_dir, "orders")
+    return spark.sql(
+        _HISTOGRAM_SQL.format(dsum=spark_dsum_sql("o_totalprice", "sum_price"))
+    )
+
+
+# ------------------------------------------- interval range window
+
+_ROLLING_SQL = """
+SELECT user_id, event_id, ts,
+       SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW) AS rolling_1h
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@query("q_window_interval_range", oracle=_ROLLING_SQL)
+def q_window_interval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding aggregate in batch: each event's sum of
+    `value` over the trailing hour for its user, via a RANGE frame with
+    a calendar-interval boundary — the frame boundary is data-dependent
+    per row, which ROWS frames cannot express. Same statement runs on
+    both engines (RANGE peers on tied ts included identically). One
+    exchange on user_id; per-user frames are the bounded batch twin of
+    streaming_sliding_window's state."""
+    ensure_views(spark, sf_dir, "events")
+    return spark.sql(_ROLLING_SQL)

@@ -196,6 +196,8 @@ def test_tail_components_are_covered_in_window():
         "q_unpivot_flag_measures": "q1_pricing_summary",
         "q_corr_regr_aggregates": "q1_pricing_summary",
         "q_sessionize_events": "q_window_running_totals",
+        "q_histogram_equi_width": "q1_pricing_summary",
+        "q_window_interval_range": "q_window_running_totals",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
