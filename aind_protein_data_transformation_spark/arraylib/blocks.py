@@ -353,3 +353,77 @@ def write_chunks_zarr(
 
     chunk_df.foreachPartition(write_partition)
     return True
+
+
+def write_zarr_v2_store(
+    chunk_df: DataFrame,
+    store_path: str,
+    shape: Sequence[int],
+    chunks: Sequence[int],
+    dtype: str,
+    compress_level: int = 3,
+) -> None:
+    """Dependency-free **format-valid zarr v2** array store.
+
+    Closes the gap between :func:`write_chunks_files` (private layout,
+    needs :func:`read_chunk_file`) and the import-gated
+    :func:`write_chunks_zarr` (needs zarr+numcodecs): this sink writes a
+    real zarr v2 array any zarr reader opens, using only the stdlib —
+    ``.zarray`` metadata plus one file per chunk keyed
+    ``t/c/gz/gy/gx`` (``dimension_separator="/"``, the reference's
+    layout, czi_to_zarr.py:551). Codec is ``zlib`` (a numcodecs
+    built-in) standing in for the reference's blosc-zstd — the format
+    contract (metadata, keys, C-order full-chunk buffers) is exact;
+    only the compressor id differs, swapped by one argument where
+    numcodecs exists.
+
+    Per the v2 spec, EDGE CHUNKS ARE STORED FULL-SIZE: a block that
+    under-fills its chunk is zero-padded to ``chunks`` before encoding
+    (fill_value 0). Executors write their own co-located chunks via
+    ``foreachPartition`` — chunk grid cells never overlap, so no write
+    coordination is needed; the driver writes only the metadata key.
+    """
+    import json as _json
+
+    import numpy as np
+
+    shape_t = [int(s) for s in shape]
+    chunks_t = [int(c) for c in chunks]
+    dtype_str = np.dtype(dtype).str
+    os.makedirs(store_path, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": shape_t,
+        "chunks": chunks_t,
+        "dtype": dtype_str,
+        "compressor": {"id": "zlib", "level": int(compress_level)},
+        "fill_value": 0,
+        "order": "C",
+        "filters": None,
+        "dimension_separator": "/",
+    }
+    with open(os.path.join(store_path, ".zarray"), "w") as fh:
+        _json.dump(meta, fh, indent=2)
+
+    _, _, cz, cy, cx = chunks_t
+
+    def write_partition(rows) -> None:
+        import zlib
+
+        import numpy as _np
+
+        for row in rows:
+            block = _np.frombuffer(bytes(row.payload), dtype=dtype_str).reshape(
+                list(row.shape)
+            )
+            full = _np.zeros((cz, cy, cx), dtype=dtype_str)
+            full[: block.shape[0], : block.shape[1], : block.shape[2]] = block
+            gz, gy, gx = row.z0 // cz, row.y0 // cy, row.x0 // cx
+            d = os.path.join(
+                store_path, str(int(row.t)), str(int(row.c)), str(gz), str(gy)
+            )
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, str(gx)), "wb") as fh:
+                fh.write(zlib.compress(full.tobytes(order="C"), compress_level))
+
+    chunk_df.foreachPartition(write_partition)

@@ -47,6 +47,12 @@ class StackJobSettings:
     downsample_levels: int = pyramid.DEFAULT_N_LEVELS
     glob: str = "*.czi"
     s3_location: str | None = None
+    #: also emit a dependency-free zarr v2 store per stack per level
+    #: (blocks.write_zarr_v2_store) alongside the parquet levels — a
+    #: format-valid twin of the reference's OME-Zarr output, readable
+    #: by any zarr reader (zlib codec; blosc via write_chunks_zarr
+    #: where numcodecs exists).
+    zarr_v2: bool = False
 
     def __post_init__(self) -> None:
         if not 0 <= self.partition_to_process < self.num_of_partitions:
@@ -167,6 +173,13 @@ def run_job(
         .collect()
     }
 
+    # Per-stack dtype, one tiny distinct over the persisted voxels;
+    # needed inside the level loop when the zarr_v2 sink is on.
+    stack_dtypes = {
+        row["stack_id"]: row["dtype"]
+        for row in voxels.select("stack_id", "dtype").distinct().collect()
+    }
+
     out_root = settings.output_root
     current = voxels
     spatial = {sid: shape[2:] for sid, shape in shapes.items()}
@@ -185,10 +198,25 @@ def run_job(
             current, settings.chunk_size, stack_spatial_shapes=spatial
         )
         blocks.write_level_parquet(chunked, out_root, lvl)
-    dtypes = {
-        row["stack_id"]: row["dtype"]
-        for row in voxels.select("stack_id", "dtype").distinct().collect()
-    }
+        if settings.zarr_v2:
+            # per-stack format-valid zarr v2 arrays: <out>/zarr/<stack>/
+            # <lvl> under a .zgroup per stack (the reference's per-stack
+            # group, czi_to_zarr.py:483-485). Stack count is O(driver
+            # loop) by design — the reference iterates stacks serially
+            # too; within a stack the chunk writes stay distributed.
+            for sid, (z, y, x) in spatial.items():
+                grp = os.path.join(settings.output_directory, "zarr", sid)
+                os.makedirs(grp, exist_ok=True)
+                with open(os.path.join(grp, ".zgroup"), "w") as fh:
+                    json.dump({"zarr_format": 2}, fh)
+                blocks.write_zarr_v2_store(
+                    chunked.filter(F.col("stack_id") == sid),
+                    os.path.join(grp, str(lvl)),
+                    (shapes[sid][0], shapes[sid][1], z, y, x),
+                    (1, 1, *settings.chunk_size),
+                    stack_dtypes[sid],
+                )
+    dtypes = stack_dtypes
     # Metadata always lands in the local output_directory (a few KB per
     # stack) — including S3 runs, where the data goes to s3a:// but the
     # sidecars must not be silently dropped. A production deployment

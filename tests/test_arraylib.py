@@ -622,3 +622,95 @@ def test_bioio_decoder_raises_cleanly_when_absent():
         pytest.skip("bioio installed; the absent-path cannot be tested")
     with pytest.raises(ImportError):
         decode.bioio_decoder()
+
+
+def test_write_zarr_v2_store_is_format_valid(spark, tmp_path):
+    """The dependency-free zarr sink must produce a REAL zarr v2 array:
+    spec-complete .zarray metadata, '/'-separated chunk keys, full-size
+    (zero-padded) edge chunks, zlib payloads — decodable here with the
+    stdlib, and openable by the zarr library wherever it is installed."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 900, size=(1, 1, 4, 5, 3)).astype(np.uint16)
+    chunk_df = blocks.encode_chunks(voxels_df(spark, arr), chunk_size=(2, 2, 2))
+    store = str(tmp_path / "v2.zarr")
+    blocks.write_zarr_v2_store(
+        chunk_df, store, arr.shape, (1, 1, 2, 2, 2), "uint16"
+    )
+
+    meta = json.loads(open(os.path.join(store, ".zarray")).read())
+    assert meta["zarr_format"] == 2
+    assert meta["shape"] == [1, 1, 4, 5, 3]
+    assert meta["chunks"] == [1, 1, 2, 2, 2]
+    assert meta["dtype"] == "<u2"
+    assert meta["compressor"] == {"id": "zlib", "level": 3}
+    assert meta["dimension_separator"] == "/"
+
+    # stdlib reassembly: every chunk key present, every payload a FULL
+    # 2x2x2 buffer (edge chunks zero-padded per the v2 spec)
+    import zlib as _zlib
+
+    rebuilt = np.zeros((1, 1, 4, 6, 4), dtype=np.uint16)  # padded grid
+    n_keys = 0
+    for gz in range(2):
+        for gy in range(3):
+            for gx in range(2):
+                path = os.path.join(store, "0", "0", str(gz), str(gy), str(gx))
+                assert os.path.isfile(path), path
+                buf = _zlib.decompress(open(path, "rb").read())
+                block = np.frombuffer(buf, dtype="<u2").reshape(2, 2, 2)
+                rebuilt[
+                    0, 0, gz * 2 : gz * 2 + 2, gy * 2 : gy * 2 + 2, gx * 2 : gx * 2 + 2
+                ] = block
+                n_keys += 1
+    assert n_keys == 12
+    np.testing.assert_array_equal(rebuilt[:, :, :4, :5, :3], arr)
+    # the padding region really is fill_value
+    assert rebuilt[:, :, :, 5:, :].max() == 0 and rebuilt[:, :, :, :, 3:].max() == 0
+
+    try:
+        import zarr  # noqa: F401
+    except ImportError:
+        return
+    opened = zarr.open_array(store, mode="r")
+    np.testing.assert_array_equal(np.asarray(opened), arr)
+
+
+def test_run_job_zarr_v2_sink(spark, stack_dir, tmp_path):
+    """zarr_v2=True emits a per-stack zarr v2 group with one array per
+    level alongside the parquet output, and the store round-trips to the
+    same voxels via the stdlib decoder."""
+    import zlib as _zlib
+
+    out = str(tmp_path / "out")
+    settings = StackJobSettings(
+        input_source=stack_dir,
+        output_directory=out,
+        downsample_levels=2,
+        chunk_size=(2, 2, 2),
+        zarr_v2=True,
+    )
+    assert run_job(spark, settings).status_code == 0
+
+    grp = os.path.join(out, "zarr", "tile_a(1).czi")
+    assert json.load(open(os.path.join(grp, ".zgroup"))) == {"zarr_format": 2}
+    meta0 = json.load(open(os.path.join(grp, "0", ".zarray")))
+    assert meta0["shape"] == [1, 1, 2, 3, 4]
+    assert meta0["chunks"] == [1, 1, 2, 2, 2]
+    assert json.load(open(os.path.join(grp, "1", ".zarray")))["shape"] == [1, 1, 1, 2, 2]
+
+    # level-0 store content == the decoded fixture array
+    header_shape = (1, 1, 2, 3, 4)
+    arr = (
+        (np.arange(np.prod(header_shape), dtype=np.int64) % 1000)
+        .reshape(header_shape)
+        .astype(np.uint16)
+    )
+    rebuilt = np.zeros((1, 1, 2, 4, 4), dtype=np.uint16)
+    for gy in range(2):
+        for gx in range(2):
+            path = os.path.join(grp, "0", "0", "0", "0", str(gy), str(gx))
+            block = np.frombuffer(
+                _zlib.decompress(open(path, "rb").read()), dtype="<u2"
+            ).reshape(2, 2, 2)
+            rebuilt[0, 0, :, gy * 2 : gy * 2 + 2, gx * 2 : gx * 2 + 2] = block
+    np.testing.assert_array_equal(rebuilt[:, :, :2, :3, :4], arr)
