@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 from ..catalog import ensure_views, load_table
 from ..functions.text import normalize_text
 from ..operators.graph import connected_components
-from ..plans.scale import sorted_small
+from ..plans.scale import fanout_width, sorted_small
 from ..operators.dedup import (
     LSH_BAND_SIZE,
     MINHASH_PERMS,
@@ -255,13 +255,18 @@ _MH_VERIFY_SQL = f"""
 #: Spark twin of the oracle's corpus+shingle chain (shingle_set over
 #: _corpus_near): distinct on the shingle STRING before the md5 —
 #: identical hash-call-minimizing order, ending at (doc_id, h).
+#: ``{fan}`` = plans.scale.fanout_width at call time — the narrow-scan
+#: fan-out ahead of the tokenize+shingle+md5 kernel (1.14s -> 0.98s at
+#: sf0.1; the single-row-group scan otherwise serializes the kernel).
 _MH_SHINGLES_SQL = f"""
 WITH corpus AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000 AS doc_id,
-           regexp_replace(text, '^\\\\S+\\\\s+', '') AS text
-    FROM documents WHERE doc_id % 20 = 0
+    SELECT /*+ REPARTITION({{fan}}) */ doc_id, text FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\\\\S+\\\\s+', '') AS text
+        FROM documents WHERE doc_id % 20 = 0
+    )
 ),
 toks AS (
     SELECT doc_id, filter(split(text, '\\\\s+'), t -> t <> '') AS tk
@@ -322,7 +327,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       (measured 1.40s vs 1.64s for the exploded-join verify at sf0.1
       same-session; no exchange downstream of the band join)."""
     ensure_views(spark, sf_dir, "documents")
-    spark.sql(_MH_SHINGLES_SQL).createOrReplaceTempView("_mh_shingles")
+    spark.sql(_MH_SHINGLES_SQL.format(fan=fanout_width(spark))).createOrReplaceTempView("_mh_shingles")
     spark.sql(_MH_SIG_SQL).persist().createOrReplaceTempView("_mh_sig")
     return spark.sql(_MH_VERIFY_SQL).transform(
         lambda d: sorted_small(d, "doc_a", "doc_b")
