@@ -143,7 +143,10 @@ def fanout_width(spark: SparkSession) -> int:
     where the scan is already thousands of tasks, repartitioning to
     total-cores acts as a balanced coalesce — the exchange is sequential
     IO against a kernel that is ~10x its cost, and hot documents no
-    longer pin a task. Queries whose downstream is a cheap filter+agg
-    (pipeline_clean_corpus: 0.38 -> 0.50s) skip it — the exchange
-    outweighs the kernel there."""
+    longer pin a task. Queries whose per-row kernel is cheap skip it —
+    the exchange outweighs the work: pipeline_clean_corpus (filter+agg
+    downstream) measured 0.38 -> 0.50s fanned, and the q8
+    broadcast-join probe over lineitem measured 0.50 -> 0.81s. The
+    pattern pays ONLY where the fused kernel is CPU-dense (regex
+    tokenization, shingling, cryptographic hashing)."""
     return spark.sparkContext.defaultParallelism
