@@ -25,25 +25,28 @@ SURVEY.md §2's addendum.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def partitioned_prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     out_col: str = "prefix_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = inclusive running sum of ``value_col`` in
-    ``order_col`` order (ties broken by ``order_col`` uniqueness — pass
-    a unique ordering column, e.g. a document id).
+    ``order_col`` order (a single column or a composite key; the
+    combined ordering must be unique — e.g. end with an id column).
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     parts = (
-        df.repartitionByRange(num_partitions, order_col)
+        df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
-        else df.repartitionByRange(order_col)
+        else df.repartitionByRange(*order_cols)
     )
     # localCheckpoint pins the range partitioning: ``staged`` fans out
     # into two plan branches (local sums, per-partition offsets), and a
@@ -56,7 +59,7 @@ def partitioned_prefix_sum(
 
     w_local = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = staged.withColumn("_local", F.sum(value_col).over(w_local))

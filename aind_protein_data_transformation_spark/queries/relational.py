@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import ensure_views, load_table
+from ..operators.prefix import partitioned_prefix_sum
 from ..functions.numeric import (
     davg,
     dsum,
@@ -462,13 +463,39 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile_wealth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE deciles then re-aggregate. The unpartitioned ORDER BY window
-    is a single-reducer global sort — acceptable for dim-sized inputs;
-    for a 100-TB fact use approx percentiles instead (q_percentiles)."""
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    """NTILE deciles then re-aggregate — WITHOUT the unpartitioned
+    ORDER BY window a naive NTILE plans (a single-reducer global sort,
+    the classic scale killer; Spark itself warns "No Partition
+    Defined").
+
+    Global rank comes from the two-phase distributed prefix sum
+    (operators/prefix.py) over the unique (c_acctbal, c_custkey) order
+    — range-repartition, per-partition bounded sorts, k-row offset
+    merge — and Spark's exact NTILE bucketing rule is then a closed
+    form of (rank, n): the first n%10 buckets take ceil(n/10) rows,
+    the rest floor(n/10). n rides in via a single-row broadcast
+    cross-join (the q11 threshold pattern). Same result as the oracle's
+    native NTILE at any data size, with no stage sorting O(n) rows in
+    one task."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", "c_custkey", F.lit(1).alias("_one")
+    )
+    ranked = partitioned_prefix_sum(
+        c, ["c_acctbal", "c_custkey"], "_one", out_col="_rank"
+    )
+    n_row = c.groupBy().agg(F.count("*").alias("_n"))
     return (
-        c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        ranked.crossJoin(F.broadcast(n_row))
+        .selectExpr(
+            "c_acctbal",
+            # NTILE(k): base = n div k, rem = n mod k; ranks up to
+            # rem*(base+1) fall in the wide buckets, the rest in base-
+            # sized buckets offset by rem.
+            "CASE WHEN _rank <= (_n % 10) * (_n DIV 10 + 1) "
+            "     THEN CAST((_rank - 1) DIV (_n DIV 10 + 1) + 1 AS INT) "
+            "     ELSE CAST((_n % 10) + ((_rank - (_n % 10) * (_n DIV 10 + 1) - 1) "
+            "          DIV (_n DIV 10)) + 1 AS INT) END AS decile",
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),

@@ -386,3 +386,23 @@ def test_unpivot_plan_is_generator_projection(spark, sf_dir):
     assert "Expand" in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
     assert "Join" not in plan, plan[:4000]
+
+
+def test_ntile_plan_has_no_unpartitioned_data_window(spark, sf_dir):
+    """The decile query's global ranking must run through the two-phase
+    prefix-sum (every Window over data partitions by _pid; the only
+    other window is the k-row per-partition offset merge) — never a
+    bare NTILE/ROW_NUMBER whose unpartitioned window funnels the
+    relation through one task."""
+    import aind_protein_data_transformation_spark.queries as q
+
+    plan = (
+        q.REGISTRY["q_ntile_wealth_deciles"].fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan.lower(), plan[:3000]
+    for frag in plan.split("Window ")[1:]:
+        spec = frag.split("\n")[0]
+        assert "_pid" in spec, spec
