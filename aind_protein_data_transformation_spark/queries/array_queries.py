@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.numeric import dsum, sql_dsum
+from ..operators.prefix import partitioned_prefix_sum
 from .registry import query
 
 # Voxel grid derived from lineitem: cell value = SUM(l_quantity), exact
@@ -154,15 +155,19 @@ def pyramid_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stack_deal_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A3: the reference's deterministic deal (index % n over the
-    sorted list, zeiss_job.py:33-44) and per-bucket claim, as a window +
-    group-by. The window runs over the work *listing* (small), never the
-    data — the same reason arraylib/stacks.py can afford a global
-    row_number."""
-    orders = load_table(spark, sf_dir, "orders")
-    dealt = orders.select(
-        ((F.row_number().over(Window.orderBy("o_orderkey")) - 1) % 5).alias("bucket"),
-        "o_totalprice",
+    sorted list, zeiss_job.py:33-44) and per-bucket claim. In arraylib
+    the deal runs over the work *listing* (bounded metadata — stacks.py
+    can afford a global row_number); this oracle proxy deals the ORDERS
+    table, which is data-sized, so the global index comes from the
+    two-phase distributed prefix sum instead of an unpartitioned
+    ROW_NUMBER window (which would funnel the whole relation through
+    one task — the round-4 q_ntile fix, same pattern)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("_one")
     )
+    dealt = partitioned_prefix_sum(
+        orders, "o_orderkey", "_one", out_col="_idx"
+    ).select(((F.col("_idx") - 1) % 5).alias("bucket"), "o_totalprice")
     return (
         dealt.groupBy("bucket")
         .agg(F.count("*").alias("n_claimed"), dsum("o_totalprice", "claimed_value"))
