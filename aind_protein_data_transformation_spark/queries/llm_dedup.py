@@ -461,13 +461,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     by 8-bit chunks (pigeonhole: 4 chunks cover distance 3). Mutant
     docs differ by one word out of ~dozens of distinct tokens, so their
     bit-majority votes stay close; random pairs sit near hamming 16."""
-    corpus = _corpus_near(spark, sf_dir)
+    corpus = _corpus_near(spark, sf_dir).repartition(fanout_width(spark))
     sims = simhash(corpus)
-    return (
+    # persist ahead of the ORDER BY: the output is data-sized (2.35M
+    # near-pairs at sf0.1 on this vocab-shared corpus), so the range
+    # partitioner's sampling pass would otherwise re-execute the whole
+    # chunk join; the cached relation is what both the sampler and the
+    # sort read.
+    pairs = (
         simhash_near_pairs(sims, max_hamming=3)
         .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+        .persist()
     )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 # ------------------------------------------------------- cluster components

@@ -274,7 +274,13 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive char-5-gram hashes (Schleimer et al.'s local algorithm —
     position-robust plagiarism/near-dup signatures). The rolling min is
     a window frame, partition-local after one shuffle on doc_id."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 5)
+        # narrow-scan fan-out: ~1k char-5-gram md5 calls per document
+        # would otherwise run inside the single scan task
+        .repartition(fanout_width(spark))
+    )
     grams = d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("text") - 4)).alias("pos"),
