@@ -31,6 +31,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def ntile_from_rank_sql(k: int, rank: str = "_rank", n: str = "_n") -> str:
+    """SQL expression computing ``NTILE(k)`` from a 1-based global rank
+    and the total row count — Spark's exact bucketing rule as a closed
+    form: ``base = n div k``, ``rem = n mod k``; buckets 1..rem hold
+    ``base+1`` rows, the rest ``base``. Combined with
+    :func:`partitioned_prefix_sum` (rank = running count of ones) this
+    replaces the unpartitioned NTILE window — the single-reducer global
+    sort — with fully-distributed stages. Property-tested equal to the
+    native ``ntile`` on random sizes (tests/test_properties.py)."""
+    wide = f"({n} % {k}) * ({n} DIV {k} + 1)"
+    return (
+        f"CASE WHEN {rank} <= {wide} "
+        f"THEN CAST(({rank} - 1) DIV ({n} DIV {k} + 1) + 1 AS INT) "
+        f"ELSE CAST(({n} % {k}) + (({rank} - {wide} - 1) "
+        f"DIV ({n} DIV {k})) + 1 AS INT) END"
+    )
+
+
 def partitioned_prefix_sum(
     df: DataFrame,
     order_col: str | Sequence[str],

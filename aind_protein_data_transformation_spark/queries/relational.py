@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import ensure_views, load_table
-from ..operators.prefix import partitioned_prefix_sum
+from ..operators.prefix import ntile_from_rank_sql, partitioned_prefix_sum
 from ..functions.numeric import (
     davg,
     dsum,
@@ -488,13 +488,7 @@ def q_ntile_wealth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(n_row))
         .selectExpr(
             "c_acctbal",
-            # NTILE(k): base = n div k, rem = n mod k; ranks up to
-            # rem*(base+1) fall in the wide buckets, the rest in base-
-            # sized buckets offset by rem.
-            "CASE WHEN _rank <= (_n % 10) * (_n DIV 10 + 1) "
-            "     THEN CAST((_rank - 1) DIV (_n DIV 10 + 1) + 1 AS INT) "
-            "     ELSE CAST((_n % 10) + ((_rank - (_n % 10) * (_n DIV 10 + 1) - 1) "
-            "          DIV (_n DIV 10)) + 1 AS INT) END AS decile",
+            f"{ntile_from_rank_sql(10, '_rank', '_n')} AS decile",
         )
         .groupBy("decile")
         .agg(

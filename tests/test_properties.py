@@ -271,3 +271,34 @@ def test_rank_select_percentiles_match_duckdb_on_random_data(spark, data):
         ).fetchall()
     }
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=257),
+    k=st.sampled_from([2, 3, 7, 10]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ntile_closed_form_matches_native(spark, n, k):
+    """The rank->bucket closed form (operators/prefix.ntile_from_rank_sql,
+    the scale-safe replacement for the unpartitioned NTILE window) must
+    reproduce Spark's native NTILE exactly — including the uneven-split
+    rule when n % k != 0 — for every (n, k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.operators.prefix import ntile_from_rank_sql
+
+    df = spark.range(1, n + 1).withColumnRenamed("id", "v")
+    w = Window.orderBy("v")
+    got = (
+        df.select(
+            "v",
+            F.ntile(k).over(w).alias("native"),
+            F.row_number().over(w).alias("_rank"),
+        )
+        .withColumn("_n", F.lit(n))
+        .selectExpr("v", "native", f"{ntile_from_rank_sql(k)} AS closed")
+        .collect()
+    )
+    for r in got:
+        assert r.native == r.closed, (n, k, r.v, r.native, r.closed)
