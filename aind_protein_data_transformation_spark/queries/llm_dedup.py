@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import ensure_views, load_table
-from ..functions.text import normalize_text
 from ..operators.graph import connected_components
 from ..plans.scale import fanout_width, sorted_small
 from ..operators.dedup import (
