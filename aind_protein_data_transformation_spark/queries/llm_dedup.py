@@ -118,14 +118,17 @@ def _minhash_chain(recursive: bool = False, set_h: bool = False) -> str:
     ``recursive=True`` emits WITH RECURSIVE so callers can append
     recursive CTEs (DuckDB requires the keyword up front).
 
-    ``set_h=True`` counts the pair intersection as DISTINCT shared
-    hashes (set semantics on the hashed shingles — what the registered
-    query's array_intersect verify computes); ``False`` keeps the
-    row-join count (what the operator pipeline jaccard_for_pairs
-    computes, used by dedup_cluster_components). The two differ only
-    when one document holds two distinct shingle strings whose md5 mod
-    P collide (~1e-5 per document); each query is self-consistent with
-    its oracle either way."""
+    ``set_h=True`` switches the chain to set-of-hashes semantics end to
+    end — ``shh`` deduplicates on (doc_id, h) after hashing every
+    occurrence (mirroring the registered query's hash-first shingle
+    pass), sizes count distinct hashes, and the pair intersection is
+    the shared-hash set size (what array_intersect computes).
+    ``False`` keeps the distinct-string-then-hash order and row-join
+    count (what shingle_set + jaccard_for_pairs compute, used by
+    dedup_cluster_components). The two differ only when one document
+    holds two distinct shingle strings whose md5 mod P collide (~1e-5
+    per document); each query is self-consistent with its oracle
+    either way."""
     perms = ", ".join(
         f"({i}, {a}, {b})" for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(MINHASH_PERMS))
     )
@@ -152,11 +155,15 @@ def _minhash_chain(recursive: bool = False, set_h: bool = False) -> str:
         FROM toks
     ),
     shh AS (
-        -- distinct on the STRING then hash, mirroring shingle_set's
+        {'''-- hash-first, distinct on the NUMERIC (doc_id, h) — the
+        -- registered query's order (set-of-hashes semantics)
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ''' + str(p) + ''' AS h
+        FROM sh_raw''' if set_h else '''-- distinct on the STRING then hash, mirroring shingle_set's
         -- hash-call-minimizing order (collision semantics identical)
         SELECT doc_id,
-               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h
-        FROM (SELECT DISTINCT doc_id, shingle FROM sh_raw)
+               ('0x' || substr(md5(shingle), 1, 15))::BIGINT % ''' + str(p) + ''' AS h
+        FROM (SELECT DISTINCT doc_id, shingle FROM sh_raw)'''}
     ),
     perms(i, a, b) AS (VALUES {perms}),
     sig AS (
@@ -251,12 +258,17 @@ _MH_VERIFY_SQL = f"""
 """
 
 
-#: Spark twin of the oracle's corpus+shingle chain (shingle_set over
-#: _corpus_near): distinct on the shingle STRING before the md5 —
-#: identical hash-call-minimizing order, ending at (doc_id, h).
+#: Spark twin of the oracle's corpus+shingle chain, ending at the
+#: DISTINCT (doc_id, h) set. HASH-FIRST: md5 every occurrence, dedup
+#: on the numeric pair — at sf0.1 a wash vs distinct-string-then-hash
+#: (the md5 chain costs ~0.25s per 2.7M strings across 32 cores), but
+#: the distinct exchange carries 16-byte pairs instead of ~50-byte
+#: shingle strings, which is the term that grows with the corpus
+#: (measured at the 10× text layout: the string-distinct exchange is
+#: the largest single stage). Matches the set_h oracle chain exactly.
 #: ``{fan}`` = plans.scale.fanout_width at call time — the narrow-scan
-#: fan-out ahead of the tokenize+shingle+md5 kernel (1.14s -> 0.98s at
-#: sf0.1; the single-row-group scan otherwise serializes the kernel).
+#: fan-out ahead of the tokenize+shingle+md5 kernel (the single-row-
+#: group scan otherwise serializes the kernel).
 _MH_SHINGLES_SQL = f"""
 WITH corpus AS (
     SELECT /*+ REPARTITION({{fan}}) */ doc_id, text FROM (
@@ -274,17 +286,12 @@ toks AS (
 pos AS (
     SELECT doc_id, tk, explode(sequence(1, size(tk) - 2)) AS i
     FROM toks WHERE size(tk) >= 3
-),
-sh AS (
-    SELECT DISTINCT doc_id,
-           concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-                     element_at(tk, i + 2)) AS s
-    FROM pos
 )
-SELECT doc_id,
-       CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT)
-           % {MINHASH_PRIME} AS h
-FROM sh
+SELECT DISTINCT doc_id,
+       CAST(CONV(SUBSTRING(MD5(concat_ws(' ', element_at(tk, i),
+            element_at(tk, i + 1), element_at(tk, i + 2))), 1, 15),
+            16, 10) AS BIGINT) % {MINHASH_PRIME} AS h
+FROM pos
 """
 
 #: 32 min-aggregates + the distinct-shingle count + the doc's sorted
