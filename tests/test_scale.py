@@ -406,3 +406,13 @@ def test_ntile_plan_has_no_unpartitioned_data_window(spark, sf_dir):
     for frag in plan.split("Window ")[1:]:
         spec = frag.split("\n")[0]
         assert "_pid" in spec, spec
+
+
+def test_interval_range_window_single_exchange(spark, sf_dir):
+    """The trailing-1h RANGE frame must reuse one hash exchange on
+    user_id (plus the final ORDER BY's range exchange) — a second data
+    exchange would mean the frame planned as something other than a
+    single partitioned window."""
+    plan = _executed_plan(spark, sf_dir, "q_window_interval_range")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+    assert plan.count("Exchange rangepartitioning") == 1, plan[:4000]
