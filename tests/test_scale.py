@@ -416,3 +416,14 @@ def test_interval_range_window_single_exchange(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "q_window_interval_range")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
     assert plan.count("Exchange rangepartitioning") == 1, plan[:4000]
+
+
+def test_text_quality_fans_out_the_narrow_scan(spark, sf_dir):
+    """The quality projection must fan the corpus out of the single-
+    row-group scan task before its regex/HOF kernel: a round-robin
+    exchange sized by fanout_width appears below the projection."""
+    from aind_protein_data_transformation_spark.plans.scale import fanout_width
+
+    plan = _executed_plan(spark, sf_dir, "text_quality_stats")
+    assert "RoundRobinPartitioning" in plan, plan[:3000]
+    assert f"RoundRobinPartitioning({fanout_width(spark)})" in plan, plan[:3000]
