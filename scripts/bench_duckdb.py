@@ -69,7 +69,8 @@ def main(argv: list[str]) -> int:
     subset = os.environ.get("SPARK_GRAFT_QUERIES")
     if subset:
         names = [n for n in subset.split(",") if n]
-    timings = run_comparator(sf_dir, names)
+    runs_used = 5
+    timings = run_comparator(sf_dir, names, runs=runs_used)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -77,7 +78,7 @@ def main(argv: list[str]) -> int:
                 "metric": "duckdb_comparator_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "runs_per_query": 3,
+                "runs_per_query": runs_used,
                 "queries": timings,
                 "sf_dir": sf_dir,
             }
