@@ -7,6 +7,15 @@ JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The stdout line is kept COMPACT (< ~1900 bytes): the grading driver
+records only the TAIL of stdout (2000 chars), so a line that grows past
+that loses its head — and with it the headline ``value`` (this is
+exactly how round 4's BENCH artifact came back ``parsed: null``).
+Per-query cold runs, the session floor, and the DuckDB per-query split
+go to the ``bench_detail.json`` sidecar next to this file instead; if
+even the per-query dict would overflow the line (an ``--all`` sweep),
+it too moves to the sidecar and the line keeps a count.
+
 Each query is forced end-to-end with the ``noop`` sink so the timing
 covers scan -> shuffle -> agg/join -> result materialization on the
 executors, without driver-side collect skew. A short warmup query runs
@@ -51,6 +60,22 @@ HEADLINE: tuple[str, ...] = (
     "text_quality_stats",
     "pipeline_clean_corpus",
 )
+
+
+#: stay well under the driver's 2000-char stdout tail capture.
+_MAX_LINE_BYTES = 1900
+
+
+def _plan_has_eager_rdd(df) -> bool:
+    """True when the query's fn() did EAGER work whose result is baked
+    into the plan as a materialized RDD (localCheckpoint inside the
+    distributed prefix sum, connected_components' iterative loop).
+    ``spark.catalog.clearCache()`` does not drop checkpointed RDDs, so
+    timing a prebuilt DataFrame would let every run skip that heavy
+    stage while the DuckDB comparator re-executes fully — such queries
+    must be REBUILT inside the timed loop."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return "LogicalRDD" in plan or "ExistingRDD" in plan
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -114,6 +139,12 @@ def main(argv: list[str]) -> int:
             # Spark's is 30-80 ms of py4j + analyzer time that would be
             # amortized by any real deployment's plan cache.
             df = fn(spark, sf_dir)
+            # Exception to the prepared-statement model: a fn() that did
+            # eager work (localCheckpoint / iterative loops) must be
+            # rebuilt per run so that work is billed inside the timing —
+            # otherwise all 5 runs (cold included) reuse the pinned RDD
+            # and under-report vs the fully-re-executing comparator.
+            rebuild = _plan_has_eager_rdd(df)
             # best-of-5: this VM's per-run noise is ±50%, and the gate
             # is a ratio of two best-estimates — 5 samples per side
             # (the comparator runs 5 too) tightens both minima
@@ -121,6 +152,8 @@ def main(argv: list[str]) -> int:
             # best-of-3 purely from draw luck.
             for _ in range(5):
                 t0 = time.perf_counter()
+                if rebuild:
+                    df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
                 first = dt if first is None else first
@@ -145,9 +178,15 @@ def main(argv: list[str]) -> int:
             "unit": "sec",
             "runs_per_query": 5,
             "queries": timings,
+            "sf": _sf_from_dir(sf_dir),
+        }
+        # Everything beyond the driver-contract keys goes to the sidecar
+        # so the stdout line never outgrows the driver's tail capture.
+        detail = {
+            "queries": timings,
             "cold_first_run": cold,
             "session_floor_seconds": floor,
-            "sf": _sf_from_dir(sf_dir),
+            "sf": out["sf"],
         }
         # Same-session DuckDB comparator (identical methodology: the
         # oracle SQL best-of-5 on 32 threads, run back-to-back with the
@@ -173,12 +212,24 @@ def main(argv: list[str]) -> int:
             duck = mod.run_comparator(sf_dir, names, runs=5)
             duck_total = round(sum(duck.values()), 4)
             out["duckdb_comparator_seconds"] = duck_total
-            out["duckdb_queries"] = duck
+            detail["duckdb_queries"] = duck
             if duck_total > 0:
                 out["ratio_vs_duckdb"] = round(total / duck_total, 3)
         except Exception as exc:  # pragma: no cover - diagnostic path
             out["duckdb_comparator_error"] = repr(exc)
-        print(json.dumps(out))
+        line = json.dumps(out)
+        if len(line) > _MAX_LINE_BYTES:
+            # --all sweeps: the per-query dict alone exceeds the tail
+            # capture; keep the headline numbers parseable and point at
+            # the sidecar for the split.
+            out["queries"] = {"_see": "bench_detail.json", "_count": len(timings)}
+            line = json.dumps(out)
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+        print(line)
     finally:
         spark.stop()
     return 0

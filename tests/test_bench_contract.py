@@ -1,10 +1,12 @@
 """Bench harness contract: ``python bench.py`` must print exactly ONE
-JSON line with the driver-required keys (metric/value/unit/queries/sf)
-plus the round-4 additions (same-session DuckDB comparator and ratio).
-The grading driver parses this line verbatim; a refactor that breaks
-the JSON shape or crashes the comparator would silently cost the
-round's BENCH artifact, so the shape is pinned here in a subprocess at
-sf0.001 with a two-query subset (~30 s)."""
+COMPACT JSON line with the driver-required keys (metric/value/unit/
+queries/sf) plus the same-session DuckDB comparator and ratio. The
+grading driver records only the last 2000 chars of stdout — round 4's
+BENCH artifact came back ``parsed: null`` because the line had grown
+past that and lost its head — so this test pins BOTH the key set and a
+hard line-length ceiling, with the per-query detail landing in the
+``bench_detail.json`` sidecar instead. Runs in a subprocess at sf0.001
+with a two-query subset (~30 s)."""
 
 from __future__ import annotations
 
@@ -16,7 +18,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_prints_one_json_line_with_contract_keys():
+def test_bench_prints_one_compact_json_line_plus_sidecar():
     env = {
         **os.environ,
         "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
@@ -34,6 +36,12 @@ def test_bench_prints_one_json_line_with_contract_keys():
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, f"expected ONE JSON line, got {len(lines)}: {lines}"
+    # the driver keeps a 2000-char stdout tail; the contract line must
+    # fit with margin even on the 20-query headline run (20 entries is
+    # ~10x this subset's two, so pin the per-entry budget implicitly by
+    # a hard cap the full run also satisfies — see the headline guard
+    # in bench.py: lines near the cap demote `queries` to the sidecar)
+    assert len(lines[0]) <= 1900, f"stdout line too long: {len(lines[0])}"
     out = json.loads(lines[0])
 
     assert out["metric"] == "headline_suite_wall_seconds"
@@ -42,12 +50,21 @@ def test_bench_prints_one_json_line_with_contract_keys():
     assert set(out["queries"]) == {"q1_pricing_summary", "dedup_exact"}
     assert all(v > 0 for v in out["queries"].values())
     assert out["sf"] == 0.001
-    # round-4 additions: the comparator must have RUN (not degraded to
-    # the diagnostic key) and the ratio must be consistent with it
+    # the comparator must have RUN (not degraded to the diagnostic key)
+    # and the ratio must be consistent with it
     assert "duckdb_comparator_error" not in out, out.get(
         "duckdb_comparator_error"
     )
-    assert set(out["duckdb_queries"]) == set(out["queries"])
     assert out["duckdb_comparator_seconds"] > 0
     expected = out["value"] / out["duckdb_comparator_seconds"]
     assert abs(out["ratio_vs_duckdb"] - expected) < 0.01
+    # per-query detail (cold runs, session floor, duckdb split) lives in
+    # the sidecar, NOT on the stdout line
+    for key in ("cold_first_run", "session_floor_seconds", "duckdb_queries"):
+        assert key not in out, key
+    with open(os.path.join(REPO, "bench_detail.json")) as fh:
+        detail = json.load(fh)
+    assert set(detail["queries"]) == set(out["queries"])
+    assert set(detail["duckdb_queries"]) == set(out["queries"])
+    assert set(detail["cold_first_run"]) == set(out["queries"])
+    assert detail["session_floor_seconds"] > 0
