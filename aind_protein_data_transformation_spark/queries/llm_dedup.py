@@ -243,11 +243,20 @@ _MH_VERIFY_SQL = f"""
           ON a.band = b.band AND {_MH_BAND_EQ} AND a.doc_id < b.doc_id
     ),
     withA AS (
+        -- only the (doc_a, doc_b) PAIR KEYS are hint-broadcast: their
+        -- size is bounded by the LSH candidate count alone. The probe
+        -- side joins the hash sets in. The second join carries ha on
+        -- the STREAMED side and gets no hint — at fixture scale AQE
+        -- turns it into a broadcast of the pair+ha rows anyway, and on
+        -- a dup-heavy / long-document corpus (where pairs x shingles
+        -- outgrows the driver) it degrades to a spillable shuffle join
+        -- on doc_id instead of an OOM, which a forced BROADCAST(w)
+        -- hint would bypass.
         SELECT /*+ BROADCAST(p) */ p.doc_a, p.doc_b, d.hs AS ha, d.n AS na
         FROM pairs p JOIN _mh_sig d ON d.doc_id = p.doc_a
     ),
     shared AS (
-        SELECT /*+ BROADCAST(w) */ w.doc_a, w.doc_b, w.na, d.n AS nb,
+        SELECT w.doc_a, w.doc_b, w.na, d.n AS nb,
                size(array_intersect(w.ha, d.hs)) AS shared
         FROM withA w JOIN _mh_sig d ON d.doc_id = w.doc_b
     )
@@ -327,11 +336,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       relation — it feeds both band-join sides AND the verify, so the
       corpus is scanned once at any scale;
     - verify needs no pass over an exploded shingle relation at all:
-      candidate pairs broadcast-join the signature frame twice and the
-      intersection is size(array_intersect(ha, hb)) — set semantics on
-      the hashed shingles, replayed by the oracle as COUNT(DISTINCT h)
-      (measured 1.40s vs 1.64s for the exploded-join verify at sf0.1
-      same-session; no exchange downstream of the band join)."""
+      the candidate PAIR KEYS broadcast into the signature frame (the
+      only forced broadcast — bounded by the LSH candidate count) and
+      the intersection is size(array_intersect(ha, hb)) — set semantics
+      on the hashed shingles, replayed by the oracle as
+      COUNT(DISTINCT h) (measured 1.40s vs 1.64s for the exploded-join
+      verify at sf0.1 same-session). The second verify join is left to
+      the planner: AQE broadcasts it at candidate counts that fit, and
+      degrades to a spillable doc_id shuffle join when pairs x
+      shingles/doc would not."""
     ensure_views(spark, sf_dir, "documents")
     spark.sql(_MH_SHINGLES_SQL.format(fan=fanout_width(spark))).createOrReplaceTempView("_mh_shingles")
     spark.sql(_MH_SIG_SQL).persist().createOrReplaceTempView("_mh_sig")
@@ -469,15 +482,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-majority votes stay close; random pairs sit near hamming 16."""
     corpus = _corpus_near(spark, sf_dir).repartition(fanout_width(spark))
     sims = simhash(corpus)
-    # persist ahead of the ORDER BY: the output is data-sized (2.35M
+    # materialize ahead of the ORDER BY: the output is data-sized (2.35M
     # near-pairs at sf0.1 on this vocab-shared corpus), so the range
     # partitioner's sampling pass would otherwise re-execute the whole
-    # chunk join; the cached relation is what both the sampler and the
-    # sort read.
+    # chunk join; the checkpointed relation is what both the sampler and
+    # the sort read. localCheckpoint, NOT persist(): a persisted plan
+    # sits in the cache manager until an explicit unpersist/clearCache,
+    # leaking executor memory for the session lifetime in library use —
+    # the checkpoint RDD is GC-managed (ContextCleaner drops it when the
+    # returned DataFrame goes unreferenced).
     pairs = (
         simhash_near_pairs(sims, max_hamming=3)
         .select("doc_a", "doc_b", "hamming")
-        .persist()
+        .localCheckpoint()
     )
     return pairs.orderBy("doc_a", "doc_b")
 

@@ -365,9 +365,15 @@ def _pct_lohi_sql(p: float, alias: str, guard: str = "") -> str:
 def _pct_interp_sql(p: float, alias: str) -> str:
     h = f"(CAST(__n_{alias} - 1 AS DOUBLE) * {p!r}D)"
     frac = f"({h} - CAST(FLOOR({h}) AS DOUBLE))"
+    # __hi falls back to __lo: when the target rank is the group's last
+    # row (n=1, or p=1.0 in future reuse) no row answers rank lo+1, so
+    # __hi is NULL — the unclamped interpolation would return NULL where
+    # the boundary value is correct. frac is 0 in every such case, so
+    # the coalesce never shifts a genuinely interpolated value.
+    hi = f"COALESCE(__hi_{alias}, __lo_{alias})"
     return (
         f"CASE WHEN {frac} > 0 THEN __lo_{alias} * (1.0D - {frac}) "
-        f"+ __hi_{alias} * {frac} ELSE __lo_{alias} END AS {alias}"
+        f"+ {hi} * {frac} ELSE __lo_{alias} END AS {alias}"
     )
 
 
