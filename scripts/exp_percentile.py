@@ -11,6 +11,12 @@ Variants (identical results asserted, bit-exact):
                 by construction, so NO min/max pre-scan, no collect,
                 no literal bounds; one fewer job and scan
   fused_log_nc  fused_log without the histogram localCheckpoint
+  hybrid_folded round-5 fold attempt: BOTH legs' histogram keys stack
+                through one inline() generator into ONE shared
+                GROUP BY (one scan + one exchange builds both the qty
+                value-histogram and the price log-bucket histogram),
+                then the legs split post-histogram; phase-2 price
+                probe unchanged
 
 Usage: python scripts/exp_percentile.py [sf_dir] [rounds]
 """
@@ -142,6 +148,87 @@ SPECS = {
 }
 
 
+def _folded_sql() -> str:
+    from aind_protein_data_transformation_spark.operators.percentile import log_bucket_id_sql
+    from aind_protein_data_transformation_spark.queries.scalar_packs import (
+        _PCT_H90,
+        _PCT_QTY,
+        _pct_interp_sql,
+        _pct_lohi_sql,
+    )
+
+    return f"""
+WITH stacked AS (
+    SELECT l_returnflag, cid, k
+    FROM (SELECT l_returnflag,
+                 CAST(l_quantity AS DOUBLE) AS qv,
+                 CAST(l_extendedprice AS DOUBLE) AS pv
+          FROM lineitem)
+    LATERAL VIEW inline(array(
+        named_struct('cid', 1, 'k', qv),
+        named_struct('cid', 0,
+                     'k', CAST({log_bucket_id_sql("pv")} AS DOUBLE)))) s AS cid, k
+    WHERE k IS NOT NULL
+),
+hist AS (
+    SELECT l_returnflag, cid, k, COUNT(*) AS cnt
+    FROM stacked GROUP BY l_returnflag, cid, k
+),
+hw AS (
+    SELECT *, SUM(cnt) OVER (PARTITION BY l_returnflag, cid) AS n,
+           SUM(cnt) OVER (PARTITION BY l_returnflag, cid ORDER BY k) AS cum_end
+    FROM hist
+),
+qre AS (
+    SELECT l_returnflag, k AS v, cum_end - cnt AS cum_start, cum_end, n
+    FROM hw WHERE cid = 1
+),
+targets AS (
+    SELECT l_returnflag, CAST(k AS BIGINT) AS bid, cum_end - cnt AS cum_start, n
+    FROM hw
+    WHERE cid = 0
+      AND (((cum_end - cnt) <= FLOOR({_PCT_H90}) AND FLOOR({_PCT_H90}) < cum_end)
+        OR ((cum_end - cnt) <= LEAST(FLOOR({_PCT_H90}) + 1, n - 1)
+            AND LEAST(FLOOR({_PCT_H90}) + 1, n - 1) < cum_end))
+),
+pb AS (
+    SELECT l_returnflag, v, {log_bucket_id_sql("v")} AS bid
+    FROM (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem)
+    WHERE v IS NOT NULL
+),
+picked AS (
+    SELECT /*+ BROADCAST(t) */ p.l_returnflag, p.v, t.n,
+           t.cum_start + ROW_NUMBER() OVER (PARTITION BY p.l_returnflag, p.bid
+                                            ORDER BY p.v) - 1 AS grank
+    FROM pb p JOIN targets t ON p.l_returnflag = t.l_returnflag AND p.bid = t.bid
+),
+united AS (
+    SELECT l_returnflag, 1 AS isq, v, cum_start, cum_end, n FROM qre
+    UNION ALL
+    SELECT l_returnflag, 0 AS isq, v, grank AS cum_start,
+           grank + 1 AS cum_end, n
+    FROM picked
+),
+agg AS (
+    SELECT l_returnflag,
+           {", ".join(_pct_lohi_sql(p, a, "isq = 1") for p, a in _PCT_QTY)},
+           {_pct_lohi_sql(0.9, "price_p90", "isq = 0")}
+    FROM united GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       {", ".join(_pct_interp_sql(p, a) for p, a in _PCT_QTY)},
+       {_pct_interp_sql(0.9, "price_p90")}
+FROM agg
+"""
+
+
+def _hybrid_folded(spark, sf_dir):
+    from aind_protein_data_transformation_spark.catalog import ensure_views
+
+    ensure_views(spark, sf_dir, "lineitem")
+    return sorted_small(spark.sql(_folded_sql()), "l_returnflag")
+
+
 def _fused_log(spark, sf_dir, checkpoint=True):
     li = load_table(spark, sf_dir, "lineitem")
     return sorted_small(
@@ -155,6 +242,7 @@ VARIANTS = {
     "fused": q_percentiles_rank_select,
     "fused_log": lambda s, d: _fused_log(s, d, True),
     "fused_log_nc": lambda s, d: _fused_log(s, d, False),
+    "hybrid_folded": _hybrid_folded,
 }
 
 
