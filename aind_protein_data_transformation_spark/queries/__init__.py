@@ -47,15 +47,22 @@ DRIVER_WINDOW = [
     # set ops / grouping
     "q_set_ops_customer_segments",
     "q_rollup_region_nation_revenue",
-    # window family (frames, analytic, ranking; top-k)
+    # window family (frames, analytic, ranking; top-k). The round-4
+    # additions rotate IN round 5 so the reshape / co-moment /
+    # sessionization / window-analytic rows get their first driver
+    # verdict: interval-RANGE frame, lead/lag gap analysis, batch
+    # sessionization, and PIVOT (q_date/q_math/q_conditional and
+    # doc_fingerprint_winnow rotate to the tail after 4 green rounds
+    # each — their component families keep in-window representatives).
     "q_window_running_totals",
+    "q_window_interval_range",
+    "q_lead_lag_gaps",
+    "q_sessionize_events",
+    "q_pivot_status_by_priority",
     # scalar packs
     "q_string_functions",
-    "q_date_functions",
-    "q_math_functions",
     "q_array_functions",
     "q_json_functions",
-    "q_conditional_price_bands",
     "q_approx_aggregates",
     # exact percentiles via the fully-parallel two-phase rank-select
     # plan (promoted round 4 — the scale-safe form the driver should
@@ -83,7 +90,6 @@ DRIVER_WINDOW = [
     "text_token_count_bpe",
     # unigram log-probability quality scoring (promoted round 4)
     "text_unigram_logprob",
-    "doc_fingerprint_winnow",
     "pipeline_clean_corpus",
     # curation: benchmark decontamination (corpus x broadcast eval set),
     # Gopher-style repetition stats (promoted round 3 — q12_shipmode_priority

@@ -51,6 +51,13 @@ REQUIRED_IN_WINDOW = {
     "dedup_cluster_components",
     "sample_hash_split",
     "text_unigram_logprob",
+    # promoted round 5 (VERDICT round 4 #3): first driver rows for the
+    # round-4 §2B additions — reshape (PIVOT), batch sessionization,
+    # the interval-RANGE window frame, and the window-analytic family
+    "q_pivot_status_by_priority",
+    "q_sessionize_events",
+    "q_window_interval_range",
+    "q_lead_lag_gaps",
 }
 
 
@@ -160,9 +167,19 @@ def test_tail_components_are_covered_in_window():
         # rotated out round 3 for text_repetition_stats; conditional-agg +
         # 2-table equi-join shape keeps q1/q3/semi/anti/outer in window
         "q12_shipmode_priority": "q1_pricing_summary",
+        # rotated to the tail round 5 after four green driver rounds
+        # each, freeing slots for the round-4 reshape/sessionization/
+        # window-analytic additions: the scalar packs keep
+        # string/array/json in window (date/math/conditional are the
+        # same projection-over-scan shape), and the text family keeps
+        # quality/bpe/unigram-logprob (winnow is the same
+        # tokenize+hash+window machinery)
+        "q_date_functions": "q_string_functions",
+        "q_math_functions": "q_string_functions",
+        "q_conditional_price_bands": "q1_pricing_summary",
+        "doc_fingerprint_winnow": "text_quality_stats",
         "q_stddev_variance": "q1_pricing_summary",
         "q_minmax_by": "q1_pricing_summary",
-        "q_lead_lag_gaps": "q_window_running_totals",
         "q_map_functions": "q_json_functions",
         "text_lang_id": "text_quality_stats",
         # tf-idf top-k: stacked aggs + per-doc ranking window; text-stats
@@ -192,12 +209,9 @@ def test_tail_components_are_covered_in_window():
         # co-moment aggregates are conditional/hash aggregates (q1's
         # family); batch sessionization is window frames + running sum
         # (the running-totals family)
-        "q_pivot_status_by_priority": "q1_pricing_summary",
         "q_unpivot_flag_measures": "q1_pricing_summary",
         "q_corr_regr_aggregates": "q1_pricing_summary",
-        "q_sessionize_events": "q_window_running_totals",
         "q_histogram_equi_width": "q1_pricing_summary",
-        "q_window_interval_range": "q_window_running_totals",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
