@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""10x EMBEDDING-corpus scale-up (companion to bench_scale10 / text10).
+
+Faithful scaling: each of the 10 copies shifts vec_id by a disjoint
+offset (divisible by both the mutant modulus 20 and the centroid
+stride 40) and ROLLS the embedding dimensions by the copy index —
+within-copy geometry (every cosine) is preserved exactly, while
+cross-copy cosines are decorrelated (rolled axes), so near-dup
+structure grows 10x linearly instead of the n-squared blowup naive
+duplication would inject. The query workload stays fixed (the top-k
+queries are `vec_id < 5` = copy 0 only), which is how a production ANN
+serves: corpus grows, per-query work should grow only with bucket
+size.
+
+Three measurements:
+1. Cross-engine at 10x on the LINEAR registered queries
+   (similarity_cosine_topk brute force, embedding_quantize_int8) —
+   bench.py vs scripts/bench_duckdb.py back-to-back, like text10.
+2. Spark-only index-build scaling, 1x vs 10x in ONE session with a
+   FIXED 50-centroid codebook (copy-0 stride picks — the scale-correct
+   regime: centroid count is a design constant, not a data fraction):
+   the oracle-parity HOF fold (`assign_buckets`) vs the production
+   BLAS path (`assign_buckets_gemm`, one GEMM per Arrow batch,
+   agreement-tested in tests/test_operators.py).
+3. Spark-only `ivf_topk` ANN query at 1x vs 10x over the same fixed
+   codebook — per-query cost should scale with bucket size (~10x),
+   never with centroid-count x corpus.
+
+The registered IVF/dedup queries keep their stride-derived centroid
+counts because the DuckDB oracle must replay the index build — that is
+a correctness-harness constant, not the scale configuration; this
+script measures the scale configuration.
+
+Usage: python scripts/bench_embed10.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+COPIES = 10
+OFFSET = 10_000_000  # divisible by 20 (mutants) and 40 (stride picks)
+
+CROSS_ENGINE_QUERIES = ["similarity_cosine_topk", "embedding_quantize_int8"]
+
+
+def scale_embeddings(sf_dir: str, out_dir: str) -> None:
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    dst = os.path.join(out_dir, "embeddings.parquet")
+    os.makedirs(dst, exist_ok=True)
+    base = pq.read_table(src)
+    ids = base.column("vec_id").to_pylist()
+    vecs = base.column("embedding").to_pylist()
+    labels = base.column("label").to_pylist()
+    dim = len(vecs[0])
+    for i in range(COPIES):
+        rolled = [v[i % dim:] + v[: i % dim] for v in vecs]
+        t = pa.table(
+            {
+                "vec_id": pa.array([v + i * OFFSET for v in ids], pa.int64()),
+                "embedding": pa.array(rolled, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+        pq.write_table(
+            t, os.path.join(dst, f"part-{i:03d}.parquet"), compression="zstd"
+        )
+    print(
+        f"  embeddings: {len(ids)} rows x {COPIES} copies (dim {dim}, rolled)",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
+PASSTHROUGH = (
+    "region nation customer supplier part orders lineitem events documents"
+).split()
+
+
+def _noop_time(df, runs: int = 3) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def operator_scaling(sf_dir: str, out_dir: str) -> dict:
+    """Measurement 2 + 3: one session, 1x then 10x, fixed codebook."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        assign_buckets,
+        assign_buckets_gemm,
+        ivf_topk,
+        stride_centroids,
+    )
+    from aind_protein_data_transformation_spark.session import get_spark
+
+    spark = get_spark("bench-embed10")
+    out: dict[str, dict[str, float]] = {}
+    try:
+        for tag, d in (("x1", sf_dir), ("x10", out_dir)):
+            emb = load_table(spark, d, "embeddings")
+            corpus = emb.select(
+                F.col("vec_id").alias("vid"), F.col("embedding").alias("ve")
+            )
+            n = corpus.count()
+            # fixed codebook: the 50 copy-0 stride picks at either scale
+            cents = stride_centroids(
+                corpus.filter(F.col("vid") < OFFSET), 40
+            ).localCheckpoint()
+            # warm the scan
+            emb.write.format("noop").mode("overwrite").save()
+            res = {"rows": n, "centroids": cents.count()}
+            res["assign_fold_s"] = _noop_time(assign_buckets(corpus, cents))
+            res["assign_gemm_s"] = _noop_time(assign_buckets_gemm(corpus, cents))
+            q = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            )
+            c = emb.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+            )
+            res["ivf_topk_s"] = _noop_time(ivf_topk(q, c, cents, k=10, nprobe=2))
+            out[tag] = res
+            spark.catalog.clearCache()
+    finally:
+        spark.stop()
+    return out
+
+
+def main(argv: list[str]) -> int:
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = argv[2] if len(argv) > 2 else "/tmp/sparkgraft-embed10"
+    if os.path.isdir(os.path.join(out_dir, "embeddings.parquet")):
+        print(f"reusing existing layout {out_dir}", file=sys.stderr, flush=True)
+    else:
+        print(f"scaling embeddings x{COPIES} -> {out_dir}", file=sys.stderr, flush=True)
+        scale_embeddings(sf_dir, out_dir)
+        for t in PASSTHROUGH:
+            dst = os.path.join(out_dir, f"{t}.parquet")
+            os.makedirs(dst, exist_ok=True)
+            pq.write_table(
+                pq.read_table(os.path.join(sf_dir, f"{t}.parquet")),
+                os.path.join(dst, "part-00000.parquet"),
+                compression="zstd",
+            )
+
+    # 1) cross-engine on the linear registered queries
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": out_dir,
+        "SPARK_GRAFT_QUERIES": ",".join(CROSS_ENGINE_QUERIES),
+    }
+    results = {}
+    for tag, cmd in (
+        ("spark_embed10", [sys.executable, os.path.join(REPO, "bench.py")]),
+        (
+            "duckdb_embed10",
+            [sys.executable, os.path.join(REPO, "scripts", "bench_duckdb.py"), out_dir],
+        ),
+    ):
+        out = subprocess.run(
+            cmd, env=env, cwd=REPO, capture_output=True, text=True, check=True
+        ).stdout.strip().splitlines()[-1]
+        results[tag] = json.loads(out)
+        print(out, flush=True)
+    sq = results["spark_embed10"]["queries"]
+    dq = results["duckdb_embed10"]["queries"]
+    print(
+        json.dumps(
+            {
+                "metric": "embed10_cross_engine_ratio",
+                "spark_total": results["spark_embed10"]["value"],
+                "duckdb_total": results["duckdb_embed10"]["value"],
+                "per_query_ratio": {
+                    k: round(sq[k] / dq[k], 2) if dq[k] > 0 else None for k in sq
+                },
+                "layout": out_dir,
+            }
+        ),
+        flush=True,
+    )
+
+    # 2+3) operator-path scaling, one session
+    scaling = operator_scaling(sf_dir, out_dir)
+    summary = {"metric": "embed10_operator_scaling", **scaling}
+    for key in ("assign_fold_s", "assign_gemm_s", "ivf_topk_s"):
+        a, b = scaling["x1"][key], scaling["x10"][key]
+        summary[f"{key}_x10_over_x1"] = round(b / a, 2) if a > 0 else None
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -214,3 +214,41 @@ def test_sketch_reaggregation_error_headroom(spark, sf_dir):
             f"group {r.l_returnflag}: merged HLL estimate {r.approx} vs exact "
             f"{r.exact} — relative error {rel:.4f} is eating the driver margin"
         )
+
+
+def test_assign_buckets_gemm_agrees_with_fold(spark, sf_dir):
+    """The BLAS index build must produce the IDENTICAL assignment the
+    oracle-checkable HOF fold produces (same cosine argmax, same
+    lowest-centroid-id tie-break) — this agreement test is what lets
+    the GEMM path stand in for assign_buckets at scale without an
+    oracle row of its own."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        assign_buckets,
+        assign_buckets_gemm,
+        stride_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
+    cents = stride_centroids(corpus, 40)
+    fold = {r.vid: r.bucket for r in assign_buckets(corpus, cents).collect()}
+    gemm = {r.vid: r.bucket for r in assign_buckets_gemm(corpus, cents).collect()}
+    assert gemm == fold
+
+
+def test_assign_buckets_gemm_empty_centroids(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        assign_buckets_gemm,
+        stride_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
+    none = stride_centroids(corpus.filter(F.col("vid") < 0), 40)
+    assert assign_buckets_gemm(corpus, none).count() == 0
