@@ -252,3 +252,56 @@ def test_assign_buckets_gemm_empty_centroids(spark, sf_dir):
     corpus = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
     none = stride_centroids(corpus.filter(F.col("vid") < 0), 40)
     assert assign_buckets_gemm(corpus, none).count() == 0
+
+
+def test_ivf_topk_gemm_path_identical(spark, sf_dir):
+    """ivf_topk(gemm=True) must return exactly the rows of the fold
+    path — the index build is the only stage that switches."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        ivf_topk,
+        stride_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    cents = stride_centroids(
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve")), 40
+    )
+    cols = ["query_id", "neighbor_id", "rank"]
+    fold = {tuple(r) for r in ivf_topk(q, c, cents).select(*cols).collect()}
+    gemm = {tuple(r) for r in ivf_topk(q, c, cents, gemm=True).select(*cols).collect()}
+    assert gemm == fold
+
+
+def test_train_centroids_gemm_matches_fold(spark, sf_dir):
+    """With the exact (decimal-sum) update, the whole Lloyd loop must be
+    bit-reproducible whichever assignment engine runs: per-iteration
+    assignments agree exactly (the gemm agreement test), so the trained
+    centroids must too."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    a = {
+        r.centroid_id: tuple(r.centroid_vec)
+        for r in train_centroids(emb, 10, n_iters=2, exact=True).collect()
+    }
+    b = {
+        r.centroid_id: tuple(r.centroid_vec)
+        for r in train_centroids(emb, 10, n_iters=2, exact=True, gemm=True).collect()
+    }
+    assert a == b
