@@ -114,10 +114,20 @@ def main(argv: list[str]) -> int:
         # Catalyst round-trips + noop job scheduling on a one-row plan.
         # Measured so the decomposition below can separate per-query
         # constants (which are flat at any SF) from data-proportional
-        # body time (which is what scales).
-        t0 = time.perf_counter()
-        spark.range(1).write.format("noop").mode("overwrite").save()
-        floor = round(time.perf_counter() - t0, 4)
+        # body time (which is what scales). Best-of-5 on a warmed plan,
+        # the same protocol the queries get: the single cold measurement
+        # used through round 4 included one-time codegen (~0.22s) and
+        # overstated the floor ~3x — several warm queries clocked UNDER
+        # it, which is impossible for a true floor (true warm floor
+        # ~0.06s on a quiet VM).
+        floor_df = spark.range(1)
+        floor_df.write.format("noop").mode("overwrite").save()
+        floor = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            floor_df.write.format("noop").mode("overwrite").save()
+            floor = min(floor, time.perf_counter() - t0)
+        floor = round(floor, 4)
 
         # Best of 5 runs per query: the harness VM shows ±50% run-to-run
         # noise; run 1 additionally pays one-time Catalyst/Janino codegen
