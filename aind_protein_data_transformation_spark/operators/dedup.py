@@ -103,7 +103,9 @@ def shingle_set(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str
     )
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", with_hashes: bool = False
+) -> DataFrame:
     """MinHash signature as MINHASH_PERMS columns m0..m{n-1}, plus the
     per-document distinct-shingle count ``n``.
 
@@ -114,13 +116,40 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame
     exploded (doc, perm) table. ``n`` rides along as a 33rd aggregate so
     the Jaccard-verify step doesn't need its own pass over the shingle
     relation for set sizes.
+
+    ``with_hashes=True`` additionally carries the document's sorted
+    shingle-hash set ``hs`` (one more aggregate in the same pass) so a
+    consumer can verify exact Jaccard with ``array_intersect`` and no
+    second pass over the shingle relation — the layout the persisted
+    incremental-dedup index stores.
     """
     aggs = []
     for i in range(MINHASH_PERMS):
         a, b = minhash_coeffs(i)
         aggs.append(F.expr(f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{i}"))
     aggs.append(F.expr("count(*) AS n"))
+    if with_hashes:
+        aggs.append(F.expr("sort_array(collect_list(h)) AS hs"))
     return shingles.groupBy(id_col).agg(*aggs)
+
+
+def band_rows(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exploded LSH band relation: (id, band, k0..k{BAND_SIZE-1}) — one
+    row per (document, band), band key = the band's signature values as
+    a numeric tuple. Shared by the batch self-join
+    (:func:`lsh_candidate_pairs`) and the persisted incremental index
+    (:func:`write_minhash_index`)."""
+    n_bands = MINHASH_PERMS // LSH_BAND_SIZE
+    structs = ", ".join(
+        "struct({b} AS band, {ks})".format(
+            b=b,
+            ks=", ".join(
+                f"m{b * LSH_BAND_SIZE + j} AS k{j}" for j in range(LSH_BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return signatures.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -132,17 +161,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     self-join shuffles on (band, k0..k3), bucket-local, so cost tracks
     collision count, not corpus^2.
     """
-    n_bands = MINHASH_PERMS // LSH_BAND_SIZE
-    structs = ", ".join(
-        "struct({b} AS band, {ks})".format(
-            b=b,
-            ks=", ".join(
-                f"m{b * LSH_BAND_SIZE + j} AS k{j}" for j in range(LSH_BAND_SIZE)
-            ),
-        )
-        for b in range(n_bands)
-    )
-    banded = signatures.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
+    banded = band_rows(signatures, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     key_eq = " AND ".join(
@@ -295,3 +314,126 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, id_col: str = "doc
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------------- incremental dedup
+#
+# The 100-TB dedup workflow is not one batch job: the corpus is indexed
+# ONCE, and each arriving shard is deduplicated AGAINST the index
+# without touching the historical data again. Two persisted tables:
+#
+#   <name>_bands  (id, band, k0..k3)  bucketed+sorted on the band join
+#                 key — the probe join reads co-located, pre-sorted
+#                 buckets, so the corpus-sized side of the join never
+#                 shuffles or sorts again, for any number of shards;
+#   <name>_sigs   (id, n, hs)         bucketed on id — the exact-Jaccard
+#                 verify joins the (small) candidate set against it.
+#
+# Only the incoming shard (orders of magnitude smaller than the index)
+# moves through an exchange per probe. Appending a deduplicated shard
+# into the index is a bucketed append of its own band/sig rows.
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    name: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Index ``docs`` for incremental near-dup probes: shingle, sign,
+    and persist the band + signature tables described above."""
+    sig = minhash_signatures(
+        shingle_set(docs, k=k, text_col=text_col, id_col=id_col),
+        id_col=id_col,
+        with_hashes=True,
+    )
+    key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
+    bw = (
+        band_rows(sig, id_col)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, *key_cols)
+        .sortBy(*key_cols)
+    )
+    if path:
+        bw = bw.option("path", f"{path}/bands")
+    bw.saveAsTable(f"{name}_bands")
+    sw = (
+        sig.select(id_col, "n", "hs")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, id_col)
+    )
+    if path:
+        sw = sw.option("path", f"{path}/sigs")
+    sw.saveAsTable(f"{name}_sigs")
+
+
+def incremental_minhash_pairs(
+    spark,
+    new_docs: DataFrame,
+    name: str,
+    threshold: float = 0.4,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs between ``new_docs`` and the corpus indexed by
+    :func:`write_minhash_index`: (new_id, index_id, jaccard), exact
+    Jaccard >= ``threshold`` over the LSH candidates.
+
+    Scale shape: the shard is shingled/signed in one pass; its band
+    rows join the bucketed band index (index side co-located and
+    pre-sorted — only the shard's band rows exchange); the candidate
+    pairs then join the signature sidecar for an array_intersect
+    verify. The historical corpus is never re-scanned, re-shuffled, or
+    re-signed. Batch-equivalence (the pair set equals what the full
+    batch pipeline finds between the same shard and corpus) is pinned
+    by tests/test_incremental.py.
+    """
+    sig = minhash_signatures(
+        shingle_set(new_docs, k=k, text_col=text_col, id_col=id_col),
+        id_col=id_col,
+        with_hashes=True,
+    ).persist()
+    probe = band_rows(sig, id_col)
+    idx = spark.table(f"{name}_bands")
+    key_eq = [probe["band"] == idx["band"]] + [
+        probe[f"k{j}"] == idx[f"k{j}"] for j in range(LSH_BAND_SIZE)
+    ]
+    cand = (
+        probe.join(idx, key_eq)
+        .select(
+            probe[id_col].alias("new_id"), idx[id_col].alias("index_id")
+        )
+        .distinct()
+    )
+    isig = spark.table(f"{name}_sigs").select(
+        F.col(id_col).alias("index_id"),
+        F.col("n").alias("n_idx"),
+        F.col("hs").alias("hs_idx"),
+    )
+    nsig = sig.select(
+        F.col(id_col).alias("new_id"),
+        F.col("n").alias("n_new"),
+        F.col("hs").alias("hs_new"),
+    )
+    verified = (
+        cand.join(nsig, "new_id")
+        .join(isig, "index_id")
+        .select(
+            "new_id",
+            "index_id",
+            (
+                F.size(F.array_intersect("hs_new", "hs_idx")).cast("double")
+                / (
+                    F.col("n_new")
+                    + F.col("n_idx")
+                    - F.size(F.array_intersect("hs_new", "hs_idx"))
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
