@@ -63,7 +63,16 @@ DRIVER_WINDOW = [
     "q_string_functions",
     "q_array_functions",
     "q_json_functions",
-    "q_approx_aggregates",
+    # round-6 rotation (VERDICT round 5 #1): the two §2B rows never
+    # driver-confirmed in any round get their first driver exposure —
+    # the corr/covar/regr co-moment aggregates and the UNPIVOT half of
+    # reshape. Out: q_approx_aggregates (driver-green r2–r5; the
+    # sketch/approx family keeps its local differential + tolerance
+    # tests) and streaming_foreachbatch_sink (driver-green r2–r5; the
+    # foreachBatch micro-batch loop composes the in-window readStream
+    # machinery with the in-window batch parquet sink).
+    "q_corr_regr_aggregates",
+    "q_unpivot_flag_measures",
     # exact percentiles via the fully-parallel two-phase rank-select
     # plan (promoted round 4 — the scale-safe form the driver should
     # confirm; q_scalar_subquery rotated out, its rewrite family is
@@ -120,7 +129,6 @@ DRIVER_WINDOW = [
     "streaming_stateful_totals",
     "streaming_dedup_watermark",
     "streaming_late_data_policy",
-    "streaming_foreachbatch_sink",
 ]
 
 

@@ -31,9 +31,7 @@ REQUIRED_IN_WINDOW = {
     "streaming_stateful_totals",
     "streaming_dedup_watermark",
     "streaming_late_data_policy",
-    "streaming_foreachbatch_sink",
     # new this round
-    "q_approx_aggregates",
     "similarity_kmeans_assign",
     "sink_parquet_roundtrip",
     # round-2 red rows the round-3 ts fix must show green in the driver
@@ -58,6 +56,13 @@ REQUIRED_IN_WINDOW = {
     "q_sessionize_events",
     "q_window_interval_range",
     "q_lead_lag_gaps",
+    # promoted round 6 (VERDICT round 5 #1): first driver rows for the
+    # co-moment aggregates and the UNPIVOT half of reshape — the only
+    # §2B rows never driver-confirmed in rounds 1–5. q_approx_aggregates
+    # and streaming_foreachbatch_sink rotated to the tail after four
+    # green driver rounds each (r2–r5).
+    "q_corr_regr_aggregates",
+    "q_unpivot_flag_measures",
 }
 
 
@@ -158,9 +163,6 @@ def test_tail_components_are_covered_in_window():
         "q_explode_tokens": "q_array_functions",
         "q_exists_subquery": "q_semi_join_customers_with_orders",
         "q_percentiles_exact": "q_percentiles_rank_select",
-        # re-aggregatable HLL union: the sketch family's in-window
-        # representative carries the tolerance-boolean check shape
-        "q_sketch_reaggregation": "q_approx_aggregates",
         # MAD = two composed rank-select passes; the percentile
         # family's in-window representative covers the machinery
         "q_mad_robust_stats": "q_percentiles_rank_select",
@@ -209,9 +211,17 @@ def test_tail_components_are_covered_in_window():
         # co-moment aggregates are conditional/hash aggregates (q1's
         # family); batch sessionization is window frames + running sum
         # (the running-totals family)
-        "q_unpivot_flag_measures": "q1_pricing_summary",
-        "q_corr_regr_aggregates": "q1_pricing_summary",
         "q_histogram_equi_width": "q1_pricing_summary",
+        # rotated to the tail round 6 after four green driver rounds
+        # each (r2–r5), freeing slots for the co-moment + UNPIVOT
+        # promotions: approx sketches are partial-aggregatable hash
+        # aggregates (q1 family, plus the local tolerance/differential
+        # suites keep both sketch queries); foreachBatch is the
+        # in-window readStream machinery driving the in-window batch
+        # parquet sink per micro-batch
+        "q_approx_aggregates": "q1_pricing_summary",
+        "q_sketch_reaggregation": "q1_pricing_summary",
+        "streaming_foreachbatch_sink": "streaming_tumbling_window",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
@@ -219,3 +229,210 @@ def test_tail_components_are_covered_in_window():
     assert not unmapped, f"tail queries without a documented in-window twin: {unmapped}"
     bad = {t: w for t, w in covered_by.items() if w not in window}
     assert not bad, f"twin not in window: {bad}"
+
+
+# --------------------------------------------------- driver-row ledger
+#
+# Static record of which rounds the external driver confirmed each query
+# green (extracted from the committed CORRECTNESS_r0N.json artifacts;
+# update per round after the driver runs). The ledger test below closes
+# the starvation hole VERDICT round 5 called out: the covered_by map
+# only pins tail->window *query* twins, so a component whose queries all
+# sat in the tail mapped to a DIFFERENT family's representative (as
+# co-moments was, mapped to q1) could rotate forever without a driver
+# row. The invariant: every component family either already holds >=1
+# driver-green round, or has a representative in the CURRENT window
+# (i.e. is scheduled for its first driver row this round).
+DRIVER_GREEN_ROUNDS = {
+    "asof_inner_error_context": (3,),
+    "asof_purchase_last_click": (3, 4, 5),
+    "decontaminate_ngram_overlap": (2, 3, 4, 5),
+    "dedup_cluster_components": (4, 5),
+    "dedup_embedding_cosine": (1, 2, 3, 4, 5),
+    "dedup_exact": (1, 2, 3, 4, 5),
+    "dedup_minhash_lsh": (1, 2, 3, 4, 5),
+    "dedup_ngram_jaccard": (1, 2, 3, 4, 5),
+    "dedup_simhash": (1, 2, 3, 4, 5),
+    "doc_fingerprint_winnow": (1, 2, 3, 4),
+    "grid_block_slices": (2, 3, 4, 5),
+    "multimodal_frame_sample": (2, 3, 4, 5),
+    "multimodal_payload_stats": (2, 3),
+    "ome_channel_windows": (2, 3, 4, 5),
+    "ome_scale_recurrence": (2, 3, 4, 5),
+    "pipeline_clean_corpus": (1, 2, 3, 4, 5),
+    "pyramid_cascade_l2": (2, 3, 4, 5),
+    "pyramid_windowed_mean": (2, 3, 4, 5),
+    "q10_returned_items": (1,),
+    "q12_shipmode_priority": (2,),
+    "q14_promo_share": (1,),
+    "q1_pricing_summary": (1, 2, 3, 4, 5),
+    "q3_shipping_priority": (1, 2, 3, 4, 5),
+    "q5_local_supplier_volume": (1,),
+    "q7_nation_volume": (1,),
+    "q8_market_share": (1,),
+    "q_anti_join_customers_without_orders": (1, 2, 3),
+    "q_approx_aggregates": (2, 3, 4, 5),
+    "q_array_functions": (1, 2, 3, 4, 5),
+    "q_conditional_price_bands": (1, 2, 3, 4),
+    "q_cube_status_priority": (1,),
+    "q_date_functions": (1, 2, 3, 4),
+    "q_distinct_agg": (1,),
+    "q_exists_subquery": (1,),
+    "q_explode_tokens": (1,),
+    "q_grouping_sets": (1,),
+    "q_json_functions": (2, 3, 4, 5),
+    "q_lead_lag_gaps": (1, 5),
+    "q_map_functions": (1,),
+    "q_math_functions": (1, 2, 3, 4),
+    "q_minmax_by": (1,),
+    "q_ntile_wealth_deciles": (1,),
+    "q_outer_join_order_fill": (1, 2, 3, 4, 5),
+    "q_percentiles_exact": (1,),
+    "q_percentiles_rank_select": (4, 5),
+    "q_pivot_status_by_priority": (5,),
+    "q_rank_variants": (1,),
+    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5),
+    "q_scalar_subquery": (1, 2, 3),
+    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5),
+    "q_sessionize_events": (5,),
+    "q_set_ops_customer_segments": (1, 2, 3, 4, 5),
+    "q_stddev_variance": (1,),
+    "q_string_functions": (1, 2, 3, 4, 5),
+    "q_theta_join_price_band": (1, 2, 3, 4, 5),
+    "q_topk_per_group": (1,),
+    "q_window_interval_range": (5,),
+    "q_window_running_totals": (1, 2, 3, 4, 5),
+    "sample_hash_split": (4, 5),
+    "similarity_cosine_topk": (1, 2, 3, 4, 5),
+    "similarity_ivf_ann": (1, 2, 3, 4, 5),
+    "similarity_kmeans_assign": (2, 3, 4, 5),
+    "sink_parquet_roundtrip": (2, 3, 4, 5),
+    "stack_deal_round_robin": (2, 3, 4, 5),
+    "stack_regex_rename": (2, 3, 4, 5),
+    "streaming_dedup_watermark": (2, 3, 4, 5),
+    "streaming_foreachbatch_sink": (2, 3, 4, 5),
+    "streaming_late_data_policy": (3, 4, 5),
+    "streaming_session_window": (3, 4, 5),
+    "streaming_sliding_window": (3, 4, 5),
+    "streaming_stateful_totals": (2, 3, 4, 5),
+    "streaming_tumbling_window": (3, 4, 5),
+    "text_lang_id": (1,),
+    "text_quality_stats": (1, 2, 3, 4, 5),
+    "text_repetition_stats": (3, 4, 5),
+    "text_token_count_bpe": (2, 3, 4, 5),
+    "text_unigram_logprob": (4, 5),
+}
+
+# SURVEY.md §2B component families -> the registry queries that exercise
+# them (a family is "driver-confirmed" if ANY member has a green row).
+# §2A is omitted: all 25 array-layer ops held green rows by round 2 and
+# their queries never left the window.
+COMPONENT_QUERIES = {
+    "scan+sink": ["q1_pricing_summary", "sink_parquet_roundtrip",
+                  "q_json_functions"],
+    "projection+filter": ["q1_pricing_summary", "q_string_functions"],
+    "equi_outer_join": ["q3_shipping_priority", "q_outer_join_order_fill"],
+    "semi_anti_join": ["q_semi_join_customers_with_orders",
+                       "q_anti_join_customers_without_orders"],
+    "theta_range_join": ["q_theta_join_price_band"],
+    "asof_join": ["asof_purchase_last_click", "asof_inner_error_context",
+                  "asof_banded_last_click"],
+    "hash_aggregate": ["q1_pricing_summary", "q_distinct_agg"],
+    "rollup_cube_grouping_sets": ["q_rollup_region_nation_revenue",
+                                  "q_cube_status_priority",
+                                  "q_grouping_sets"],
+    "approx_aggregates": ["q_approx_aggregates", "q_sketch_reaggregation"],
+    "window_ranking": ["q_window_running_totals", "q_rank_variants",
+                       "q_ntile_wealth_deciles", "q_topk_per_group"],
+    "window_analytic": ["q_lead_lag_gaps"],
+    "window_frames": ["q_window_running_totals", "q_window_interval_range"],
+    "sort_limit_topk": ["q3_shipping_priority", "q_topk_per_group"],
+    "set_ops": ["q_set_ops_customer_segments"],
+    "scalar_string": ["q_string_functions"],
+    "scalar_datetime": ["q_date_functions"],
+    "scalar_math": ["q_math_functions"],
+    "scalar_array_hof": ["q_array_functions", "q_explode_tokens"],
+    "scalar_map_json": ["q_json_functions", "q_map_functions"],
+    "scalar_conditional": ["q_conditional_price_bands"],
+    "subquery_rewrites": ["q_scalar_subquery", "q_exists_subquery"],
+    "percentiles_exact": ["q_percentiles_rank_select",
+                          "q_percentiles_exact", "q_mad_robust_stats"],
+    "llm_dedup": ["dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+                  "dedup_simhash", "dedup_embedding_cosine",
+                  "dedup_cluster_components"],
+    "llm_similarity": ["similarity_cosine_topk", "similarity_ivf_ann",
+                       "similarity_kmeans_assign"],
+    "llm_text": ["text_quality_stats", "text_token_count_bpe",
+                 "text_unigram_logprob", "text_lang_id",
+                 "doc_fingerprint_winnow", "pipeline_clean_corpus"],
+    "curation": ["decontaminate_ngram_overlap", "text_repetition_stats"],
+    # one §2B row: "Sampling / packing / reservoir"
+    "sampling_packing_reservoir": ["sample_hash_split", "sample_stratified",
+                                   "sample_weighted_reservoir",
+                                   "pack_sequences_fixed"],
+    "multimodal": ["multimodal_frame_sample", "multimodal_payload_stats"],
+    "udf_surface+streaming": ["streaming_stateful_totals",
+                              "streaming_tumbling_window",
+                              "streaming_sliding_window",
+                              "streaming_session_window",
+                              "streaming_dedup_watermark",
+                              "streaming_late_data_policy",
+                              "streaming_foreachbatch_sink"],
+    "reshape_pivot": ["q_pivot_status_by_priority", "q_pivot_status_matrix"],
+    "reshape_unpivot": ["q_unpivot_flag_measures",
+                        "q_unpivot_nation_metrics"],
+    "co_moment_aggregates": ["q_corr_regr_aggregates"],
+    "sessionization": ["q_sessionize_events"],
+}
+
+
+def test_ledger_names_are_registered():
+    reg = set(queries())
+    ghosts = [n for n in DRIVER_GREEN_ROUNDS if n not in reg]
+    assert not ghosts, f"ledger names not in registry: {ghosts}"
+    ghosts = [q for qs in COMPONENT_QUERIES.values() for q in qs
+              if q not in reg]
+    assert not ghosts, f"component map names not in registry: {ghosts}"
+
+
+def test_no_component_family_is_starved():
+    """Every §2B component family has >=1 past driver-green round, or a
+    representative sitting in the CURRENT window (scheduled for its
+    first driver row). Rotation that would leave a family with neither
+    fails here before it ships."""
+    window = set(DRIVER_WINDOW)
+    starved = [
+        fam for fam, qs in COMPONENT_QUERIES.items()
+        if not any(DRIVER_GREEN_ROUNDS.get(q) for q in qs)
+        and not any(q in window for q in qs)
+    ]
+    assert not starved, f"component families with no driver exposure: {starved}"
+
+
+def test_rotated_out_queries_earned_their_rest():
+    """A query may sit in the tail only after >=2 driver-green rounds,
+    unless a same-family twin is in the window or has >=2 greens (the
+    covered_by redundancy case). Guards against rotating a query out on
+    its first green."""
+    window = set(DRIVER_WINDOW)
+    promoted_this_round = {"q_corr_regr_aggregates", "q_unpivot_flag_measures"}
+    fam_of = {}
+    for fam, qs in COMPONENT_QUERIES.items():
+        for q in qs:
+            fam_of.setdefault(q, fam)
+    weak = []
+    for q, rounds in DRIVER_GREEN_ROUNDS.items():
+        if q in window or len(rounds) >= 2 or q not in fam_of:
+            # queries outside the component map (TPC-H shape variants)
+            # are adjudicated by covered_by in the tail test above
+            continue
+        fam = fam_of.get(q)
+        twins = [t for t in COMPONENT_QUERIES.get(fam, []) if t != q]
+        ok = any(
+            t in window or t in promoted_this_round
+            or len(DRIVER_GREEN_ROUNDS.get(t, ())) >= 2
+            for t in twins
+        )
+        if not ok:
+            weak.append(q)
+    assert not weak, f"rotated out after a single green with no covered twin: {weak}"
