@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 from aind_protein_data_transformation_spark.catalog import DEFAULT_SF_DIR
@@ -76,6 +77,29 @@ def _plan_has_eager_rdd(df) -> bool:
     must be REBUILT inside the timed loop."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     return "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
+def _sidecar_path(sf_dir: str, is_headline_run: bool, n_queries: int) -> str:
+    """Where the per-query detail sidecar lands. Only the FULL headline
+    run at the default (driver) sf writes the committed repo-root
+    ``bench_detail.json`` — round 5's sf0.1 perf record was silently
+    clobbered by a later sf0.001 smoke run, leaving the committed
+    sidecar inconsistent with the committed headline line. Subset runs,
+    ``--all`` sweeps, and non-default sf dirs write a tagged file under
+    the system temp dir instead; ``$SPARK_GRAFT_DETAIL_PATH`` overrides
+    everything (used by experiment scripts that want the split)."""
+    override = os.environ.get("SPARK_GRAFT_DETAIL_PATH")
+    if override:
+        return override
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if is_headline_run and os.path.realpath(sf_dir) == os.path.realpath(
+        DEFAULT_SF_DIR
+    ):
+        return os.path.join(repo, "bench_detail.json")
+    tag = f"sf{_sf_from_dir(sf_dir)}_{n_queries}q"
+    return os.path.join(
+        tempfile.gettempdir(), f"sparkgraft_bench_detail_{tag}.json"
+    )
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -227,16 +251,21 @@ def main(argv: list[str]) -> int:
                 out["ratio_vs_duckdb"] = round(total / duck_total, 3)
         except Exception as exc:  # pragma: no cover - diagnostic path
             out["duckdb_comparator_error"] = repr(exc)
+        sidecar = _sidecar_path(
+            sf_dir,
+            is_headline_run=(not subset and not run_all),
+            n_queries=len(timings),
+        )
         line = json.dumps(out)
         if len(line) > _MAX_LINE_BYTES:
             # --all sweeps: the per-query dict alone exceeds the tail
             # capture; keep the headline numbers parseable and point at
             # the sidecar for the split.
-            out["queries"] = {"_see": "bench_detail.json", "_count": len(timings)}
+            out["queries"] = {
+                "_see": os.path.basename(sidecar),
+                "_count": len(timings),
+            }
             line = json.dumps(out)
-        sidecar = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-        )
         with open(sidecar, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
         print(line)

@@ -18,12 +18,23 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_prints_one_compact_json_line_plus_sidecar():
+def _repo_sidecar_fingerprint():
+    path = os.path.join(REPO, "bench_detail.json")
+    if not os.path.exists(path):
+        return None
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def test_bench_prints_one_compact_json_line_plus_sidecar(tmp_path):
+    detail_path = str(tmp_path / "detail.json")
+    committed = _repo_sidecar_fingerprint()
     env = {
         **os.environ,
         "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
         "SPARK_GRAFT_CPUS": "4",
         "SPARK_GRAFT_QUERIES": "q1_pricing_summary,dedup_exact",
+        "SPARK_GRAFT_DETAIL_PATH": detail_path,
     }
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -34,6 +45,10 @@ def test_bench_prints_one_compact_json_line_plus_sidecar():
         timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+    # the committed sf0.1 headline sidecar must survive subset runs —
+    # round 5's perf record was clobbered by exactly this kind of smoke
+    # run (VERDICT r5 "what's wrong" #2)
+    assert _repo_sidecar_fingerprint() == committed
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, f"expected ONE JSON line, got {len(lines)}: {lines}"
     # the driver keeps a 2000-char stdout tail; the contract line must
@@ -62,9 +77,42 @@ def test_bench_prints_one_compact_json_line_plus_sidecar():
     # the sidecar, NOT on the stdout line
     for key in ("cold_first_run", "session_floor_seconds", "duckdb_queries"):
         assert key not in out, key
-    with open(os.path.join(REPO, "bench_detail.json")) as fh:
+    with open(detail_path) as fh:
         detail = json.load(fh)
     assert set(detail["queries"]) == set(out["queries"])
     assert set(detail["duckdb_queries"]) == set(out["queries"])
     assert set(detail["cold_first_run"]) == set(out["queries"])
     assert detail["session_floor_seconds"] > 0
+
+
+def test_sidecar_routing_protects_headline_record():
+    """Unit-level pin of the routing rule itself (no subprocess): only a
+    full headline run at the default sf dir may write the repo-root
+    sidecar; subset/sweep/non-default-sf runs land in the temp dir, and
+    the env override wins over both."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from aind_protein_data_transformation_spark.catalog import DEFAULT_SF_DIR
+
+    repo_sidecar = os.path.join(REPO, "bench_detail.json")
+    assert (
+        bench._sidecar_path(DEFAULT_SF_DIR, True, 20) == repo_sidecar
+    )
+    # subset run at the default sf: NOT the repo sidecar
+    assert bench._sidecar_path(DEFAULT_SF_DIR, False, 2) != repo_sidecar
+    # full run at a non-default sf: NOT the repo sidecar
+    assert (
+        bench._sidecar_path("/root/testdata/sf0.001", True, 20)
+        != repo_sidecar
+    )
+    # env override wins
+    os.environ["SPARK_GRAFT_DETAIL_PATH"] = "/tmp/x.json"
+    try:
+        assert bench._sidecar_path(DEFAULT_SF_DIR, True, 20) == "/tmp/x.json"
+    finally:
+        del os.environ["SPARK_GRAFT_DETAIL_PATH"]
