@@ -392,11 +392,17 @@ def incremental_minhash_pairs(
     batch pipeline finds between the same shard and corpus) is pinned
     by tests/test_incremental.py.
     """
+    # localCheckpoint, not persist(): the shard signatures feed two
+    # branches (band probe + verify join), but a persist() here would
+    # outlive the returned DataFrame in the session's cache manager —
+    # the same library-use leak dedup_simhash closed. The eager local
+    # checkpoint materializes the (shard-sized, small) signatures once;
+    # its RDD is released with the DataFrame, no caller action needed.
     sig = minhash_signatures(
         shingle_set(new_docs, k=k, text_col=text_col, id_col=id_col),
         id_col=id_col,
         with_hashes=True,
-    ).persist()
+    ).localCheckpoint()
     probe = band_rows(sig, id_col)
     idx = spark.table(f"{name}_bands")
     key_eq = [probe["band"] == idx["band"]] + [

@@ -1,0 +1,119 @@
+"""Incremental minhash index: batch equivalence + roundtrip.
+
+Pins the guarantee incremental_minhash_pairs' docstring claims: probing
+a new shard against a persisted corpus index finds EXACTLY the
+shard-corpus near-dup pairs the full batch pipeline finds when run over
+corpus+shard together (restricted to pairs that straddle the split —
+pure shard-shard and corpus-corpus pairs are the batch job's business).
+Also pins that the probe leaves nothing behind in the session cache
+manager (the persist-leak fix: shard signatures are localCheckpoint-ed,
+not persist()-ed).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aind_protein_data_transformation_spark.operators.dedup import (
+    incremental_minhash_pairs,
+    jaccard_for_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_set,
+    write_minhash_index,
+)
+
+THRESHOLD = 0.4
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter("pmod(hash(doc_id), 5) != 0")
+    shard = docs.filter("pmod(hash(doc_id), 5) = 0")
+    return corpus, shard
+
+
+def _batch_cross_pairs(corpus, shard):
+    """Full batch pipeline over corpus+shard, restricted to pairs with
+    one side in each split."""
+    both = corpus.unionByName(shard)
+    sh = shingle_set(both)
+    sig = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sig)
+    verified = jaccard_for_pairs(pairs, sh).filter(
+        f"jaccard >= {THRESHOLD}"
+    )
+    shard_ids = {r.doc_id for r in shard.select("doc_id").collect()}
+    out = {}
+    for r in verified.collect():
+        if (r.doc_a in shard_ids) != (r.doc_b in shard_ids):
+            out[(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))] = r.jaccard
+    return out
+
+
+def test_incremental_probe_equals_batch_pipeline(spark, split_docs, tmp_path):
+    corpus, shard = split_docs
+    name = "t_incr_equiv"
+    write_minhash_index(corpus, name, path=str(tmp_path / "idx"))
+    try:
+        got = {
+            (min(r.new_id, r.index_id), max(r.new_id, r.index_id)): r.jaccard
+            for r in incremental_minhash_pairs(
+                spark, shard, name, threshold=THRESHOLD
+            ).collect()
+        }
+        want = _batch_cross_pairs(corpus, shard)
+        assert set(got) == set(want)
+        assert want, "degenerate test: no cross near-dup pairs at this sf"
+        for key, j in want.items():
+            assert got[key] == pytest.approx(j, abs=1e-9)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
+
+
+def test_index_roundtrip_is_bucketed_and_complete(spark, split_docs, tmp_path):
+    corpus, _ = split_docs
+    name = "t_incr_rt"
+    write_minhash_index(corpus, name, path=str(tmp_path / "idx"))
+    try:
+        n_docs = corpus.count()
+        sigs = spark.table(f"{name}_sigs")
+        assert sigs.count() == n_docs
+        assert {"n", "hs"} <= set(sigs.columns)
+        bands = spark.table(f"{name}_bands")
+        # one row per (doc, band): MINHASH_PERMS // LSH_BAND_SIZE bands
+        from aind_protein_data_transformation_spark.operators.dedup import (
+            LSH_BAND_SIZE,
+            MINHASH_PERMS,
+        )
+
+        assert bands.count() == n_docs * (MINHASH_PERMS // LSH_BAND_SIZE)
+        # the index tables are bucketed so probes join co-located
+        for t in (f"{name}_bands", f"{name}_sigs"):
+            ddl = spark.sql(f"SHOW CREATE TABLE {t}").first()[0]
+            assert "CLUSTERED BY" in ddl, ddl
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
+
+
+def test_probe_leaves_cache_manager_empty(spark, split_docs, tmp_path):
+    corpus, shard = split_docs
+    name = "t_incr_cache"
+    write_minhash_index(corpus, name, path=str(tmp_path / "idx"))
+    try:
+        spark.catalog.clearCache()
+        incremental_minhash_pairs(spark, shard, name).count()
+        # the old persist() registered the shard signatures in the SQL
+        # cache manager keyed by plan — a session-lifetime entry that
+        # matched (and silently served) future plans. localCheckpoint's
+        # RDD-level storage is GC-bounded with the DataFrame instead,
+        # so the plan-keyed cache must stay empty.
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
