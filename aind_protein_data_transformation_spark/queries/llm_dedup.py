@@ -34,6 +34,33 @@ from ..operators.dedup import (
 )
 from .registry import query
 
+# -------------------------------------------------------- cache lifecycle
+
+#: Handles to every relation this module persist()s, so library callers
+#: composing these queries OUTSIDE the registry sweep (whose wrapper
+#: clears the cache on entry) can bound the session cache without a
+#: blanket spark.catalog.clearCache(). persist() is the right tool for
+#: the multi-consumer frames below (localCheckpoint measured +0.25s/run
+#: on the minhash signatures), but a bare persist() is session-lifetime;
+#: the tracked handle makes the lifecycle explicit.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with the handle recorded for release_caches()."""
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every relation a dedup query cached. Call after the
+    result DataFrame is fully materialized (collect/write) — the caches
+    exist so multi-consumer subtrees compute once WITHIN a query, never
+    across calls; re-running a query simply re-persists."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 # ---------------------------------------------------------------- corpus
 
 _SQL_CORPUS_NEAR = """
@@ -358,7 +385,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers where simhash's fed two) — kept persist() because this
     # is the registered headline query and the cache is dropped per
     # bench run anyway.
-    spark.sql(_MH_SIG_SQL).persist().createOrReplaceTempView("_mh_sig")
+    _persist(spark.sql(_MH_SIG_SQL)).createOrReplaceTempView("_mh_sig")
     return spark.sql(_MH_VERIFY_SQL).transform(
         lambda d: sorted_small(d, "doc_a", "doc_b")
     )
@@ -409,7 +436,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency before pairing (operators/dedup.py notes) — here kept
     exact so the oracle semantics are identical."""
     corpus = _corpus_near(spark, sf_dir)
-    shingles = shingle_set(corpus, k=3).persist()
+    shingles = _persist(shingle_set(corpus, k=3))
     a = shingles.alias("a")
     b = shingles.alias("b")
     pairs = (
@@ -425,7 +452,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sizes feeds both the n_a and n_b legs; persist the per-doc counts
     # so the count-agg over the shingle relation runs once, not twice.
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n")).persist()
+    sizes = _persist(shingles.groupBy("doc_id").agg(F.count("*").alias("n")))
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
@@ -544,7 +571,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round); the oracle replays it as a recursive CTE — the same
     fixpoint, reached by a strategy only viable single-node."""
     corpus = _corpus_near(spark, sf_dir)
-    shingles = shingle_set(corpus, k=3).persist()
+    shingles = _persist(shingle_set(corpus, k=3))
     sig = minhash_signatures(shingles)
     pairs = lsh_candidate_pairs(sig)
     verified = (
