@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine
+from ..functions.vector import cosine, dot, norm
 
 
 def brute_force_topk(
@@ -63,14 +63,28 @@ def assign_buckets(
 ) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, bucket). One broadcast
     join + per-vector argmax; at scale this is the index build, run
-    once and persisted."""
+    once and persisted.
+
+    Zero-norm edges (shared contract with :func:`assign_buckets_gemm`):
+    a zero-norm CENTROID is excluded up front — its raw cosine is 0/0,
+    an ANSI division error (and pre-ANSI, a NaN that sorts first under
+    desc and captures every vector); a zero-norm VECTOR gets null
+    cosine against every remaining centroid (the CASE guard keeps ANSI
+    division from firing; nulls sort last) and lands in the lowest-id
+    valid bucket. If every centroid is zero-norm the vector is
+    dropped."""
+    valid = F.broadcast(centroids.filter(norm("centroid_vec") != 0))
+    denom = norm(vec_col) * norm("centroid_vec")
+    guarded = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
+        dot(vec_col, "centroid_vec") / denom
+    )
     w = Window.partitionBy(vec_id).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
     return (
-        vectors.crossJoin(F.broadcast(centroids))
+        vectors.crossJoin(valid)
         .select(
             vec_id,
             "centroid_id",
-            cosine(vec_col, "centroid_vec").alias("c_cos"),
+            guarded.alias("c_cos"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
@@ -102,7 +116,10 @@ def assign_buckets_gemm(
     Kept OUT of the oracle-checked queries: BLAS pairwise summation
     order differs from the SQL fold in the low bits, so this path is
     agreement-tested against ``assign_buckets`` (exact on non-tied
-    data) rather than hash-checked.
+    data) rather than hash-checked. Zero-norm centroids are excluded in
+    BOTH paths (here: the -inf column mask; there: the pre-broadcast
+    filter), so the agreement holds on that edge too — a zero-norm
+    vector lands in the lowest-id valid bucket either way.
     """
     import numpy as np
 
@@ -128,7 +145,17 @@ def assign_buckets_gemm(
     cent_ids = np.array([t[0] for t in rows], dtype=np.int64)
     cmat = np.array([t[1] for t in rows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
-    cnorm[cnorm == 0] = 1.0
+    # Zero-norm centroids are EXCLUDED, mirroring assign_buckets (which
+    # filters them before the broadcast — the old norm=1 substitute gave
+    # them cosine 0, capturing vectors the fold path never would). Keep
+    # the column at -inf so argmax can't pick it; if every centroid is
+    # degenerate, drop the vectors like the fold path's empty join does.
+    dead = cnorm == 0
+    if dead.all():
+        return vectors.select(
+            F.col(vec_id).alias(vec_id), F.lit(None).cast("long").alias("bucket")
+        ).limit(0)
+    cnorm[dead] = 1.0
     cmat = (cmat.T / cnorm).T
 
     src = vectors.select(F.col(vec_id).alias("_vid"), F.col(vec_col).alias("_ve"))
@@ -143,6 +170,7 @@ def assign_buckets_gemm(
             vnorm = np.linalg.norm(m, axis=1)
             vnorm[vnorm == 0] = 1.0
             sims = (m.T / vnorm).T @ cmat.T
+            sims[:, dead] = -np.inf
             yield pd.DataFrame(
                 {
                     vec_id: pdf["_vid"].to_numpy(),
@@ -152,6 +180,67 @@ def assign_buckets_gemm(
 
     out_schema = f"`{vec_id}` {dict(vectors.dtypes)[vec_id]}, bucket bigint"
     return src.mapInPandas(_assign, schema=out_schema)
+
+
+def quantize_int8_batch(
+    embeddings: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batch production kernel for symmetric per-vector int8
+    quantization — the path the 18×-raw interpreted-HOF constant in
+    ``embedding_quantize_int8`` (queries/llm_similarity.py) would ship
+    as, same pattern as :func:`assign_buckets_gemm`.
+
+    Returns (vec_id, qscale, n_saturated, recon_mse), BIT-IDENTICAL to
+    the oracle-parity HOF query (exact-agreement test in
+    tests/test_vector_udfs.py): scale/codes/saturation are exact by
+    construction (float→double widening, division, floor, clip — the
+    same IEEE ops in the same order), and the reconstruction-MSE sum
+    deliberately accumulates with a sequential per-dimension loop, the
+    exact left-to-right order of the HOF ``aggregate`` fold, instead of
+    numpy's pairwise ``sum`` (which differs in the low bits). Map-only:
+    no shuffle, no driver state — scales with corpus bytes.
+    """
+    import numpy as np
+
+    src = embeddings.select(
+        F.col(vec_id).alias("_vid"), F.col(vec_col).alias("_ve")
+    )
+
+    def _quant(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["_ve"].to_numpy()).astype(np.float64)
+            amax = np.abs(m).max(axis=1)
+            qscale = np.where(amax == 0.0, 1.0, amax / 127.0)
+            codes = np.clip(np.floor(m / qscale[:, None] + 0.5), -127.0, 127.0)
+            n_sat = (np.abs(codes) == 127.0).sum(axis=1).astype(np.int64)
+            err = m - codes * qscale[:, None]
+            sq = err * err
+            acc = np.zeros(len(m), dtype=np.float64)
+            for j in range(sq.shape[1]):
+                acc += sq[:, j]
+            yield pd.DataFrame(
+                {
+                    vec_id: pdf["_vid"].to_numpy(),
+                    "qscale": qscale,
+                    "n_saturated": n_sat,
+                    "recon_mse": acc / sq.shape[1],
+                }
+            )
+
+    id_type = dict(embeddings.dtypes)[vec_id]
+    return src.mapInPandas(
+        _quant,
+        schema=(
+            f"`{vec_id}` {id_type}, qscale double, "
+            "n_saturated bigint, recon_mse double"
+        ),
+    )
 
 
 def ivf_topk(

@@ -105,6 +105,7 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
         assign_buckets,
         assign_buckets_gemm,
         ivf_topk,
+        quantize_int8_batch,
         stride_centroids,
     )
     from aind_protein_data_transformation_spark.session import get_spark
@@ -134,6 +135,18 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
                 F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
             )
             res["ivf_topk_s"] = _noop_time(ivf_topk(q, c, cents, k=10, nprobe=2))
+            # quantize: oracle-parity HOF form (the registered query's
+            # projection, minus its driver-contract ORDER BY so both
+            # paths time the same map-only work) vs the bit-identical
+            # Arrow-batch production kernel
+            from aind_protein_data_transformation_spark.queries.llm_similarity import (
+                embedding_quantize_int8,
+            )
+
+            res["quantize_hof_s"] = _noop_time(
+                embedding_quantize_int8(spark, d)
+            )
+            res["quantize_batch_s"] = _noop_time(quantize_int8_batch(emb))
             out[tag] = res
             spark.catalog.clearCache()
     finally:
@@ -197,7 +210,13 @@ def main(argv: list[str]) -> int:
     # 2+3) operator-path scaling, one session
     scaling = operator_scaling(sf_dir, out_dir)
     summary = {"metric": "embed10_operator_scaling", **scaling}
-    for key in ("assign_fold_s", "assign_gemm_s", "ivf_topk_s"):
+    for key in (
+        "assign_fold_s",
+        "assign_gemm_s",
+        "ivf_topk_s",
+        "quantize_hof_s",
+        "quantize_batch_s",
+    ):
         a, b = scaling["x1"][key], scaling["x10"][key]
         summary[f"{key}_x10_over_x1"] = round(b / a, 2) if a > 0 else None
     print(json.dumps(summary), flush=True)

@@ -355,3 +355,66 @@ def test_sql_string_operators_handle_dotted_and_spaced_columns(spark):
     for fn in (column_percentiles, column_percentiles_rank_select):
         row = fn(vals, ["the group"], "the value", [(0.5, "med")]).collect()[0]
         assert row["the group"] == "g" and row["med"] == 6.0, (fn.__name__, row)
+
+
+def test_assign_buckets_zero_norm_centroid_agreement(spark):
+    """Zero-norm centroid edge (ADVICE r5): the raw fold cosine is 0/0
+    = NaN, which sorts FIRST under desc — a zero-norm centroid would
+    have captured every vector while the GEMM path never picked it.
+    Both paths now EXCLUDE zero-norm centroids; a zero-norm vector
+    lands in the lowest-id valid bucket in both."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        assign_buckets,
+        assign_buckets_gemm,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, -1.0]),
+         (4, [0.0, 0.0])],  # zero-norm vector
+        "vid bigint, ve array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]),   # zero-norm centroid: must capture NOTHING
+         (5, [1.0, 0.1]), (9, [0.0, 1.0])],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    fold = {r.vid: r.bucket for r in assign_buckets(vecs, cents).collect()}
+    gemm = {r.vid: r.bucket for r in assign_buckets_gemm(vecs, cents).collect()}
+    assert fold == gemm
+    assert 0 not in set(fold.values())
+    assert fold[4] == 5  # zero-norm vector -> lowest-id valid bucket
+
+    # all-degenerate codebook: both paths drop every vector
+    dead = cents.filter("centroid_id = 0")
+    assert assign_buckets(vecs, dead).count() == 0
+    assert assign_buckets_gemm(vecs, dead).count() == 0
+
+
+def test_quantize_int8_batch_bit_identical_to_hof(spark, sf_dir):
+    """The Arrow-batch quantize kernel must agree BIT-FOR-BIT with the
+    oracle-parity HOF query (VERDICT r5 #4): scale/codes/saturation are
+    exact by shared IEEE ops, and the kernel's sequential per-dimension
+    MSE accumulation replays the HOF fold's exact order."""
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        quantize_int8_batch,
+    )
+    from aind_protein_data_transformation_spark.queries.llm_similarity import (
+        embedding_quantize_int8,
+    )
+
+    hof = {
+        r.vec_id: (r.qscale, r.n_saturated, r.recon_mse)
+        for r in embedding_quantize_int8(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = {
+        r.vec_id: (r.qscale, r.n_saturated, r.recon_mse)
+        for r in quantize_int8_batch(emb).collect()
+    }
+    assert set(batch) == set(hof)
+    diverged = {
+        k: (batch[k], hof[k]) for k in hof if batch[k] != hof[k]
+    }
+    assert not diverged, f"{len(diverged)} vectors diverge: {list(diverged.items())[:3]}"
