@@ -111,19 +111,50 @@ ORDER BY op, c_custkey
 """
 
 
+#: Rollup via finest-level re-aggregation (round-6 A/B win,
+#: scripts/exp_constants.py: 0.20-0.22s vs 0.23-0.29s for the literal
+#: GROUP BY ROLLUP across three sessions). Fact rows touch ONE
+#: project + partial aggregate on c_nationkey — never a join probe or
+#: the ROLLUP Expand's 3x row replication; the name joins run on the
+#: 25-ROW aggregate, and the level expansion + recombine happen over
+#: that bounded relation. Exactness is preserved because the split
+#: fixed-point sum's hi/lo partials are plain longs — re-aggregating
+#: them across levels is exact long addition, recombined to DECIMAL
+#: once per output row (identical value to the single-pass dsum).
+_ROLLUP_M = 1 << 20
+
 _ROLLUP_SQL = f"""
+WITH fine AS (
+    SELECT c_nationkey,
+           SUM(CAST(FLOOR(u / {_ROLLUP_M}) AS BIGINT)) AS hi,
+           SUM(PMOD(u, {_ROLLUP_M})) AS lo,
+           COUNT(*) AS n_customers
+    FROM (SELECT c_nationkey,
+                 CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 1000000.0D + 0.5D)
+                      AS BIGINT) AS u
+          FROM customer)
+    GROUP BY c_nationkey
+),
+named AS (
+    SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name, hi, lo, n_customers
+    FROM fine f
+    JOIN nation n ON f.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+lvl AS (
+    SELECT CASE WHEN lv >= 1 THEN r_name END AS r_name,
+           CASE WHEN lv = 2 THEN n_name END AS n_name,
+           hi, lo, n_customers
+    FROM named LATERAL VIEW explode(array(2, 1, 0)) t AS lv
+)
 SELECT COALESCE(r_name, '<ALL>') AS region_name,
        COALESCE(n_name, '<ALL>') AS nation_name,
-       total_acctbal, n_customers
-FROM (
-    SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name,
-           {spark_dsum_sql('c_acctbal', 'total_acctbal')},
-           COUNT(*) AS n_customers
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-)
+       CAST(CAST(CAST(SUM(hi) AS DECIMAL(32,0)) * {_ROLLUP_M} + SUM(lo)
+            AS DECIMAL(38,0)) * CAST('0.000001' AS DECIMAL(7,6)) AS DOUBLE)
+           AS total_acctbal,
+       SUM(n_customers) AS n_customers
+FROM lvl
+GROUP BY r_name, n_name
 """
 
 
@@ -555,10 +586,14 @@ def q_set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy region -> nation -> grand total. Spark expands
-    grouping sets in a single aggregate (no query-per-level); NULL group
-    cells are coalesced to '<ALL>' so the oracle hash is unambiguous.
-    Static-SQL form (one py4j crossing)."""
+    """ROLLUP hierarchy region -> nation -> grand total, computed as a
+    finest-level aggregate + bounded re-aggregation (see _ROLLUP_SQL's
+    note: fact rows see one partial agg and no join/Expand; the level
+    expansion runs over the 25-row named aggregate; exact by long
+    re-aggregation of the split fixed-point partials). NULL group cells
+    are coalesced to '<ALL>' so the oracle hash is unambiguous; the
+    oracle replays the literal GROUP BY ROLLUP. Static-SQL form (one
+    py4j crossing)."""
     ensure_views(spark, sf_dir, "customer", "nation", "region")
     return sorted_small(spark.sql(_ROLLUP_SQL), "region_name", "nation_name")
 
