@@ -370,6 +370,56 @@ def write_minhash_index(
     sw.saveAsTable(f"{name}_sigs")
 
 
+def _table_num_buckets(spark, table: str) -> int:
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r.col_name.strip() == "Num Buckets":
+            return int(r.data_type)
+    raise ValueError(f"{table} is not a bucketed table")
+
+
+def append_minhash_shard(
+    spark,
+    docs: DataFrame,
+    name: str,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold an (already-deduplicated) shard into the persisted index —
+    the second half of the incremental workflow the module notes above
+    describe: a bucketed APPEND of the shard's own band/sig rows. The
+    historical corpus is never read, re-shuffled, or re-signed; each
+    new file lands in its bucket, so subsequent probes still join
+    co-located. Bucket count is read from the existing table metadata
+    (a mismatched spec would poison the bucketed join silently).
+
+    Equivalence pinned by tests/test_incremental.py: probing after an
+    append finds exactly what an index rebuilt from scratch over
+    corpus+shard finds."""
+    n_buckets = _table_num_buckets(spark, f"{name}_bands")
+    # one materialization feeds both writes (localCheckpoint, not
+    # persist — same lifecycle reasoning as incremental_minhash_pairs)
+    sig = minhash_signatures(
+        shingle_set(docs, k=k, text_col=text_col, id_col=id_col),
+        id_col=id_col,
+        with_hashes=True,
+    ).localCheckpoint()
+    key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
+    (
+        band_rows(sig, id_col)
+        .write.mode("append")
+        .bucketBy(n_buckets, *key_cols)
+        .sortBy(*key_cols)
+        .saveAsTable(f"{name}_bands")
+    )
+    (
+        sig.select(id_col, "n", "hs")
+        .write.mode("append")
+        .bucketBy(_table_num_buckets(spark, f"{name}_sigs"), id_col)
+        .saveAsTable(f"{name}_sigs")
+    )
+
+
 def incremental_minhash_pairs(
     spark,
     new_docs: DataFrame,

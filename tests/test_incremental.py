@@ -13,8 +13,10 @@ not persist()-ed).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from aind_protein_data_transformation_spark.operators.dedup import (
+    append_minhash_shard,
     incremental_minhash_pairs,
     jaccard_for_pairs,
     lsh_candidate_pairs,
@@ -99,6 +101,46 @@ def test_index_roundtrip_is_bucketed_and_complete(spark, split_docs, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
         spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
+
+
+def test_append_then_probe_equals_rebuilt_index(spark, sf_dir, tmp_path):
+    """Splitting the corpus three ways: index A, append shard B, probe
+    shard C — the probe must find exactly what an index REBUILT over
+    A+B finds for C. Pins that the bucketed append is a true index
+    update, not a second index."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    part = F.pmod(F.hash("doc_id"), F.lit(3))
+    a = docs.filter(part == 0)
+    b = docs.filter(part == 1)
+    c = docs.filter(part == 2)
+
+    def probe_pairs(name):
+        return {
+            (min(r.new_id, r.index_id), max(r.new_id, r.index_id)): r.jaccard
+            for r in incremental_minhash_pairs(
+                spark, c, name, threshold=THRESHOLD
+            ).collect()
+        }
+
+    try:
+        write_minhash_index(a, "t_app_inc", path=str(tmp_path / "inc"))
+        append_minhash_shard(spark, b, "t_app_inc")
+        write_minhash_index(
+            a.unionByName(b), "t_app_full", path=str(tmp_path / "full")
+        )
+        got = probe_pairs("t_app_inc")
+        want = probe_pairs("t_app_full")
+        assert got == want
+        assert want, "degenerate test: no cross pairs at this sf"
+        # the appended table grew in place and kept its bucketing
+        ddl = spark.sql("SHOW CREATE TABLE t_app_inc_bands").first()[0]
+        assert "CLUSTERED BY" in ddl, ddl
+    finally:
+        for t in ("t_app_inc_bands", "t_app_inc_sigs",
+                  "t_app_full_bands", "t_app_full_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_probe_leaves_cache_manager_empty(spark, split_docs, tmp_path):
