@@ -69,14 +69,17 @@ def assign_buckets(
     a zero-norm CENTROID is excluded up front — its raw cosine is 0/0,
     an ANSI division error (and pre-ANSI, a NaN that sorts first under
     desc and captures every vector); a zero-norm VECTOR gets null
-    cosine against every remaining centroid (the CASE guard keeps ANSI
-    division from firing; nulls sort last) and lands in the lowest-id
+    cosine against every remaining centroid (try_divide: null instead
+    of the ANSI error; nulls sort last) and lands in the lowest-id
     valid bucket. If every centroid is zero-norm the vector is
-    dropped."""
+    dropped. try_divide, NOT a CASE guard: a when(denom == 0, ...)
+    evaluates the two norm folds twice (condition + value branch are
+    not CSE'd), which measured +60%% on the fold-heavy kmeans sweep —
+    try_divide keeps the original three folds per pair."""
     valid = F.broadcast(centroids.filter(norm("centroid_vec") != 0))
-    denom = norm(vec_col) * norm("centroid_vec")
-    guarded = F.when(denom == 0, F.lit(None).cast("double")).otherwise(
-        dot(vec_col, "centroid_vec") / denom
+    guarded = F.try_divide(
+        dot(vec_col, "centroid_vec"),
+        norm(vec_col) * norm("centroid_vec"),
     )
     w = Window.partitionBy(vec_id).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
     return (
