@@ -418,3 +418,73 @@ def test_quantize_int8_batch_bit_identical_to_hof(spark, sf_dir):
         k: (batch[k], hof[k]) for k in hof if batch[k] != hof[k]
     }
     assert not diverged, f"{len(diverged)} vectors diverge: {list(diverged.items())[:3]}"
+
+
+def test_quantize_int8_batch_constructed_edges(spark):
+    """Bit-identity on constructed edges the table data may not hit:
+    the all-zero vector (amax 0 -> qscale 1), a constant vector (every
+    code saturates at +-127 exactly), a negative-heavy vector, and a
+    tiny-magnitude vector (qscale << 1)."""
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        quantize_int8_batch,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [5.0, 5.0, 5.0, 5.0]),
+            (3, [-3.5, 2.25, -0.125, 1.0]),
+            (4, [1e-8, -2e-8, 3e-8, -4e-8]),
+            (5, [127.0, -127.0, 1.0, -1.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    # inline HOF twin of the registered query's projection
+    x = F.col("embedding")
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    qscale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    with_scale = emb.select("vec_id", "embedding", qscale.alias("qscale"))
+    codes = F.transform(
+        F.col("embedding"),
+        lambda v: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(v.cast("double") / F.col("qscale") + F.lit(0.5)).cast(
+                    "double"
+                ),
+            ),
+        ),
+    )
+    with_codes = with_scale.select(
+        "vec_id", "embedding", "qscale", codes.alias("codes")
+    )
+    sq_err = F.zip_with(
+        F.col("embedding"),
+        F.col("codes"),
+        lambda v, q: (v.cast("double") - q * F.col("qscale"))
+        * (v.cast("double") - q * F.col("qscale")),
+    )
+    hof = {
+        r.vec_id: (r.qscale, r.n_saturated, r.recon_mse)
+        for r in with_codes.select(
+            "vec_id",
+            "qscale",
+            F.size(F.filter(F.col("codes"), lambda q: F.abs(q) == 127.0))
+            .cast("long")
+            .alias("n_saturated"),
+            (
+                F.aggregate(sq_err, F.lit(0.0), lambda acc, v: acc + v)
+                / F.size(F.col("embedding"))
+            ).alias("recon_mse"),
+        ).collect()
+    }
+    batch = {
+        r.vec_id: (r.qscale, r.n_saturated, r.recon_mse)
+        for r in quantize_int8_batch(emb).collect()
+    }
+    assert batch == hof
+    # sanity on the constructed expectations themselves
+    assert batch[1][0] == 1.0 and batch[1][1] == 0 and batch[1][2] == 0.0
+    assert batch[2][1] == 4  # constant vector: every code saturates
