@@ -431,3 +431,27 @@ def test_text_quality_fans_out_the_narrow_scan(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "text_quality_stats")
     assert "RoundRobinPartitioning" in plan, plan[:3000]
     assert f"RoundRobinPartitioning({fanout_width(spark)})" in plan, plan[:3000]
+
+
+def test_rollup_reaggregation_plan_has_no_expand(spark, sf_dir):
+    """The round-6 rollup rewrite must stay the re-aggregation form:
+    no Expand node (the literal GROUP BY ROLLUP replicates every fact
+    row once per grouping set before the partial aggregate), and the
+    customer scan feeds an aggregate BEFORE any join (names attach to
+    the 25-row aggregate, not to fact rows)."""
+    from aind_protein_data_transformation_spark.queries.relational import (
+        q_rollup_region_nation_revenue,
+    )
+
+    df = q_rollup_region_nation_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, "rollup regressed to the Expand form"
+    # the fact-side aggregate must appear below (after, in tree print
+    # order) the broadcast joins: the first HashAggregate reading the
+    # customer scan comes before any BroadcastHashJoin consumes it
+    assert "BroadcastHashJoin" in plan
+    # and the result is still exactly the rollup the oracle replays
+    rows = {(r.region_name, r.nation_name) for r in df.collect()}
+    assert ("<ALL>", "<ALL>") in rows
+    regions = {r for r, n in rows if n == "<ALL>" and r != "<ALL>"}
+    assert len(regions) == 5
