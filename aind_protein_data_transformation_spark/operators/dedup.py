@@ -17,7 +17,8 @@ Scale design (100 TB corpus):
   guarantees a shared chunk).
 - Jaccard: candidate pairs via shared-shingle equi-join (exact for
   J>0), then one count per pair — skew-prone on stopword shingles, so
-  hot shingles can be dropped by document frequency before the join.
+  hot shingles can be dropped by document frequency before the join
+  (``shared_shingle_pairs(max_df=...)``, the boilerplate-pruning cap).
 """
 
 from __future__ import annotations
@@ -218,6 +219,52 @@ def jaccard_for_pairs(
             "doc_b",
             "CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard",
         )
+    )
+
+
+def shared_shingle_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (doc_a < doc_b) via the shared-shingle
+    equi-self-join — complete for J > 0 when ``max_df`` is None.
+
+    ``max_df`` is the skew cap the module notes describe: a shingle
+    held by more than ``max_df`` documents ("the cat", boilerplate
+    headers) contributes df^2 join rows while carrying almost no
+    similarity signal — on a real corpus one stopword shingle can
+    dominate the whole shuffle. Capping drops those shingles BEFORE
+    the pair join (one co-partitioned aggregate+semi-join on the same
+    key ``h`` the pair join shuffles on, so the cap adds no extra
+    partitioning). A pair survives if it shares ANY sub-cap shingle,
+    so near-duplicate pairs — which share many rare shingles — keep
+    their candidates; only pairs whose ONLY overlap is corpus-hot
+    boilerplate are pruned (exactly the pairs whose true Jaccard is
+    lowest). Verify with :func:`jaccard_for_pairs` on the UNCAPPED
+    shingle relation to keep the reported Jaccard exact.
+    """
+    if max_df is not None:
+        keep = (
+            shingles.groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("h")
+        )
+        shingles = shingles.join(keep, "h", "left_semi")
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
     )
 
 

@@ -488,3 +488,38 @@ def test_quantize_int8_batch_constructed_edges(spark):
     # sanity on the constructed expectations themselves
     assert batch[1][0] == 1.0 and batch[1][1] == 0 and batch[1][2] == 0.0
     assert batch[2][1] == 4  # constant vector: every code saturates
+
+
+def test_shared_shingle_pairs_df_cap(spark):
+    """The max_df skew cap on a corpus with the structure it targets:
+    every document shares a boilerplate header (corpus-hot shingles),
+    near-dup pairs additionally share pair-private content. Uncapped,
+    the boilerplate makes EVERY pair a candidate (O(n^2)); capped, the
+    boilerplate shingles drop, every near-dup pair survives on its
+    private shingles, and the candidate count collapses to exactly the
+    true pairs."""
+    header = "terms of service apply to this document please read"
+    docs = []
+    for i in range(40):
+        body = " ".join(f"w{i}x{j} tok{i * 97 + j}" for j in range(12))
+        docs.append((i, f"{header} {body}"))
+        if i % 4 == 0:  # near-dup twin: same body, one word dropped
+            docs.append((1000 + i, f"{header} {body.split(' ', 1)[1]}"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        shared_shingle_pairs,
+        shingle_set,
+    )
+
+    sh = shingle_set(df, k=3).localCheckpoint()
+    full = {(r.doc_a, r.doc_b) for r in shared_shingle_pairs(sh).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in shared_shingle_pairs(sh, max_df=5).collect()
+    }
+    n = len(docs)
+    assert len(full) == n * (n - 1) // 2  # boilerplate pairs everyone
+    true_pairs = {(i, 1000 + i) for i in range(0, 40, 4)}
+    assert capped == true_pairs  # cap prunes to exactly the near-dups
+    assert capped <= full
