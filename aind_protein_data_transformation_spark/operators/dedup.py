@@ -61,8 +61,24 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingle_set(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def shingle_set(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast_hash: bool = False,
+) -> DataFrame:
     """Distinct word-k-shingle hashes per document: (doc_id, h).
+
+    ``fast_hash=True`` is the production path the module doc promises:
+    JVM ``xxhash64`` instead of the DuckDB-replayable md5-conv hash,
+    and — because the hash is now cheaper than shuffling strings — the
+    flipped hash-then-distinct order (deduplicate on the numeric
+    (id, h), so the exchange carries longs, ~3x fewer bytes). Same
+    (doc_id, h) relation shape, same per-doc distinct counts and
+    pairwise shared counts modulo the 2^-61 collision knife edge
+    (equivalence test: tests/test_operators.py); NOT oracle-replayable,
+    so every registered query keeps the portable hash.
 
     Plan choices (3-4x, measured):
     - tokens materialize in their own projection first — inlining the
@@ -88,14 +104,20 @@ def shingle_set(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str
     # construction per call at any SF); the SQL-string form builds the
     # IDENTICAL plan in a handful of crossings.
     parts = ", ".join(f"element_at(tk, i + {j})" for j in range(k))
-    return (
+    shingled = (
         docs.selectExpr(
             f"`{id_col}`", f"filter(split(`{text_col}`, '\\\\s+'), t -> t <> '') AS tk"
         )
         .where(f"size(tk) >= {k}")
         .selectExpr(f"`{id_col}`", "tk", f"explode(sequence(1, size(tk) - {k - 1})) AS i")
         .selectExpr(f"`{id_col}`", f"concat_ws(' ', {parts}) AS s")
-        .distinct()
+    )
+    if fast_hash:
+        return shingled.selectExpr(
+            f"`{id_col}`", f"PMOD(XXHASH64(s), {MINHASH_PRIME}) AS h"
+        ).distinct()
+    return (
+        shingled.distinct()
         .selectExpr(
             f"`{id_col}`",
             "CAST(CONV(SUBSTRING(MD5(s), 1, 15), 16, 10) AS BIGINT) "

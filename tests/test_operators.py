@@ -523,3 +523,43 @@ def test_shared_shingle_pairs_df_cap(spark):
     true_pairs = {(i, 1000 + i) for i in range(0, 40, 4)}
     assert capped == true_pairs  # cap prunes to exactly the near-dups
     assert capped <= full
+
+
+def test_shingle_set_fast_hash_equivalent_shape(spark, sf_dir):
+    """The xxhash64 production path must carry the same information as
+    the portable-hash path: identical per-document distinct-shingle
+    counts, and identical pairwise shared-shingle counts (and therefore
+    identical exact Jaccard) for the LSH-candidate pairs — only the
+    hash VALUES differ (so it is not oracle-replayable and stays out of
+    the registered queries)."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        jaccard_for_pairs,
+        shared_shingle_pairs,
+        shingle_set,
+    )
+    from aind_protein_data_transformation_spark.queries.llm_dedup import (
+        _corpus_near,
+    )
+
+    corpus = _corpus_near(spark, sf_dir)
+    slow = shingle_set(corpus, k=3).localCheckpoint()
+    fast = shingle_set(corpus, k=3, fast_hash=True).localCheckpoint()
+
+    n_slow = {r.doc_id: r.n for r in slow.groupBy("doc_id").agg(
+        F.count("*").alias("n")).collect()}
+    n_fast = {r.doc_id: r.n for r in fast.groupBy("doc_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert n_fast == n_slow
+
+    pairs = shared_shingle_pairs(slow).localCheckpoint()
+    j_slow = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_for_pairs(pairs, slow).collect()
+    }
+    j_fast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_for_pairs(pairs, fast).collect()
+    }
+    assert j_fast == j_slow
