@@ -82,12 +82,48 @@ def exact_sum_sql(expr: str) -> str:
     can assemble whole aggregates in one ``F.expr`` py4j crossing
     instead of ~15 Column calls each.
     """
-    u = f"CAST(FLOOR(CAST(({expr}) AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)"
-    hi = f"SUM(CAST(FLOOR({u} / {_M}) AS BIGINT))"
-    lo = f"SUM(PMOD({u}, {_M}))"
-    total = f"CAST(CAST({hi} AS DECIMAL(32,0)) * {_M} + {lo} AS DECIMAL(38,0))"
     # same exactness trick as the Column path: multiply by the scale-6
-    # unit, never divide
+    # unit, never divide (recombine); built from the shared partials so
+    # every consumer agrees on the radix/scaling by construction
+    hi, lo = exact_sum_partials_sql(expr)
+    return exact_recombine_sql(hi, lo)
+
+
+def fixed_micros_sql(expr: str) -> str:
+    """SQL text of :func:`_fixed_micros`: the scale-6 fixed-point long.
+    Project this ONCE and feed the column to
+    :func:`split_partials_sql` — aggregate expressions get no common-
+    subexpression elimination, so inlining the fixed-pointing into both
+    partials (what :func:`exact_sum_partials_sql` does) evaluates it
+    twice per row (measured +25% on the rollup fine aggregate)."""
+    return f"CAST(FLOOR(CAST(({expr}) AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)"
+
+
+def split_partials_sql(u_col: str) -> tuple[str, str]:
+    """The two long SUM partials over an already-fixed-point column
+    (``(hi_sql, lo_sql)``). The partials are plain longs, so consumers
+    that re-aggregate across levels (rollup-by-reaggregation) sum them
+    again exactly; :func:`exact_recombine_sql` turns the re-summed pair
+    back into the DOUBLE ``exact_sum_sql`` yields — one definition of
+    the radix/scaling instead of hand-copied constants."""
+    return (
+        f"SUM(CAST(FLOOR({u_col} / {_M}) AS BIGINT))",
+        f"SUM(PMOD({u_col}, {_M}))",
+    )
+
+
+def exact_sum_partials_sql(expr: str) -> tuple[str, str]:
+    """Partials with the fixed-pointing inlined (single-expression
+    convenience; see :func:`fixed_micros_sql` for when to project
+    instead)."""
+    return split_partials_sql(fixed_micros_sql(expr))
+
+
+def exact_recombine_sql(hi: str, lo: str) -> str:
+    """Recombine (re-)aggregated split partials into the exact DOUBLE.
+    ``hi``/``lo`` are SQL expressions (typically ``SUM(hi)``/``SUM(lo)``
+    over stored partial columns)."""
+    total = f"CAST(CAST({hi} AS DECIMAL(32,0)) * {_M} + {lo} AS DECIMAL(38,0))"
     return f"CAST({total} * CAST('0.000001' AS DECIMAL(7,6)) AS DOUBLE)"
 
 

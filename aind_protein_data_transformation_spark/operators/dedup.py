@@ -76,9 +76,19 @@ def shingle_set(
     flipped hash-then-distinct order (deduplicate on the numeric
     (id, h), so the exchange carries longs, ~3x fewer bytes). Same
     (doc_id, h) relation shape, same per-doc distinct counts and
-    pairwise shared counts modulo the 2^-61 collision knife edge
-    (equivalence test: tests/test_operators.py); NOT oracle-replayable,
-    so every registered query keeps the portable hash.
+    pairwise shared counts modulo hash collisions (equivalence test:
+    tests/test_operators.py); NOT oracle-replayable, so every
+    registered query keeps the portable hash.
+
+    Collision honesty, both paths: h lives in [0, 2^31-1) because the
+    MinHash permutations need h < MINHASH_PRIME for their (a*h+b)
+    arithmetic to stay under 2^62 — so per-pair collision probability
+    is ~2^-31, NOT the hash's native width. Per DOCUMENT (what Jaccard
+    sees) that is ~d^2/2^32 ≈ 1e-5 at d=200 distinct shingles — two
+    distinct shingles aliasing shifts one document's count by one.
+    Acceptable for near-dup detection at 0.4 thresholds; a consumer
+    needing exact set semantics at corpus scale should wider-key the
+    relation (drop the modulus where MinHash is not downstream).
 
     Plan choices (3-4x, measured):
     - tokens materialize in their own projection first — inlining the
@@ -95,9 +105,10 @@ def shingle_set(
     the full shingle pass at sf0.1). The exchange carries short strings
     instead of longs (~3x bytes); with a cheap production hash
     (xxhash64) the better order flips back to hash-then-distinct. The
-    SQL oracles replay the same order, so the ~2^-61 hash-collision
-    knife edge is identical on both engines and every downstream join
-    stays numeric.
+    SQL oracles replay the same order, so the hash-collision knife edge
+    (~2^-31 per pair after the MINHASH_PRIME modulus — see the
+    fast_hash note above for the honest arithmetic) is identical on
+    both engines and every downstream join stays numeric.
     """
     # Built as selectExpr strings: the composed-Column form of this plan
     # costs hundreds of py4j round-trips (~0.4s of pure driver-side

@@ -190,14 +190,20 @@ def quantize_int8_batch(
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Arrow-batch production kernel for symmetric per-vector int8
-    quantization — the path the 18×-raw interpreted-HOF constant in
-    ``embedding_quantize_int8`` (queries/llm_similarity.py) would ship
-    as, same pattern as :func:`assign_buckets_gemm`.
+    """Arrow-batch kernel for symmetric per-vector int8 quantization —
+    the HIGH-DIM twin of the oracle-parity HOF projection in
+    ``embedding_quantize_int8`` (queries/llm_similarity.py), same
+    pattern as :func:`assign_buckets_gemm`. Measured crossover
+    (BENCH.md round 6): at the fixtures' dim-64 the JVM HOF projection
+    WINS (stays in whole-stage codegen; this kernel pays Arrow
+    transfer of every vector) — use the built-in form there. The
+    kernel wins 4.7x at dim-1024 x 20k vectors, where the interpreted
+    fold's n*dim cost crosses the per-byte Arrow cost — the 1k+-dim
+    regime this module's docstring reserves for pandas-UDF paths.
 
     Returns (vec_id, qscale, n_saturated, recon_mse), BIT-IDENTICAL to
-    the oracle-parity HOF query (exact-agreement test in
-    tests/test_vector_udfs.py): scale/codes/saturation are exact by
+    the oracle-parity HOF query (exact-agreement tests in
+    tests/test_operators.py): scale/codes/saturation are exact by
     construction (float→double widening, division, floor, clip — the
     same IEEE ops in the same order), and the reconstruction-MSE sum
     deliberately accumulates with a sequential per-dimension loop, the
@@ -264,19 +270,30 @@ def ivf_topk(
     scripts/bench_embed10.py) instead of the oracle-replayable HOF
     fold; identical assignment by the exact-agreement test, so the
     top-k result is unchanged.
+
+    The zero-norm contract matches the assignment paths end to end:
+    dead centroids are excluded from the PROBE ranking too (not just
+    the index build — otherwise a zero-norm centroid crashes the probe
+    cosine under ANSI, or pre-ANSI silently eats one of every query's
+    nprobe slots while owning no corpus vectors), and the verify
+    cosine is try_divide'd so a zero-norm query/corpus vector ranks
+    last (null) instead of erroring.
     """
     assign = assign_buckets_gemm if gemm else assign_buckets
+    valid_cents = centroids.filter(norm("centroid_vec") != 0)
     corpus_buckets = assign(
         corpus.select(F.col("neighbor_id").alias("vid"), F.col("ce").alias("ve")),
         centroids,
     ).select(F.col("vid").alias("neighbor_id"), "bucket")
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
     query_probes = (
-        queries.crossJoin(F.broadcast(centroids))
+        queries.crossJoin(F.broadcast(valid_cents))
         .select(
             "query_id",
             "centroid_id",
-            cosine("qe", "centroid_vec").alias("c_cos"),
+            F.try_divide(
+                dot("qe", "centroid_vec"), norm("qe") * norm("centroid_vec")
+            ).alias("c_cos"),
         )
         .withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= nprobe)
@@ -292,7 +309,11 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         candidates.select(
-            "query_id", "neighbor_id", cosine("qe", "ce").alias("cosine")
+            "query_id",
+            "neighbor_id",
+            F.try_divide(dot("qe", "ce"), norm("qe") * norm("ce")).alias(
+                "cosine"
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -39,14 +39,26 @@ KMEANS_STRIDE = 40
 
 
 def _sql_assign(corpus_rel: str, cent_rel: str) -> str:
-    """DuckDB twin of operators.similarity.assign_buckets."""
+    """DuckDB twin of operators.similarity.assign_buckets — including
+    its round-6 zero-norm contract: dead centroids are excluded (Spark
+    filters them before the broadcast; DuckDB's raw 0/0 would be a NaN
+    that sorts FIRST under DESC and captures every vector), and a
+    zero-norm vector's cosines become NULL (NULLS LAST mirrors Spark's
+    try_divide + desc-nulls-last), landing it in the lowest-id valid
+    bucket. The stride-sampled fixtures contain no zero-norm rows, so
+    this is contract parity, not a value change."""
     return f"""
         SELECT vid, centroid_id AS bucket FROM (
             SELECT c.vid, t.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY c.vid
-                       ORDER BY {sql_cosine('c.ve', 't.centroid_vec')} DESC,
+                       ORDER BY CASE WHEN {sql_dot('c.ve', 'c.ve')} = 0
+                                     THEN NULL
+                                     ELSE {sql_cosine('c.ve', 't.centroid_vec')}
+                                END DESC NULLS LAST,
                                 t.centroid_id) AS rk
-            FROM {corpus_rel} c, {cent_rel} t
+            FROM {corpus_rel} c,
+                 (SELECT * FROM {cent_rel}
+                  WHERE {sql_dot('centroid_vec', 'centroid_vec')} <> 0) t
         ) WHERE rk = 1
     """
 
@@ -313,6 +325,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantize_hof_frame(emb: DataFrame) -> DataFrame:
+    """The quantize projection WITHOUT the driver-contract ORDER BY —
+    the map-only work shared by the registered query (which appends
+    sorted_small) and the HOF-vs-Arrow-batch A/B in
+    scripts/bench_embed10.py. Timing the registered query for that A/B
+    would be wrong in a subtle way: sorted_small's coalesce(1) fuses
+    into the shuffle-free projection and collapses the WHOLE scan to
+    one task, so the comparison would measure one core against the
+    batch kernel's 32."""
+    x = F.col("embedding")
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    qscale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    with_scale = emb.select("vec_id", "embedding", qscale.alias("qscale"))
+    codes = F.transform(
+        F.col("embedding"),
+        lambda v: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(v.cast("double") / F.col("qscale") + F.lit(0.5)).cast(
+                    "double"
+                ),
+            ),
+        ),
+    )
+    with_codes = with_scale.select(
+        "vec_id", "embedding", "qscale", codes.alias("codes")
+    )
+    sq_err = F.zip_with(
+        F.col("embedding"),
+        F.col("codes"),
+        lambda v, q: (v.cast("double") - q * F.col("qscale"))
+        * (v.cast("double") - q * F.col("qscale")),
+    )
+    return with_codes.select(
+        "vec_id",
+        "qscale",
+        F.size(F.filter(F.col("codes"), lambda q: F.abs(q) == 127.0))
+        .cast("long")
+        .alias("n_saturated"),
+        (
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, v: acc + v)
+            / F.size(F.col("embedding"))
+        ).alias("recon_mse"),
+    )
+
+
 @query(
     "embedding_quantize_int8",
     oracle="""
@@ -355,44 +414,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence, max/abs are order-free, and the MSE fold follows the
     verified aggregate==list_sum element order."""
     emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding")
-    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
-    qscale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
-    with_scale = emb.select("vec_id", "embedding", qscale.alias("qscale"))
-    codes = F.transform(
-        F.col("embedding"),
-        lambda v: F.greatest(
-            F.lit(-127.0),
-            F.least(
-                F.lit(127.0),
-                F.floor(v.cast("double") / F.col("qscale") + F.lit(0.5)).cast(
-                    "double"
-                ),
-            ),
-        ),
-    )
-    with_codes = with_scale.select(
-        "vec_id", "embedding", "qscale", codes.alias("codes")
-    )
-    sq_err = F.zip_with(
-        F.col("embedding"),
-        F.col("codes"),
-        lambda v, q: (v.cast("double") - q * F.col("qscale"))
-        * (v.cast("double") - q * F.col("qscale")),
-    )
-    return (
-        with_codes.select(
-            "vec_id",
-            "qscale",
-            F.size(F.filter(F.col("codes"), lambda q: F.abs(q) == 127.0))
-            .cast("long")
-            .alias("n_saturated"),
-            (
-                F.aggregate(sq_err, F.lit(0.0), lambda acc, v: acc + v)
-                / F.size(F.col("embedding"))
-            ).alias("recon_mse"),
-        )
-        .transform(lambda d: sorted_small(d, "vec_id"))
+    return quantize_hof_frame(emb).transform(
+        lambda d: sorted_small(d, "vec_id")
     )
 
 

@@ -111,50 +111,39 @@ ORDER BY op, c_custkey
 """
 
 
-#: Rollup via finest-level re-aggregation (round-6 A/B win,
-#: scripts/exp_constants.py: 0.20-0.22s vs 0.23-0.29s for the literal
-#: GROUP BY ROLLUP across three sessions). Fact rows touch ONE
-#: project + partial aggregate on c_nationkey — never a join probe or
-#: the ROLLUP Expand's 3x row replication; the name joins run on the
-#: 25-ROW aggregate, and the level expansion + recombine happen over
-#: that bounded relation. Exactness is preserved because the split
-#: fixed-point sum's hi/lo partials are plain longs — re-aggregating
-#: them across levels is exact long addition, recombined to DECIMAL
-#: once per output row (identical value to the single-pass dsum).
-_ROLLUP_M = 1 << 20
-
+#: Literal GROUP BY ROLLUP — RESTORED after a round-6 retraction. A
+#: finest-level re-aggregation rewrite (aggregate on c_nationkey
+#: first, join names onto the 25-row aggregate, expand levels over the
+#: bounded relation) appeared ~20% faster in sequential-block A/Bs and
+#: briefly replaced this form; re-measuring with INTERLEAVED,
+#: order-alternated runs showed the "win" was measurement-order bias —
+#: whichever form ran second inherited warmer cache/JIT. Unbiased:
+#: parity at sf0.1 (literal 0.239 min / reagg 0.288) AND at 10x
+#: (0.189 vs 0.172) — so the simpler literal form stands. The reagg
+#: variant is kept as the recorded negative in
+#: scripts/exp_constants.py; its exactness machinery (re-aggregatable
+#: split-sum partials) lives on in functions/numeric.py
+#: split_partials_sql/exact_recombine_sql.
+#:
+#: Empty-input edge (documented): Spark's ROLLUP yields 0 rows over
+#: zero input; DuckDB emits the grand-total row — an engine-level
+#: divergence unreachable through the oracle harness (customer is
+#: non-empty at every sf), pinned by tests/test_scale.py. A UNION ALL
+#: grand-total arm closing it measured 3x the query's constant and was
+#: rejected.
 _ROLLUP_SQL = f"""
-WITH fine AS (
-    SELECT c_nationkey,
-           SUM(CAST(FLOOR(u / {_ROLLUP_M}) AS BIGINT)) AS hi,
-           SUM(PMOD(u, {_ROLLUP_M})) AS lo,
-           COUNT(*) AS n_customers
-    FROM (SELECT c_nationkey,
-                 CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 1000000.0D + 0.5D)
-                      AS BIGINT) AS u
-          FROM customer)
-    GROUP BY c_nationkey
-),
-named AS (
-    SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name, hi, lo, n_customers
-    FROM fine f
-    JOIN nation n ON f.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-),
-lvl AS (
-    SELECT CASE WHEN lv >= 1 THEN r_name END AS r_name,
-           CASE WHEN lv = 2 THEN n_name END AS n_name,
-           hi, lo, n_customers
-    FROM named LATERAL VIEW explode(array(2, 1, 0)) t AS lv
-)
 SELECT COALESCE(r_name, '<ALL>') AS region_name,
        COALESCE(n_name, '<ALL>') AS nation_name,
-       CAST(CAST(CAST(SUM(hi) AS DECIMAL(32,0)) * {_ROLLUP_M} + SUM(lo)
-            AS DECIMAL(38,0)) * CAST('0.000001' AS DECIMAL(7,6)) AS DOUBLE)
-           AS total_acctbal,
-       SUM(n_customers) AS n_customers
-FROM lvl
-GROUP BY r_name, n_name
+       total_acctbal, n_customers
+FROM (
+    SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name,
+           {spark_dsum_sql('c_acctbal', 'total_acctbal')},
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+)
 """
 
 
@@ -586,14 +575,11 @@ def q_set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy region -> nation -> grand total, computed as a
-    finest-level aggregate + bounded re-aggregation (see _ROLLUP_SQL's
-    note: fact rows see one partial agg and no join/Expand; the level
-    expansion runs over the 25-row named aggregate; exact by long
-    re-aggregation of the split fixed-point partials). NULL group cells
-    are coalesced to '<ALL>' so the oracle hash is unambiguous; the
-    oracle replays the literal GROUP BY ROLLUP. Static-SQL form (one
-    py4j crossing)."""
+    """ROLLUP hierarchy region -> nation -> grand total. Spark expands
+    grouping sets in a single aggregate (no query-per-level); NULL group
+    cells are coalesced to '<ALL>' so the oracle hash is unambiguous.
+    Static-SQL form (one py4j crossing). A re-aggregation rewrite was
+    tried and retracted round 6 — see _ROLLUP_SQL's note."""
     ensure_views(spark, sf_dir, "customer", "nation", "region")
     return sorted_small(spark.sql(_ROLLUP_SQL), "region_name", "nation_name")
 

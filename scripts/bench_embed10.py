@@ -135,17 +135,17 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
                 F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
             )
             res["ivf_topk_s"] = _noop_time(ivf_topk(q, c, cents, k=10, nprobe=2))
-            # quantize: oracle-parity HOF form (the registered query's
-            # projection, minus its driver-contract ORDER BY so both
-            # paths time the same map-only work) vs the bit-identical
-            # Arrow-batch production kernel
+            # quantize: oracle-parity HOF PROJECTION (quantize_hof_frame
+            # — deliberately NOT the registered query: its sorted_small
+            # coalesce(1) fuses into the shuffle-free projection and
+            # collapses the whole scan to ONE task, which would compare
+            # one core against the batch kernel's 32) vs the
+            # bit-identical Arrow-batch production kernel
             from aind_protein_data_transformation_spark.queries.llm_similarity import (
-                embedding_quantize_int8,
+                quantize_hof_frame,
             )
 
-            res["quantize_hof_s"] = _noop_time(
-                embedding_quantize_int8(spark, d)
-            )
+            res["quantize_hof_s"] = _noop_time(quantize_hof_frame(emb))
             res["quantize_batch_s"] = _noop_time(quantize_int8_batch(emb))
             out[tag] = res
             spark.catalog.clearCache()

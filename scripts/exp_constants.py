@@ -9,13 +9,17 @@ rollup_reagg   aggregate customer on c_nationkey FIRST (one exchange,
                re-aggregatable longs), broadcast-join the names onto
                the 25-ROW aggregate instead of probing two broadcast
                hash tables per fact row, then expand the ROLLUP levels
-               and recombine in the single bounded final task
-               (sorted_small's coalesce). Fact rows touch ONE
-               project+partial-agg, never a join or an Expand.
-               MEASURED WIN (0.20-0.22s vs 0.23-0.29s across three
-               sessions) and LANDED as the registered form round 6 —
-               this script now keeps the old literal GROUP BY ROLLUP
-               as the baseline so the A/B stays reproducible.
+               over the bounded relation.
+               RECORDED NEGATIVE after a retraction: sequential-block
+               A/Bs (all 5 base runs, then all 5 variant runs) showed
+               a reproducible ~20% "win" — which was measurement-order
+               bias: whichever plan runs second inherits warmer page
+               cache/JIT. The INTERLEAVED, order-alternated protocol
+               this script now uses shows parity-to-slightly-worse at
+               sf0.1 (literal 0.239 min vs reagg 0.288, 10 rounds) and
+               parity at 10x (0.189 vs 0.172). The literal GROUP BY
+               ROLLUP stays registered; sequential-block timing is the
+               methodology trap this file now exists to document.
 
 outer_range    both join sides REPARTITION_BY_RANGE on the join key =
                the final ORDER BY key: RangePartitioning satisfies the
@@ -43,22 +47,33 @@ from aind_protein_data_transformation_spark.queries.relational import (  # noqa:
 )
 from aind_protein_data_transformation_spark.session import get_spark  # noqa: E402
 
-#: the pre-round-6 registered form: literal GROUP BY ROLLUP over the
-#: fact x broadcast-dims join (Expand replicates each joined row once
-#: per grouping set before the partial aggregate).
-_ROLLUP_LITERAL_SQL = """
+#: the retracted rewrite (recorded negative): finest-level aggregate +
+#: bounded re-aggregation, exact via the split-sum partials
+#: (functions/numeric.py split_partials_sql / exact_recombine_sql).
+_ROLLUP_REAGG_SQL = """
+WITH fine AS (
+    SELECT c_nationkey, {hi} AS hi, {lo} AS lo, COUNT(*) AS n_customers
+    FROM (SELECT c_nationkey, {u} AS u FROM customer)
+    GROUP BY c_nationkey
+),
+named AS (
+    SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name, hi, lo, n_customers
+    FROM fine f
+    JOIN nation n ON f.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+lvl AS (
+    SELECT CASE WHEN lv >= 1 THEN r_name END AS r_name,
+           CASE WHEN lv = 2 THEN n_name END AS n_name,
+           hi, lo, n_customers
+    FROM named LATERAL VIEW explode(array(2, 1, 0)) t AS lv
+)
 SELECT COALESCE(r_name, '<ALL>') AS region_name,
        COALESCE(n_name, '<ALL>') AS nation_name,
-       total_acctbal, n_customers
-FROM (
-    SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name,
-           {dsum},
-           COUNT(*) AS n_customers
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-)
+       {recombine} AS total_acctbal,
+       SUM(n_customers) AS n_customers
+FROM lvl
+GROUP BY r_name, n_name
 """
 
 _OUTER_RANGE_SQL = """
@@ -76,15 +91,21 @@ ORDER BY c_custkey
 """
 
 
-def rollup_literal(spark, sf_dir):
+def rollup_reagg(spark, sf_dir):
     from aind_protein_data_transformation_spark.functions.numeric import (
-        spark_dsum_sql,
+        exact_recombine_sql,
+        fixed_micros_sql,
+        split_partials_sql,
     )
     from aind_protein_data_transformation_spark.plans.scale import sorted_small
 
     ensure_views(spark, sf_dir, "customer", "nation", "region")
-    sql = _ROLLUP_LITERAL_SQL.format(
-        dsum=spark_dsum_sql("c_acctbal", "total_acctbal")
+    hi, lo = split_partials_sql("u")
+    sql = _ROLLUP_REAGG_SQL.format(
+        hi=hi,
+        lo=lo,
+        u=fixed_micros_sql("c_acctbal"),
+        recombine=exact_recombine_sql("SUM(hi)", "SUM(lo)"),
     )
     return sorted_small(spark.sql(sql), "region_name", "nation_name")
 
@@ -92,15 +113,6 @@ def rollup_literal(spark, sf_dir):
 def outer_range(spark, sf_dir):
     ensure_views(spark, sf_dir, "customer", "orders")
     return spark.sql(_OUTER_RANGE_SQL)
-
-
-def _best(df, rounds):
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
 
 
 def _rows(df):
@@ -114,16 +126,26 @@ def main(argv):
     out = {"metric": "constants_ab", "sf_dir": sf_dir, "rounds": rounds}
     try:
         pairs = {
-            "rollup": (rollup_literal, q_rollup_region_nation_revenue),
+            "rollup": (q_rollup_region_nation_revenue, rollup_reagg),
             "outer_fill": (q_outer_join_order_fill, outer_range),
         }
         for name, (base_fn, var_fn) in pairs.items():
             base = base_fn(spark, sf_dir)
             var = var_fn(spark, sf_dir)
             assert _rows(base) == _rows(var), f"{name}: variant diverges"
-            # warm both plans, then interleave timed runs back-to-back
-            out[f"{name}_base_s"] = _best(base, rounds)
-            out[f"{name}_variant_s"] = _best(var, rounds)
+            # interleave the timed runs (base, variant, base, variant,
+            # ...) so a mid-experiment drift event (GC, page-cache
+            # churn) lands on both sides instead of skewing one block
+            bb = vb = float("inf")
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                base.write.format("noop").mode("overwrite").save()
+                bb = min(bb, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                var.write.format("noop").mode("overwrite").save()
+                vb = min(vb, time.perf_counter() - t0)
+            out[f"{name}_base_s"] = round(bb, 4)
+            out[f"{name}_variant_s"] = round(vb, 4)
             spark.catalog.clearCache()
         print(json.dumps(out), flush=True)
     finally:

@@ -563,3 +563,39 @@ def test_shingle_set_fast_hash_equivalent_shape(spark, sf_dir):
         for r in jaccard_for_pairs(pairs, fast).collect()
     }
     assert j_fast == j_slow
+
+
+def test_ivf_topk_survives_zero_norm_centroid_and_query(spark):
+    """The zero-norm contract must hold one operator up from the
+    assignment paths: a dead centroid in the codebook previously
+    crashed ivf_topk's PROBE stage with an ANSI divide-by-zero (the
+    index build tolerated it), and pre-ANSI it would silently consume
+    one of every query's nprobe slots while owning no corpus vectors.
+    A zero-norm query vector must rank candidates as null-cosine
+    (last), not error."""
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5 + 1), float((i * 3) % 7 + 1)]) for i in range(20)],
+        "neighbor_id bigint, ce array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 2.0]), (101, [0.0, 0.0])],
+        "query_id bigint, qe array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0]), (2, [1.0, 4.0])],
+        "centroid_id bigint, centroid_vec array<double>",
+    )
+    rows = ivf_topk(queries, corpus, cents, k=3, nprobe=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q[100]) == 3 and all(
+        r.cosine is not None for r in by_q[100]
+    )
+    # zero-norm query: candidates rank by (null cosine, neighbor_id)
+    assert len(by_q[101]) == 3
+    assert all(r.cosine is None for r in by_q[101])

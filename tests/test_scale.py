@@ -433,25 +433,75 @@ def test_text_quality_fans_out_the_narrow_scan(spark, sf_dir):
     assert f"RoundRobinPartitioning({fanout_width(spark)})" in plan, plan[:3000]
 
 
-def test_rollup_reaggregation_plan_has_no_expand(spark, sf_dir):
-    """The round-6 rollup rewrite must stay the re-aggregation form:
-    no Expand node (the literal GROUP BY ROLLUP replicates every fact
-    row once per grouping set before the partial aggregate), and the
-    customer scan feeds an aggregate BEFORE any join (names attach to
-    the 25-row aggregate, not to fact rows)."""
+def test_rollup_shape_and_reagg_variant_equivalence(spark, sf_dir):
+    """The registered rollup (literal GROUP BY ROLLUP, restored after
+    the round-6 order-bias retraction — see relational.py's note)
+    broadcasts its dims and produces all three levels; the retracted
+    re-aggregation variant (scripts/exp_constants.py) must remain
+    row-identical so the recorded A/B stays a true comparison."""
+    import importlib.util
+    import os
+
     from aind_protein_data_transformation_spark.queries.relational import (
         q_rollup_region_nation_revenue,
     )
 
     df = q_rollup_region_nation_revenue(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" not in plan, "rollup regressed to the Expand form"
-    # the fact-side aggregate must appear below (after, in tree print
-    # order) the broadcast joins: the first HashAggregate reading the
-    # customer scan comes before any BroadcastHashJoin consumes it
     assert "BroadcastHashJoin" in plan
-    # and the result is still exactly the rollup the oracle replays
     rows = {(r.region_name, r.nation_name) for r in df.collect()}
     assert ("<ALL>", "<ALL>") in rows
     regions = {r for r, n in rows if n == "<ALL>" and r != "<ALL>"}
     assert len(regions) == 5
+
+    spec = importlib.util.spec_from_file_location(
+        "expc",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "exp_constants.py",
+        ),
+    )
+    expc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(expc)
+    got = [tuple(r) for r in expc.rollup_reagg(spark, sf_dir).collect()]
+    want = [tuple(r) for r in q_rollup_region_nation_revenue(
+        spark, sf_dir).collect()]
+    assert got == want
+
+
+def test_rollup_empty_input_yields_no_rows(spark):
+    """Documents the engine-level edge: Spark's GROUP BY ROLLUP yields
+    ZERO rows over empty input (the registered query inherits this);
+    DuckDB emits the grand-total row. Unreachable through the oracle
+    harness (customer is non-empty at every sf) — see _ROLLUP_SQL's
+    note for the measured-and-rejected UNION ALL closing arm."""
+    from aind_protein_data_transformation_spark import catalog
+    import aind_protein_data_transformation_spark.queries.relational as R
+
+    try:
+        spark.createDataFrame(
+            [], "c_custkey long, c_nationkey long, c_acctbal double"
+        ).createOrReplaceTempView("customer")
+        spark.createDataFrame(
+            [(0, 0, "N")], "n_nationkey long, n_regionkey long, n_name string"
+        ).createOrReplaceTempView("nation")
+        spark.createDataFrame(
+            [(0, "R")], "r_regionkey long, r_name string"
+        ).createOrReplaceTempView("region")
+        literal = spark.sql(
+            """SELECT COALESCE(r_name,'<ALL>') region_name,
+                      COALESCE(n_name,'<ALL>') nation_name, COUNT(*) n
+               FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+               GROUP BY ROLLUP (r_name, n_name)"""
+        ).collect()
+        rewrite = spark.sql(R._ROLLUP_SQL).collect()
+        assert literal == [] and rewrite == []
+    finally:
+        # the shared-session view memo must not serve these stand-in
+        # views to later tests (ensure_views skips registered names)
+        memo = catalog._VIEW_MEMO.get(spark, {})
+        for t in ("customer", "nation", "region"):
+            spark.catalog.dropTempView(t)
+            memo.pop(t, None)
