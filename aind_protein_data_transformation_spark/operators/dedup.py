@@ -270,12 +270,17 @@ def shared_shingle_pairs(
     dominate the whole shuffle. Capping drops those shingles BEFORE
     the pair join (one co-partitioned aggregate+semi-join on the same
     key ``h`` the pair join shuffles on, so the cap adds no extra
-    partitioning). A pair survives if it shares ANY sub-cap shingle,
-    so near-duplicate pairs — which share many rare shingles — keep
-    their candidates; only pairs whose ONLY overlap is corpus-hot
-    boilerplate are pruned (exactly the pairs whose true Jaccard is
-    lowest). Verify with :func:`jaccard_for_pairs` on the UNCAPPED
-    shingle relation to keep the reported Jaccard exact.
+    partitioning). A pair survives iff it shares at least one sub-cap
+    shingle. The honest recall statement: pairs whose similarity rests
+    on pair-PRIVATE content (the usual near-duplicate) keep their
+    candidates; a pair made ENTIRELY of corpus-hot shingles — e.g. 20
+    verbatim copies of one boilerplate template, true Jaccard 1.0 with
+    every shingle df=20 — loses ALL candidates. Run exact dedup first
+    (verbatim/near-verbatim boilerplate collapses there) and choose
+    max_df above the expected true-duplicate multiplicity; the cap
+    targets shingles hot across UNRELATED documents. Verify with
+    :func:`jaccard_for_pairs` on the UNCAPPED shingle relation to keep
+    the reported Jaccard exact.
     """
     if max_df is not None:
         keep = (
@@ -475,8 +480,19 @@ def append_minhash_shard(
 
     Equivalence pinned by tests/test_incremental.py: probing after an
     append finds exactly what an index rebuilt from scratch over
-    corpus+shard finds."""
+    corpus+shard finds.
+
+    NOT atomic (two independent table appends — plain bucketed parquet
+    tables have no cross-table transaction; an ACID table format would
+    supply one). Both tables are validated BEFORE the first write so a
+    malformed index fails cleanly up front; a crash BETWEEN the two
+    appends leaves band rows without signatures — the verify join then
+    silently drops those candidates, so after any interrupted append,
+    re-run it (idempotent only at the pair level: re-appending
+    duplicates band/sig rows, which widens candidate sets but cannot
+    change the verified pair results) or rebuild the shard's rows."""
     n_buckets = _table_num_buckets(spark, f"{name}_bands")
+    sig_buckets = _table_num_buckets(spark, f"{name}_sigs")
     # one materialization feeds both writes (localCheckpoint, not
     # persist — same lifecycle reasoning as incremental_minhash_pairs)
     sig = minhash_signatures(
@@ -495,7 +511,7 @@ def append_minhash_shard(
     (
         sig.select(id_col, "n", "hs")
         .write.mode("append")
-        .bucketBy(_table_num_buckets(spark, f"{name}_sigs"), id_col)
+        .bucketBy(sig_buckets, id_col)
         .saveAsTable(f"{name}_sigs")
     )
 

@@ -74,7 +74,7 @@ def assign_buckets(
     valid bucket. If every centroid is zero-norm the vector is
     dropped. try_divide, NOT a CASE guard: a when(denom == 0, ...)
     evaluates the two norm folds twice (condition + value branch are
-    not CSE'd), which measured +60%% on the fold-heavy kmeans sweep —
+    not CSE'd), which measured +60% on the fold-heavy kmeans sweep —
     try_divide keeps the original three folds per pair."""
     valid = F.broadcast(centroids.filter(norm("centroid_vec") != 0))
     guarded = F.try_divide(
@@ -93,6 +93,28 @@ def assign_buckets(
         .filter(F.col("rk") == 1)
         .select(vec_id, F.col("centroid_id").alias("bucket"))
     )
+
+
+def _stack_vectors(np, vals, op_name):
+    """np.stack a pandas column of vectors with a clear contract error
+    instead of a bare numpy stack trace: the Arrow-batch kernels
+    require fixed-dimension, non-empty vectors (the embeddings-table
+    schema). Ragged batches and empty arrays fail np.stack /
+    zero-size reductions in ways that read as numpy internals."""
+    try:
+        m = np.stack(vals).astype(np.float64)
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            f"{op_name} requires fixed-dimension vectors "
+            f"(embeddings-table contract); this batch mixes dimensions "
+            f"or holds non-numeric elements"
+        ) from exc
+    if m.ndim != 2 or m.shape[1] == 0:
+        raise ValueError(
+            f"{op_name} requires non-empty fixed-dimension vectors; "
+            f"got batch shape {m.shape}"
+        )
+    return m
 
 
 def assign_buckets_gemm(
@@ -169,7 +191,7 @@ def assign_buckets_gemm(
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = np.stack(pdf["_ve"].to_numpy()).astype(np.float64)
+            m = _stack_vectors(np, pdf["_ve"].to_numpy(), "assign_buckets_gemm")
             vnorm = np.linalg.norm(m, axis=1)
             vnorm[vnorm == 0] = 1.0
             sims = (m.T / vnorm).T @ cmat.T
@@ -210,6 +232,13 @@ def quantize_int8_batch(
     exact left-to-right order of the HOF ``aggregate`` fold, instead of
     numpy's pairwise ``sum`` (which differs in the low bits). Map-only:
     no shuffle, no driver state — scales with corpus bytes.
+
+    Contract domain: fixed-dimension, non-empty, non-null vectors (the
+    embeddings-table schema). Ragged/empty batches raise a clear
+    ValueError (see _stack_vectors) instead of a numpy stack trace;
+    null ELEMENTS inside a vector are outside the bit-identity
+    contract (numpy coerces them to NaN where the HOF propagates SQL
+    nulls).
     """
     import numpy as np
 
@@ -223,7 +252,7 @@ def quantize_int8_batch(
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = np.stack(pdf["_ve"].to_numpy()).astype(np.float64)
+            m = _stack_vectors(np, pdf["_ve"].to_numpy(), "quantize_int8_batch")
             amax = np.abs(m).max(axis=1)
             qscale = np.where(amax == 0.0, 1.0, amax / 127.0)
             codes = np.clip(np.floor(m / qscale[:, None] + 0.5), -127.0, 127.0)

@@ -34,6 +34,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import shingle_set
 from ..plans.scale import sorted_small
+from .cache import tracked_persist as _persist
 from .registry import query
 
 # Gopher-style repetition thresholds (Rae et al. 2021 use 0.2 for
@@ -297,7 +298,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % EVAL_MOD != 0)
     eval_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
-    corpus_sh = shingle_set(corpus, k=3).persist()
+    corpus_sh = _persist(shingle_set(corpus, k=3))
     eval_sh = shingle_set(eval_docs, k=3).select(
         F.col("doc_id").alias("eval_id"), "h"
     )

@@ -35,31 +35,13 @@ from ..operators.dedup import (
 from .registry import query
 
 # -------------------------------------------------------- cache lifecycle
+# Tracked persists shared across ALL query modules (llm_similarity,
+# llm_text, curation use the same helper): see queries/cache.py for the
+# lifecycle contract. persist() stays the right tool for the
+# multi-consumer frames below (localCheckpoint measured +0.25s/run on
+# the minhash signatures).
 
-#: Handles to every relation this module persist()s, so library callers
-#: composing these queries OUTSIDE the registry sweep (whose wrapper
-#: clears the cache on entry) can bound the session cache without a
-#: blanket spark.catalog.clearCache(). persist() is the right tool for
-#: the multi-consumer frames below (localCheckpoint measured +0.25s/run
-#: on the minhash signatures), but a bare persist() is session-lifetime;
-#: the tracked handle makes the lifecycle explicit.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` with the handle recorded for release_caches()."""
-    _PERSISTED.append(df.persist())
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every relation a dedup query cached. Call after the
-    result DataFrame is fully materialized (collect/write) — the caches
-    exist so multi-consumer subtrees compute once WITHIN a query, never
-    across calls; re-running a query simply re-persists."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
-
+from .cache import release_caches, tracked_persist as _persist  # noqa: F401
 
 # ---------------------------------------------------------------- corpus
 

@@ -29,6 +29,7 @@ from ..operators.similarity import (
     sql_centroid_update,
     stride_centroids,
 )
+from .cache import tracked_persist as _persist
 from .registry import query
 
 TOPK_NQUERIES = 5
@@ -289,11 +290,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("float"),
         ).alias("embedding"),
     )
-    corpus = (
+    corpus = _persist(
         emb.select("vec_id", "embedding")
         .unionByName(perturbed)
         .select("vec_id", unit_normalize("embedding").alias("en"))
-        .persist()
     )
     cents = corpus.filter(
         (F.col("vec_id") % DEDUP_COS_STRIDE == 0) & (F.col("vec_id") < 1000000)
@@ -491,11 +491,10 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("float"),
         ).alias("embedding"),
     )
-    corpus = (
+    corpus = _persist(
         emb.select("vec_id", "embedding")
         .unionByName(perturbed)
         .select("vec_id", unit_normalize("embedding").alias("en"))
-        .persist()
     )
     cents = corpus.filter(
         (F.col("vec_id") % SEMDEDUP_STRIDE == 0) & (F.col("vec_id") < 1000000)

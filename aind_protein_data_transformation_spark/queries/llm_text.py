@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from ..catalog import ensure_views, load_table
 from ..functions.text import hash64, tokens
 from ..plans.scale import fanout_width, sorted_small
+from .cache import tracked_persist as _persist
 from .registry import query
 
 # Stopword lists for the n-gram/stopword language heuristic. The synthetic
@@ -396,12 +397,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer is the kind of double scan a 100-TB pipeline cannot
     afford."""
     d = load_table(spark, sf_dir, "documents")
-    toks = (
+    toks = _persist(
         d.selectExpr(
             "doc_id",
             "explode(filter(split(text, '\\\\s+'), t -> t != '')) AS token",
         )
-        .persist()
     )
     vocab = toks.groupBy("token").agg(F.expr("CAST(COUNT(*) AS BIGINT) AS cnt"))
     total = vocab.agg(F.expr("CAST(SUM(cnt) AS DOUBLE) AS n"))
@@ -465,14 +465,13 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is an exact-double comparison on both engines; the top-k
     window partitions by doc_id (bounded groups, fully parallel)."""
     d = load_table(spark, sf_dir, "documents")
-    tf = (
+    tf = _persist(
         d.selectExpr(
             "doc_id",
             "explode(filter(split(text, '\\\\s+'), t -> t != '')) AS token",
         )
         .groupBy("doc_id", "token")
         .agg(F.expr("CAST(COUNT(*) AS BIGINT) AS tf"))
-        .persist()
     )
     df_rel = tf.groupBy("token").agg(F.expr("CAST(COUNT(*) AS BIGINT) AS df"))
     n = d.agg(F.expr("CAST(COUNT(*) AS DOUBLE) AS n"))

@@ -133,17 +133,24 @@ def main(argv):
             base = base_fn(spark, sf_dir)
             var = var_fn(spark, sf_dir)
             assert _rows(base) == _rows(var), f"{name}: variant diverges"
-            # interleave the timed runs (base, variant, base, variant,
-            # ...) so a mid-experiment drift event (GC, page-cache
-            # churn) lands on both sides instead of skewing one block
+            # interleave AND alternate order per round: interleaving
+            # spreads drift events (GC, page-cache churn) over both
+            # sides; alternation stops the second slot's systematic
+            # warm-cache/JIT advantage (the bias that manufactured the
+            # retracted rollup "win") from always favoring one side
             bb = vb = float("inf")
-            for _ in range(rounds):
-                t0 = time.perf_counter()
-                base.write.format("noop").mode("overwrite").save()
-                bb = min(bb, time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                var.write.format("noop").mode("overwrite").save()
-                vb = min(vb, time.perf_counter() - t0)
+            for r in range(rounds):
+                order = [(True, base), (False, var)]
+                if r % 2:
+                    order.reverse()
+                for is_base, df in order:
+                    t0 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    if is_base:
+                        bb = min(bb, dt)
+                    else:
+                        vb = min(vb, dt)
             out[f"{name}_base_s"] = round(bb, 4)
             out[f"{name}_variant_s"] = round(vb, 4)
             spark.catalog.clearCache()

@@ -85,7 +85,7 @@ def test_bench_prints_one_compact_json_line_plus_sidecar(tmp_path):
     assert detail["session_floor_seconds"] > 0
 
 
-def test_sidecar_routing_protects_headline_record():
+def test_sidecar_routing_protects_headline_record(monkeypatch):
     """Unit-level pin of the routing rule itself (no subprocess): only a
     full headline run at the default sf dir may write the repo-root
     sidecar; subset/sweep/non-default-sf runs land in the temp dir, and
@@ -100,6 +100,10 @@ def test_sidecar_routing_protects_headline_record():
     from aind_protein_data_transformation_spark.catalog import DEFAULT_SF_DIR
 
     repo_sidecar = os.path.join(REPO, "bench_detail.json")
+    # an override exported in the surrounding environment must not
+    # skew the routing assertions (and must be restored afterwards —
+    # monkeypatch, not bare os.environ mutation)
+    monkeypatch.delenv("SPARK_GRAFT_DETAIL_PATH", raising=False)
     assert (
         bench._sidecar_path(DEFAULT_SF_DIR, True, 20) == repo_sidecar
     )
@@ -111,8 +115,5 @@ def test_sidecar_routing_protects_headline_record():
         != repo_sidecar
     )
     # env override wins
-    os.environ["SPARK_GRAFT_DETAIL_PATH"] = "/tmp/x.json"
-    try:
-        assert bench._sidecar_path(DEFAULT_SF_DIR, True, 20) == "/tmp/x.json"
-    finally:
-        del os.environ["SPARK_GRAFT_DETAIL_PATH"]
+    monkeypatch.setenv("SPARK_GRAFT_DETAIL_PATH", "/tmp/x.json")
+    assert bench._sidecar_path(DEFAULT_SF_DIR, True, 20) == "/tmp/x.json"
