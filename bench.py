@@ -200,7 +200,11 @@ def main(argv: list[str]) -> int:
                 # without this the warm runs would skip the data work).
                 # Catalog metadata (file listing, schema) staying warm
                 # across runs is fair: DuckDB's registered views keep
-                # theirs too.
+                # theirs too. Drain the tracked-persist handles as well:
+                # clearCache drops the cached data but leaves the
+                # handles pinned driver-side (queries/cache.py), and a
+                # 5-runs x full-suite loop would accumulate hundreds.
+                q.cache.release_caches()
                 spark.catalog.clearCache()
             timings[name] = round(best, 4)
             cold[name] = round(first, 4)
