@@ -1,0 +1,95 @@
+"""Shared measurement harness for same-session A/B comparisons.
+
+Round 6 caught two builder measurement errors before they shipped as
+claims (BENCH.md "round-6 addendum" / "two ugliest constants"):
+
+1. **Sequential-block order bias** — timing all N runs of plan A, then
+   all N runs of plan B, hands whichever side runs SECOND a warm page
+   cache and JIT'd codegen; on this VM that manufactured a reproducible
+   ~20% "win" for a rollup rewrite that vanished under interleaving.
+2. **Unequal-parallelism comparisons** — timing a `coalesce(1)`-fused
+   plan against a 32-core plan (the retracted quantize "2.5x" claim).
+
+This module makes rule 1 impossible to regress on: every experiment
+script's A/B goes through :func:`interleaved_ab`, which interleaves the
+candidates within each round AND alternates their order between rounds,
+so drift events (GC, page-cache churn) spread over all sides and no
+side systematically inherits the warm second slot. Rule 2 stays a
+review-time rule — a harness cannot see inside the plans it times — but
+the docstring contract here is the place it is written down.
+
+Timing action is the ``noop`` datasource write (full execution, no
+collect/driver transfer), the same action bench.py bills.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame
+
+
+def _noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def interleaved_ab(
+    frames: Mapping[str, DataFrame | Callable[[], DataFrame]],
+    rounds: int = 5,
+    warmup: int = 1,
+    action: Callable[[DataFrame], None] = _noop,
+) -> dict[str, dict[str, float]]:
+    """Time candidate plans fairly in one session.
+
+    ``frames`` maps a label to a DataFrame (the prepared-statement
+    model: built once, executed per run) or to a zero-arg callable
+    (rebuilt per run — required when the plan does eager work like
+    localCheckpoint that must be billed inside the timing, mirroring
+    bench.py's ``_plan_has_eager_rdd`` rule).
+
+    Protocol (the one that caught the round-6 rollup artifact):
+
+    - ``warmup`` untimed executions of EVERY candidate first, so
+      one-time Janino codegen / scan listing is paid outside the
+      timings for all sides equally;
+    - then ``rounds`` timed rounds; within each round every candidate
+      runs once (interleaved), and the candidate order ROTATES by one
+      position each round (order-alternated), so across rounds each
+      candidate occupies each slot equally often.
+
+    Returns ``{label: {"best": s, "median": s, "runs": [s, ...]}}``.
+    Compare ``best`` values (the same best-of estimator bench.py and
+    the DuckDB comparator use); ``runs`` keeps the raw draws so a
+    suspicious result can be re-adjudicated without re-running.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    items: list[tuple[str, Callable[[], DataFrame]]] = []
+    for label, obj in frames.items():
+        thunk = obj if callable(obj) else (lambda df=obj: df)
+        items.append((label, thunk))
+    for _ in range(warmup):
+        for _label, thunk in items:
+            action(thunk())
+    samples: dict[str, list[float]] = {label: [] for label, _ in items}
+    n = len(items)
+    for r in range(rounds):
+        # rotate the start position: over `rounds` rounds each candidate
+        # sits in the (warmest) last slot equally often
+        order = items[r % n :] + items[: r % n]
+        for label, thunk in order:
+            t0 = time.perf_counter()
+            action(thunk())
+            samples[label].append(time.perf_counter() - t0)
+    out: dict[str, dict[str, float]] = {}
+    for label, runs in samples.items():
+        s = sorted(runs)
+        mid = len(s) // 2
+        median = s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+        out[label] = {
+            "best": round(min(s), 4),
+            "median": round(median, 4),
+            "runs": [round(x, 4) for x in runs],
+        }
+    return out

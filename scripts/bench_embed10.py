@@ -101,6 +101,7 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
     from aind_protein_data_transformation_spark.operators.similarity import (
         assign_buckets,
         assign_buckets_gemm,
@@ -126,8 +127,18 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
             # warm the scan
             emb.write.format("noop").mode("overwrite").save()
             res = {"rows": n, "centroids": cents.count()}
-            res["assign_fold_s"] = _noop_time(assign_buckets(corpus, cents))
-            res["assign_gemm_s"] = _noop_time(assign_buckets_gemm(corpus, cents))
+            # A/B pairs go through the shared interleaved order-alternated
+            # harness (measure.interleaved_ab) — sequential-block timing
+            # is the bias that manufactured round 6's retracted claims.
+            assign = interleaved_ab(
+                {
+                    "fold": assign_buckets(corpus, cents),
+                    "gemm": assign_buckets_gemm(corpus, cents),
+                },
+                rounds=3,
+            )
+            res["assign_fold_s"] = assign["fold"]["best"]
+            res["assign_gemm_s"] = assign["gemm"]["best"]
             q = emb.filter(F.col("vec_id") < 5).select(
                 F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
             )
@@ -145,8 +156,15 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
                 quantize_hof_frame,
             )
 
-            res["quantize_hof_s"] = _noop_time(quantize_hof_frame(emb))
-            res["quantize_batch_s"] = _noop_time(quantize_int8_batch(emb))
+            quant = interleaved_ab(
+                {
+                    "hof": quantize_hof_frame(emb),
+                    "batch": quantize_int8_batch(emb),
+                },
+                rounds=3,
+            )
+            res["quantize_hof_s"] = quant["hof"]["best"]
+            res["quantize_batch_s"] = quant["batch"]["best"]
             out[tag] = res
             spark.catalog.clearCache()
     finally:

@@ -36,11 +36,11 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
 from aind_protein_data_transformation_spark.catalog import ensure_views  # noqa: E402
+from aind_protein_data_transformation_spark.measure import interleaved_ab  # noqa: E402
 from aind_protein_data_transformation_spark.queries.relational import (  # noqa: E402
     q_outer_join_order_fill,
     q_rollup_region_nation_revenue,
@@ -133,26 +133,16 @@ def main(argv):
             base = base_fn(spark, sf_dir)
             var = var_fn(spark, sf_dir)
             assert _rows(base) == _rows(var), f"{name}: variant diverges"
-            # interleave AND alternate order per round: interleaving
-            # spreads drift events (GC, page-cache churn) over both
-            # sides; alternation stops the second slot's systematic
-            # warm-cache/JIT advantage (the bias that manufactured the
-            # retracted rollup "win") from always favoring one side
-            bb = vb = float("inf")
-            for r in range(rounds):
-                order = [(True, base), (False, var)]
-                if r % 2:
-                    order.reverse()
-                for is_base, df in order:
-                    t0 = time.perf_counter()
-                    df.write.format("noop").mode("overwrite").save()
-                    dt = time.perf_counter() - t0
-                    if is_base:
-                        bb = min(bb, dt)
-                    else:
-                        vb = min(vb, dt)
-            out[f"{name}_base_s"] = round(bb, 4)
-            out[f"{name}_variant_s"] = round(vb, 4)
+            # interleaved + order-alternated via the shared harness
+            # (measure.interleaved_ab) — the protocol that exposed the
+            # sequential-block warm-cache bias behind the retracted
+            # rollup "win"; no experiment script hand-rolls this loop
+            # anymore.
+            res = interleaved_ab(
+                {"base": base, "variant": var}, rounds=rounds, warmup=0
+            )
+            out[f"{name}_base_s"] = res["base"]["best"]
+            out[f"{name}_variant_s"] = res["variant"]["best"]
             spark.catalog.clearCache()
         print(json.dumps(out), flush=True)
     finally:

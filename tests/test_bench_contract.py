@@ -117,3 +117,44 @@ def test_sidecar_routing_protects_headline_record(monkeypatch):
     # env override wins
     monkeypatch.setenv("SPARK_GRAFT_DETAIL_PATH", "/tmp/x.json")
     assert bench._sidecar_path(DEFAULT_SF_DIR, True, 20) == "/tmp/x.json"
+
+
+def test_interleaved_ab_protocol_rotates_and_interleaves():
+    """The shared A/B harness (measure.interleaved_ab) enforces the
+    round-6 measurement rule: candidates interleave within each round
+    and the order rotates across rounds, so no side systematically
+    occupies the warm last slot. Verified with a recording action — no
+    Spark session needed."""
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    ran: list[str] = []
+
+    def fake_action(tag):
+        ran.append(tag)
+
+    frames = {k: (lambda k=k: k) for k in ("a", "b", "c")}
+    res = interleaved_ab(frames, rounds=3, warmup=1, action=fake_action)
+    # warmup: every candidate once, untimed, before any timed round
+    assert ran[:3] == ["a", "b", "c"]
+    timed = ran[3:]
+    # each timed round runs every candidate once, start position rotating
+    assert timed == ["a", "b", "c", "b", "c", "a", "c", "a", "b"]
+    for k in frames:
+        assert len(res[k]["runs"]) == 3
+        assert res[k]["best"] == min(res[k]["runs"])
+        assert res[k]["best"] <= res[k]["median"]
+
+
+def test_interleaved_ab_rebuilds_callables_per_run():
+    """A callable candidate is rebuilt every execution (the eager-plan
+    billing rule bench.py applies via _plan_has_eager_rdd)."""
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    builds = {"x": 0}
+
+    def make():
+        builds["x"] += 1
+        return "x"
+
+    interleaved_ab({"x": make}, rounds=2, warmup=1, action=lambda _t: None)
+    assert builds["x"] == 3  # 1 warmup + 2 timed
