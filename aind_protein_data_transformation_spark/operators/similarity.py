@@ -207,6 +207,117 @@ def assign_buckets_gemm(
     return src.mapInPandas(_assign, schema=out_schema)
 
 
+def quantize_int8_hof(
+    embeddings: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization as a pure JVM
+    higher-order projection — scale = max|x|/127, code =
+    floor(x/scale + 0.5) clipped to ±127 — returning
+    (vec_id, qscale, n_saturated, recon_mse). No UDF, no shuffle;
+    stays inside whole-stage codegen, which makes it the measured
+    WINNER at narrow dims (see :func:`quantize_int8_auto`). The
+    reconstruction-MSE fold accumulates left-to-right (SQL
+    ``aggregate`` order) — the order :func:`quantize_int8_batch`
+    replays for bit-identity. The registered oracle query
+    (queries/llm_similarity.py) wraps this same projection."""
+    x = F.col(vec_col)
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    qscale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    with_scale = embeddings.select(vec_id, vec_col, qscale.alias("qscale"))
+    codes = F.transform(
+        F.col(vec_col),
+        lambda v: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(v.cast("double") / F.col("qscale") + F.lit(0.5)).cast(
+                    "double"
+                ),
+            ),
+        ),
+    )
+    with_codes = with_scale.select(
+        vec_id, vec_col, "qscale", codes.alias("codes")
+    )
+    sq_err = F.zip_with(
+        F.col(vec_col),
+        F.col("codes"),
+        lambda v, q: (v.cast("double") - q * F.col("qscale"))
+        * (v.cast("double") - q * F.col("qscale")),
+    )
+    return with_codes.select(
+        vec_id,
+        "qscale",
+        F.size(F.filter(F.col("codes"), lambda q: F.abs(q) == 127.0))
+        .cast("long")
+        .alias("n_saturated"),
+        (
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, v: acc + v)
+            / F.size(F.col(vec_col))
+        ).alias("recon_mse"),
+    )
+
+
+#: Measured HOF-vs-Arrow-kernel crossover (BENCH.md round-6 addendum +
+#: round-7 dim sweep, scripts/exp_dim_dispatch.py): the JVM
+#: higher-order projection wins at narrow dims (whole-stage codegen, no
+#: Arrow transfer), the batch kernel wins at wide ones (the interpreted
+#: fold's n*dim cost crosses the near-flat Arrow cost). The round-7
+#: sweep (20k vectors, 32-part layout, interleaved protocol) measured
+#: HOF winning through dim-512 (0.32s vs 0.40s) and the kernel winning
+#: from dim-576 up (parity there, 1.45x at dim-1024); 544 splits the
+#: measured bracket. The crossover is layout- and cluster-dependent
+#: (round 6's 10-file layout measured a much larger kernel win at
+#: dim-1024) — callers who measured their own should override
+#: ``kernel_min_dim``; the dispatch errs toward the HOF, which is never
+#: catastrophically wrong, while the kernel pays Arrow transfer for
+#: nothing at narrow dims.
+QUANTIZE_KERNEL_MIN_DIM = 544
+
+
+def quantize_dispatch_dim(
+    dim: int | None, kernel_min_dim: int = QUANTIZE_KERNEL_MIN_DIM
+) -> str:
+    """Pure dispatch rule: ``"hof"`` below the crossover (or when the
+    dimension is unknown — the HOF is never catastrophically wrong,
+    while the kernel pays Arrow transfer for nothing at narrow dims),
+    ``"kernel"`` at/above it."""
+    if dim is None or dim < kernel_min_dim:
+        return "hof"
+    return "kernel"
+
+
+def quantize_int8_auto(
+    embeddings: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    kernel_min_dim: int = QUANTIZE_KERNEL_MIN_DIM,
+) -> DataFrame:
+    """Dim-aware int8 quantization: route to the JVM HOF projection or
+    the Arrow-batch kernel by embedding dimension, so a production
+    caller gets the measured winner without reading BENCH.md
+    (VERDICT r6 #2). Both paths are BIT-IDENTICAL (exact-agreement
+    tests across the dispatch boundary in tests/test_operators.py), so
+    the dispatch can never change results — only cost.
+
+    ``dim``: pass it when known (schema/contract) to skip the probe;
+    otherwise ONE first row is read (bounded driver-side metadata, the
+    same budget assign_buckets_gemm's codebook collect spends — the
+    embeddings-table contract is fixed-dimension, so any row's size is
+    THE dimension). An empty frame dispatches to the HOF form, whose
+    empty result is free. ``kernel_min_dim`` overrides the measured
+    crossover for callers whose cluster measured a different one."""
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = first[0]["d"] if first else None
+    if quantize_dispatch_dim(dim, kernel_min_dim) == "hof":
+        return quantize_int8_hof(embeddings, vec_id, vec_col)
+    return quantize_int8_batch(embeddings, vec_id, vec_col)
+
+
 def quantize_int8_batch(
     embeddings: DataFrame,
     vec_id: str = "vec_id",

@@ -333,43 +333,13 @@ def quantize_hof_frame(emb: DataFrame) -> DataFrame:
     would be wrong in a subtle way: sorted_small's coalesce(1) fuses
     into the shuffle-free projection and collapses the WHOLE scan to
     one task, so the comparison would measure one core against the
-    batch kernel's 32."""
-    x = F.col("embedding")
-    amax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
-    qscale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
-    with_scale = emb.select("vec_id", "embedding", qscale.alias("qscale"))
-    codes = F.transform(
-        F.col("embedding"),
-        lambda v: F.greatest(
-            F.lit(-127.0),
-            F.least(
-                F.lit(127.0),
-                F.floor(v.cast("double") / F.col("qscale") + F.lit(0.5)).cast(
-                    "double"
-                ),
-            ),
-        ),
-    )
-    with_codes = with_scale.select(
-        "vec_id", "embedding", "qscale", codes.alias("codes")
-    )
-    sq_err = F.zip_with(
-        F.col("embedding"),
-        F.col("codes"),
-        lambda v, q: (v.cast("double") - q * F.col("qscale"))
-        * (v.cast("double") - q * F.col("qscale")),
-    )
-    return with_codes.select(
-        "vec_id",
-        "qscale",
-        F.size(F.filter(F.col("codes"), lambda q: F.abs(q) == 127.0))
-        .cast("long")
-        .alias("n_saturated"),
-        (
-            F.aggregate(sq_err, F.lit(0.0), lambda acc, v: acc + v)
-            / F.size(F.col("embedding"))
-        ).alias("recon_mse"),
-    )
+    batch kernel's 32. The projection itself now lives in
+    operators/similarity.py (quantize_int8_hof) so the dim-aware
+    dispatcher can route to it; this wrapper pins the embeddings-table
+    column names the oracle replays."""
+    from ..operators.similarity import quantize_int8_hof
+
+    return quantize_int8_hof(emb, vec_id="vec_id", vec_col="embedding")
 
 
 @query(

@@ -490,6 +490,72 @@ def test_quantize_int8_batch_constructed_edges(spark):
     assert batch[2][1] == 4  # constant vector: every code saturates
 
 
+def test_quantize_dispatch_rule():
+    """Pure dispatch rule (VERDICT r6 #2): HOF below the measured
+    crossover (and when the dim is unknown), kernel at/above it,
+    threshold overridable."""
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        QUANTIZE_KERNEL_MIN_DIM,
+        quantize_dispatch_dim,
+    )
+
+    assert quantize_dispatch_dim(64) == "hof"  # measured HOF win
+    assert quantize_dispatch_dim(1024) == "kernel"  # measured 4.7x kernel win
+    assert quantize_dispatch_dim(None) == "hof"
+    assert quantize_dispatch_dim(QUANTIZE_KERNEL_MIN_DIM - 1) == "hof"
+    assert quantize_dispatch_dim(QUANTIZE_KERNEL_MIN_DIM) == "kernel"
+    assert quantize_dispatch_dim(64, kernel_min_dim=32) == "kernel"
+
+
+def test_quantize_auto_dispatch_and_agreement_across_boundary(spark):
+    """quantize_int8_auto picks the plan by embedding dim — pure JVM
+    projection below the crossover, Arrow kernel above — and the result
+    is bit-identical on BOTH sides of the boundary (so the dispatch can
+    only ever change cost, never values)."""
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        QUANTIZE_KERNEL_MIN_DIM,
+        quantize_int8_auto,
+        quantize_int8_batch,
+        quantize_int8_hof,
+    )
+
+    def synth(dim):
+        return spark.range(30).selectExpr(
+            "id AS vec_id",
+            f"transform(sequence(1, {dim}), "
+            "i -> cast(sin(id * i + 1) AS float)) AS embedding",
+        )
+
+    def rows(df):
+        return {
+            r.vec_id: (r.qscale, r.n_saturated, r.recon_mse)
+            for r in df.collect()
+        }
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    narrow = synth(8)
+    wide = synth(QUANTIZE_KERNEL_MIN_DIM)
+    auto_narrow = quantize_int8_auto(narrow)
+    auto_wide = quantize_int8_auto(wide)
+    # plan selection: below -> no Arrow stage; at/above -> MapInPandas
+    assert "MapInPandas" not in plan(auto_narrow)
+    assert "MapInPandas" in plan(auto_wide)
+    # explicit dim skips the probe and must dispatch identically
+    assert "MapInPandas" not in plan(quantize_int8_auto(narrow, dim=8))
+    assert "MapInPandas" in plan(
+        quantize_int8_auto(wide, dim=QUANTIZE_KERNEL_MIN_DIM)
+    )
+    # bit-identical agreement across the boundary, both directions
+    assert rows(auto_narrow) == rows(quantize_int8_batch(narrow))
+    assert rows(auto_wide) == rows(quantize_int8_hof(wide))
+    # empty frame: probe finds no row -> HOF path, empty result, no error
+    empty = quantize_int8_auto(narrow.limit(0))
+    assert empty.count() == 0
+    assert "MapInPandas" not in plan(empty)
+
+
 def test_shared_shingle_pairs_df_cap(spark):
     """The max_df skew cap on a corpus with the structure it targets:
     every document shares a boilerplate header (corpus-hot shingles),
