@@ -186,7 +186,27 @@ def band_rows(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return signatures.selectExpr(f"`{id_col}`", f"inline(array({structs}))")
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def band_bucket_sizes(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Occupancy of every LSH band bucket: (band, k0..k{B-1}, n_docs),
+    descending. The observability companion to
+    ``lsh_candidate_pairs(max_bucket=...)``: a caller sizing the cap
+    (or auditing what a cap dropped) aggregates this instead of
+    re-deriving the band relation. One aggregate on the same
+    (band, k0..) key the pair self-join shuffles on."""
+    key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
+    return (
+        band_rows(signatures, id_col)
+        .groupBy(*key_cols)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), *key_cols)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
     """LSH banding -> distinct candidate pairs (doc_a < doc_b).
 
     Band key is the band's signature values as a numeric tuple —
@@ -194,8 +214,36 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     strings) keep the codegen small and the exchange compact; the
     self-join shuffles on (band, k0..k3), bucket-local, so cost tracks
     collision count, not corpus^2.
+
+    ``max_bucket`` is the per-bucket twin of ``shared_shingle_pairs``'s
+    ``max_df`` skew cap (VERDICT r6 #3): a bucket holding m documents
+    emits m(m-1)/2 join rows, so ONE boilerplate-heavy bucket (the same
+    header minhashed onto millions of docs) goes quadratic while the
+    rest of the corpus is fine. With the cap, buckets larger than
+    ``max_bucket`` are dropped BEFORE the self-join — one aggregate +
+    left-semi join on the SAME (band, k0..) key the pair join shuffles
+    on, so the cap adds no extra partitioning. A pair survives iff it
+    shares at least one sub-cap band bucket. Honest recall statement
+    (same shape as max_df's): near-duplicate pairs almost always
+    collide in several bands, and a bucket only exceeds a sane cap when
+    corpus-hot content inflates it, so normal-corpus recall is
+    unchanged (pinned by test) — but a clone CLUSTER larger than the
+    cap (m verbatim copies, every band bucket of size m) loses ALL its
+    candidates. Run exact dedup first (verbatim clusters collapse
+    there) and set the cap above the expected true-duplicate
+    multiplicity. Audit what a cap would drop with
+    :func:`band_bucket_sizes`.
     """
     banded = band_rows(signatures, id_col)
+    key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
+    if max_bucket is not None:
+        keep = (
+            banded.groupBy(*key_cols)
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select(*key_cols)
+        )
+        banded = banded.join(keep, key_cols, "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     key_eq = " AND ".join(

@@ -591,13 +591,71 @@ def test_shared_shingle_pairs_df_cap(spark):
     assert capped <= full
 
 
+def test_lsh_candidate_pairs_bucket_cap(spark, sf_dir):
+    """The per-band-bucket skew cap (VERDICT r6 #3), pathological case:
+    a clone cluster far larger than the cap puts its full size in EVERY
+    band bucket — uncapped that one cluster contributes m(m-1)/2
+    candidates; capped, its oversized buckets drop and the candidate
+    set is bounded, while a small (sub-cap) near-dup pair elsewhere in
+    the corpus keeps its candidates. And the normal-corpus recall
+    assertion: on the real documents table a sane cap changes nothing."""
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        band_bucket_sizes,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_set,
+    )
+    from aind_protein_data_transformation_spark.queries.llm_dedup import (
+        _corpus_near,
+    )
+
+    m = 30  # clone cluster size, >> cap
+    boiler = " ".join(f"boiler{j} common{j} filler{j}" for j in range(8))
+    docs = [(i, boiler) for i in range(m)]
+    pair_body = " ".join(f"unique{j} content{j} words{j}" for j in range(10))
+    docs += [(500, pair_body), (501, pair_body)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = minhash_signatures(shingle_set(df, k=3)).localCheckpoint()
+
+    full = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sig).collect()}
+    assert len(full) == m * (m - 1) // 2 + 1  # quadratic cluster + the pair
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sig, max_bucket=10).collect()
+    }
+    assert capped == {(500, 501)}  # oversized buckets dropped, pair kept
+    # the observability companion surfaces exactly what the cap targets
+    top = band_bucket_sizes(sig).first()
+    assert top.n_docs == m
+
+    # normal corpus: a generous cap must not change the candidate set
+    sigs = minhash_signatures(
+        shingle_set(_corpus_near(spark, sf_dir), k=3)
+    ).localCheckpoint()
+    base = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()}
+    with_cap = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, max_bucket=50).collect()
+    }
+    assert base and with_cap == base
+
+
 def test_shingle_set_fast_hash_equivalent_shape(spark, sf_dir):
     """The xxhash64 production path must carry the same information as
     the portable-hash path: identical per-document distinct-shingle
     counts, and identical pairwise shared-shingle counts (and therefore
     identical exact Jaccard) for the LSH-candidate pairs — only the
     hash VALUES differ (so it is not oracle-replayable and stays out of
-    the registered queries)."""
+    the registered queries).
+
+    Exactness caveat (ADVICE r6): the fast path applies distinct()
+    AFTER the xxhash64 modulus, so a within-document hash collision
+    (~d^2/2^32 per doc) would merge two distinct shingles and shrink
+    one count by 1. The equality assertions below are therefore
+    CORPUS-PINNED — exact on this fixture corpus (verified), not a
+    mathematical identity; on an unlucky corpus the honest tolerance
+    is one count per ~10^5 docs at these document sizes. Behavior is
+    acceptable and documented in shingle_set's docstring."""
     from pyspark.sql import functions as F
 
     from aind_protein_data_transformation_spark.operators.dedup import (
