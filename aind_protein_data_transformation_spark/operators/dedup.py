@@ -530,15 +530,25 @@ def append_minhash_shard(
     append finds exactly what an index rebuilt from scratch over
     corpus+shard finds.
 
-    NOT atomic (two independent table appends — plain bucketed parquet
-    tables have no cross-table transaction; an ACID table format would
-    supply one). Both tables are validated BEFORE the first write so a
-    malformed index fails cleanly up front; a crash BETWEEN the two
-    appends leaves band rows without signatures — the verify join then
-    silently drops those candidates, so after any interrupted append,
-    re-run it (idempotent only at the pair level: re-appending
-    duplicates band/sig rows, which widens candidate sets but cannot
-    change the verified pair results) or rebuild the shard's rows."""
+    NOT transactional (two independent table appends — plain bucketed
+    parquet tables have no cross-table transaction; an ACID table
+    format would supply one), but ORDERED so every partial state is
+    BENIGN (VERDICT r6 #7): signatures append FIRST, band rows second.
+    A crash between the appends leaves orphan signature rows — which no
+    band row references, so probes return exactly what they returned
+    before the append (the shard simply isn't indexed yet); re-running
+    the append completes it. The dangerous partial state — band rows
+    WITHOUT signatures, whose candidates the verify join silently
+    drops — can no longer be produced by this function; it is still
+    DETECTABLE (a pre-fix index, external tampering) via
+    :func:`verify_minhash_index`, and healable by re-running the
+    append for the affected shard (the arriving signature rows make the
+    orphan band rows valid again). Re-appending a shard duplicates its
+    band/sig rows; the candidate AND output-pair sets are unchanged
+    (incremental_minhash_pairs deduplicates per (new_id, index_id)), so
+    re-running after any crash is idempotent at the result level.
+    Both tables are validated BEFORE the first write so a malformed
+    index fails cleanly up front."""
     n_buckets = _table_num_buckets(spark, f"{name}_bands")
     sig_buckets = _table_num_buckets(spark, f"{name}_sigs")
     # one materialization feeds both writes (localCheckpoint, not
@@ -549,6 +559,13 @@ def append_minhash_shard(
         with_hashes=True,
     ).localCheckpoint()
     key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
+    # sigs FIRST: see the ordering contract in the docstring
+    (
+        sig.select(id_col, "n", "hs")
+        .write.mode("append")
+        .bucketBy(sig_buckets, id_col)
+        .saveAsTable(f"{name}_sigs")
+    )
     (
         band_rows(sig, id_col)
         .write.mode("append")
@@ -556,12 +573,46 @@ def append_minhash_shard(
         .sortBy(*key_cols)
         .saveAsTable(f"{name}_bands")
     )
-    (
-        sig.select(id_col, "n", "hs")
-        .write.mode("append")
-        .bucketBy(sig_buckets, id_col)
-        .saveAsTable(f"{name}_sigs")
+
+
+def verify_minhash_index(
+    spark, name: str, id_col: str = "doc_id"
+) -> dict[str, int]:
+    """Consistency check for a persisted minhash index: every document
+    with band rows must have a signature row, else probes SILENTLY drop
+    that document's candidates at the verify join (the failure mode an
+    interrupted pre-ordering append could produce). Raises ValueError
+    naming the count and the recovery rule if any band doc lacks a
+    signature; returns ``{"banded_docs", "signed_docs",
+    "orphan_sig_docs"}`` otherwise. Orphan SIGNATURES (sig rows with no
+    band rows — the benign partial state the sigs-first ordering can
+    leave) do not raise: they affect no probe; the count is returned so
+    an operator can decide to finish the interrupted append. Cost: two
+    distinct-aggregates + one anti-join over the index tables — an
+    offline audit, not a per-probe tax."""
+    band_ids = (
+        spark.table(f"{name}_bands").select(id_col).distinct()
     )
+    sig_ids = spark.table(f"{name}_sigs").select(id_col).distinct()
+    n_band = band_ids.count()
+    n_sig = sig_ids.count()
+    n_unsigned = band_ids.join(sig_ids, id_col, "left_anti").count()
+    if n_unsigned:
+        raise ValueError(
+            f"minhash index {name!r} is inconsistent: {n_unsigned} of "
+            f"{n_band} banded documents have no signature row — probes "
+            f"are silently dropping their candidates. Recover by "
+            f"re-running append_minhash_shard for the affected shard "
+            f"(its signature rows make the orphan band rows valid; "
+            f"duplicate rows are deduplicated at probe time) or "
+            f"rebuilding the index with write_minhash_index."
+        )
+    n_orphan_sigs = sig_ids.join(band_ids, id_col, "left_anti").count()
+    return {
+        "banded_docs": n_band,
+        "signed_docs": n_sig,
+        "orphan_sig_docs": n_orphan_sigs,
+    }
 
 
 def incremental_minhash_pairs(
@@ -585,6 +636,14 @@ def incremental_minhash_pairs(
     re-signed. Batch-equivalence (the pair set equals what the full
     batch pipeline finds between the same shard and corpus) is pinned
     by tests/test_incremental.py.
+
+    Output is one ROW per pair even against an index holding duplicate
+    rows (a re-run append after a crash — ADVICE r6): the candidate
+    set is distinct but the signature join was not, so duplicated sig
+    rows used to multiply output rows. Every duplicate carries the
+    identical signature payload, hence the identical jaccard, so the
+    final per-(new_id, index_id) dropDuplicates is pure row dedup —
+    it can never select among differing values.
     """
     # localCheckpoint, not persist(): the shard signatures feed two
     # branches (band probe + verify join), but a persist() here would
@@ -635,5 +694,6 @@ def incremental_minhash_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["new_id", "index_id"])
     )
     return verified

@@ -143,6 +143,131 @@ def test_append_then_probe_equals_rebuilt_index(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def _partial_append(spark, docs, name, *, sigs=False, bands=False):
+    """Replay append_minhash_shard's writes selectively — the crash
+    simulator: sigs-only = a crash after the first (new-order) write;
+    bands-only = the dangerous state the pre-ordering code could leave."""
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        LSH_BAND_SIZE,
+        _table_num_buckets,
+        band_rows,
+    )
+
+    sig = minhash_signatures(
+        shingle_set(docs), id_col="doc_id", with_hashes=True
+    ).localCheckpoint()
+    if sigs:
+        (
+            sig.select("doc_id", "n", "hs")
+            .write.mode("append")
+            .bucketBy(_table_num_buckets(spark, f"{name}_sigs"), "doc_id")
+            .saveAsTable(f"{name}_sigs")
+        )
+    if bands:
+        key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
+        (
+            band_rows(sig, "doc_id")
+            .write.mode("append")
+            .bucketBy(_table_num_buckets(spark, f"{name}_bands"), *key_cols)
+            .sortBy(*key_cols)
+            .saveAsTable(f"{name}_bands")
+        )
+
+
+def test_interrupted_append_is_benign_and_detectable(spark, sf_dir, tmp_path):
+    """The append-ordering contract (VERDICT r6 #7): sigs append before
+    bands, so a crash between the two leaves ONLY orphan signatures —
+    probes return exactly the pre-append pairs (nothing silently
+    dropped), verify_minhash_index reports the orphans without raising,
+    and re-running the append completes the index. The pre-ordering
+    danger state (bands without sigs) makes verify_minhash_index raise
+    with the recovery rule."""
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        verify_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    part = F.pmod(F.hash("doc_id"), F.lit(3))
+    a, b, c = (docs.filter(part == i) for i in range(3))
+
+    def probe(name):
+        return {
+            (r.new_id, r.index_id): r.jaccard
+            for r in incremental_minhash_pairs(
+                spark, c, name, threshold=THRESHOLD
+            ).collect()
+        }
+
+    try:
+        write_minhash_index(a, "t_crash", path=str(tmp_path / "crash"))
+        before = probe("t_crash")
+        # crash after the first (sigs) write: benign — same probe result
+        _partial_append(spark, b, "t_crash", sigs=True)
+        assert probe("t_crash") == before
+        health = verify_minhash_index(spark, "t_crash")
+        assert health["orphan_sig_docs"] == b.count()
+        # re-running the (full) append from this state completes the
+        # index: equal to an index built over a+b from scratch — at the
+        # PAIR level (the duplicate sig rows change no result rows)
+        append_minhash_shard(spark, b, "t_crash")
+        write_minhash_index(
+            a.unionByName(b), "t_crash_full", path=str(tmp_path / "full")
+        )
+        assert probe("t_crash") == probe("t_crash_full")
+        assert verify_minhash_index(spark, "t_crash")["orphan_sig_docs"] == 0
+
+        # the DANGEROUS state (bands without sigs, producible only by
+        # pre-ordering code or tampering) is detected, not silent
+        write_minhash_index(a, "t_crash2", path=str(tmp_path / "crash2"))
+        _partial_append(spark, b, "t_crash2", bands=True)
+        with pytest.raises(ValueError, match="no signature row"):
+            verify_minhash_index(spark, "t_crash2")
+        # ...and healing it per the error's recovery rule works
+        append_minhash_shard(spark, b, "t_crash2")
+        verify_minhash_index(spark, "t_crash2")
+        assert probe("t_crash2") == probe("t_crash_full")
+    finally:
+        for t in ("t_crash_bands", "t_crash_sigs", "t_crash2_bands",
+                  "t_crash2_sigs", "t_crash_full_bands", "t_crash_full_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_reappend_emits_unique_rows(spark, sf_dir, tmp_path):
+    """ADVICE r6: duplicated index rows from a re-run append used to
+    multiply probe OUTPUT rows through the signature join (same pair
+    SET, inflated counts). The probe now deduplicates per
+    (new_id, index_id): after appending the same shard twice, every
+    output row is unique and the pair set is unchanged."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    part = F.pmod(F.hash("doc_id"), F.lit(3))
+    a, b, c = (docs.filter(part == i) for i in range(3))
+    try:
+        write_minhash_index(a, "t_dup", path=str(tmp_path / "dup"))
+        append_minhash_shard(spark, b, "t_dup")
+        once = incremental_minhash_pairs(
+            spark, c, "t_dup", threshold=THRESHOLD
+        ).collect()
+        append_minhash_shard(spark, b, "t_dup")  # the re-run
+        twice = incremental_minhash_pairs(
+            spark, c, "t_dup", threshold=THRESHOLD
+        ).collect()
+        assert len(twice) == len(once)  # no row multiplication
+        assert {(r.new_id, r.index_id, r.jaccard) for r in twice} == {
+            (r.new_id, r.index_id, r.jaccard) for r in once
+        }
+        n_rows = len(twice)
+        n_pairs = len({(r.new_id, r.index_id) for r in twice})
+        assert n_rows == n_pairs
+        assert n_rows > 0, "degenerate: no cross pairs at this sf"
+    finally:
+        for t in ("t_dup_bands", "t_dup_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_probe_leaves_cache_manager_empty(spark, split_docs, tmp_path):
     corpus, shard = split_docs
     name = "t_incr_cache"
