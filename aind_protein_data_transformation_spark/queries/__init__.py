@@ -42,7 +42,11 @@ DRIVER_WINDOW = [
     # plans semi and anti through the same LeftSemi/LeftAnti hash-join
     # machinery, and the family keeps q22/q16 twins in the local suite)
     "q_semi_join_customers_with_orders",
-    "q_outer_join_order_fill",
+    # round-7 rotation (VERDICT round 6 #6): q_outer_join_order_fill
+    # rotates to the tail after six consecutive driver greens (r1-r6);
+    # its family keeps q3_shipping_priority in-window plus the local
+    # outer-join twins. In: pyramid_channel_stats (§2A A12) — the one
+    # oracle-backed array-layer row never driver-confirmed in any round.
     "q_theta_join_price_band",
     # set ops / grouping
     "q_set_ops_customer_segments",
@@ -115,6 +119,7 @@ DRIVER_WINDOW = [
     # §2A array layer
     "pyramid_windowed_mean",
     "pyramid_cascade_l2",
+    "pyramid_channel_stats",
     "stack_deal_round_robin",
     "stack_regex_rename",
     "ome_channel_windows",

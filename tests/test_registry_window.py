@@ -101,7 +101,10 @@ def test_tail_components_are_covered_in_window():
         "q4_order_priority": "q_semi_join_customers_with_orders",
         "q6_forecast_revenue": "q1_pricing_summary",
         "q9_product_type_profit": "q3_shipping_priority",
-        "q13_order_count_distribution": "q_outer_join_order_fill",
+        # q13 is a left-outer join + grouped count; with
+        # q_outer_join_order_fill rotated to the tail round 7, the
+        # in-window outer/equi-join representative is q3
+        "q13_order_count_distribution": "q3_shipping_priority",
         "q18_large_volume_customers": "q3_shipping_priority",
         # scalar/exists subqueries are Catalyst-rewritten into joins
         # (scalar -> single-row broadcast NLJ, exists -> LeftSemi); with
@@ -191,7 +194,12 @@ def test_tail_components_are_covered_in_window():
         # cross-corpus join (decontaminate) and repetition stats hold
         # window slots
         "pii_redact_scan": "q_string_functions",
-        "pyramid_channel_stats": "pyramid_windowed_mean",
+        # rotated to the tail round 7 after six green driver rounds
+        # (r1–r6), freeing the slot for pyramid_channel_stats' first
+        # driver row (§2A A12): the left-outer join + COALESCE fill
+        # machinery keeps q3 (equi-join star) in window plus the local
+        # outer-join twins; the ledger holds its six greens
+        "q_outer_join_order_fill": "q3_shipping_priority",
         "streaming_dedup": "streaming_dedup_watermark",
         # stream-stream interval join: the watermark/event-time-state
         # family is represented in-window by tumbling + stateful_totals
@@ -245,34 +253,34 @@ def test_tail_components_are_covered_in_window():
 # (i.e. is scheduled for its first driver row this round).
 DRIVER_GREEN_ROUNDS = {
     "asof_inner_error_context": (3,),
-    "asof_purchase_last_click": (3, 4, 5),
-    "decontaminate_ngram_overlap": (2, 3, 4, 5),
-    "dedup_cluster_components": (4, 5),
-    "dedup_embedding_cosine": (1, 2, 3, 4, 5),
-    "dedup_exact": (1, 2, 3, 4, 5),
-    "dedup_minhash_lsh": (1, 2, 3, 4, 5),
-    "dedup_ngram_jaccard": (1, 2, 3, 4, 5),
-    "dedup_simhash": (1, 2, 3, 4, 5),
+    "asof_purchase_last_click": (3, 4, 5, 6,),
+    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6,),
+    "dedup_cluster_components": (4, 5, 6,),
+    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6,),
+    "dedup_exact": (1, 2, 3, 4, 5, 6,),
+    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6,),
+    "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6,),
+    "dedup_simhash": (1, 2, 3, 4, 5, 6,),
     "doc_fingerprint_winnow": (1, 2, 3, 4),
-    "grid_block_slices": (2, 3, 4, 5),
-    "multimodal_frame_sample": (2, 3, 4, 5),
+    "grid_block_slices": (2, 3, 4, 5, 6,),
+    "multimodal_frame_sample": (2, 3, 4, 5, 6,),
     "multimodal_payload_stats": (2, 3),
-    "ome_channel_windows": (2, 3, 4, 5),
-    "ome_scale_recurrence": (2, 3, 4, 5),
-    "pipeline_clean_corpus": (1, 2, 3, 4, 5),
-    "pyramid_cascade_l2": (2, 3, 4, 5),
-    "pyramid_windowed_mean": (2, 3, 4, 5),
+    "ome_channel_windows": (2, 3, 4, 5, 6,),
+    "ome_scale_recurrence": (2, 3, 4, 5, 6,),
+    "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6,),
+    "pyramid_cascade_l2": (2, 3, 4, 5, 6,),
+    "pyramid_windowed_mean": (2, 3, 4, 5, 6,),
     "q10_returned_items": (1,),
     "q12_shipmode_priority": (2,),
     "q14_promo_share": (1,),
-    "q1_pricing_summary": (1, 2, 3, 4, 5),
-    "q3_shipping_priority": (1, 2, 3, 4, 5),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6,),
+    "q3_shipping_priority": (1, 2, 3, 4, 5, 6,),
     "q5_local_supplier_volume": (1,),
     "q7_nation_volume": (1,),
     "q8_market_share": (1,),
     "q_anti_join_customers_without_orders": (1, 2, 3),
     "q_approx_aggregates": (2, 3, 4, 5),
-    "q_array_functions": (1, 2, 3, 4, 5),
+    "q_array_functions": (1, 2, 3, 4, 5, 6,),
     "q_conditional_price_bands": (1, 2, 3, 4),
     "q_cube_status_priority": (1,),
     "q_date_functions": (1, 2, 3, 4),
@@ -280,47 +288,49 @@ DRIVER_GREEN_ROUNDS = {
     "q_exists_subquery": (1,),
     "q_explode_tokens": (1,),
     "q_grouping_sets": (1,),
-    "q_json_functions": (2, 3, 4, 5),
-    "q_lead_lag_gaps": (1, 5),
+    "q_json_functions": (2, 3, 4, 5, 6,),
+    "q_lead_lag_gaps": (1, 5, 6,),
     "q_map_functions": (1,),
     "q_math_functions": (1, 2, 3, 4),
     "q_minmax_by": (1,),
     "q_ntile_wealth_deciles": (1,),
-    "q_outer_join_order_fill": (1, 2, 3, 4, 5),
+    "q_outer_join_order_fill": (1, 2, 3, 4, 5, 6,),
     "q_percentiles_exact": (1,),
-    "q_percentiles_rank_select": (4, 5),
-    "q_pivot_status_by_priority": (5,),
+    "q_percentiles_rank_select": (4, 5, 6,),
+    "q_pivot_status_by_priority": (5, 6,),
     "q_rank_variants": (1,),
-    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5),
+    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6,),
     "q_scalar_subquery": (1, 2, 3),
-    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5),
-    "q_sessionize_events": (5,),
-    "q_set_ops_customer_segments": (1, 2, 3, 4, 5),
+    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6,),
+    "q_sessionize_events": (5, 6,),
+    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6,),
     "q_stddev_variance": (1,),
-    "q_string_functions": (1, 2, 3, 4, 5),
-    "q_theta_join_price_band": (1, 2, 3, 4, 5),
+    "q_string_functions": (1, 2, 3, 4, 5, 6,),
+    "q_theta_join_price_band": (1, 2, 3, 4, 5, 6,),
     "q_topk_per_group": (1,),
-    "q_window_interval_range": (5,),
-    "q_window_running_totals": (1, 2, 3, 4, 5),
-    "sample_hash_split": (4, 5),
-    "similarity_cosine_topk": (1, 2, 3, 4, 5),
-    "similarity_ivf_ann": (1, 2, 3, 4, 5),
-    "similarity_kmeans_assign": (2, 3, 4, 5),
-    "sink_parquet_roundtrip": (2, 3, 4, 5),
-    "stack_deal_round_robin": (2, 3, 4, 5),
-    "stack_regex_rename": (2, 3, 4, 5),
-    "streaming_dedup_watermark": (2, 3, 4, 5),
+    "q_window_interval_range": (5, 6,),
+    "q_window_running_totals": (1, 2, 3, 4, 5, 6,),
+    "sample_hash_split": (4, 5, 6,),
+    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6,),
+    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6,),
+    "similarity_kmeans_assign": (2, 3, 4, 5, 6,),
+    "sink_parquet_roundtrip": (2, 3, 4, 5, 6,),
+    "stack_deal_round_robin": (2, 3, 4, 5, 6,),
+    "stack_regex_rename": (2, 3, 4, 5, 6,),
+    "streaming_dedup_watermark": (2, 3, 4, 5, 6,),
     "streaming_foreachbatch_sink": (2, 3, 4, 5),
-    "streaming_late_data_policy": (3, 4, 5),
-    "streaming_session_window": (3, 4, 5),
-    "streaming_sliding_window": (3, 4, 5),
-    "streaming_stateful_totals": (2, 3, 4, 5),
-    "streaming_tumbling_window": (3, 4, 5),
+    "streaming_late_data_policy": (3, 4, 5, 6,),
+    "streaming_session_window": (3, 4, 5, 6,),
+    "streaming_sliding_window": (3, 4, 5, 6,),
+    "streaming_stateful_totals": (2, 3, 4, 5, 6,),
+    "streaming_tumbling_window": (3, 4, 5, 6,),
     "text_lang_id": (1,),
-    "text_quality_stats": (1, 2, 3, 4, 5),
-    "text_repetition_stats": (3, 4, 5),
-    "text_token_count_bpe": (2, 3, 4, 5),
-    "text_unigram_logprob": (4, 5),
+    "text_quality_stats": (1, 2, 3, 4, 5, 6,),
+    "text_repetition_stats": (3, 4, 5, 6,),
+    "text_token_count_bpe": (2, 3, 4, 5, 6,),
+    "text_unigram_logprob": (4, 5, 6,),
+    "q_corr_regr_aggregates": (6,),
+    "q_unpivot_flag_measures": (6,),
 }
 
 # SURVEY.md §2B component families -> the registry queries that exercise
@@ -415,7 +425,7 @@ def test_rotated_out_queries_earned_their_rest():
     covered_by redundancy case). Guards against rotating a query out on
     its first green."""
     window = set(DRIVER_WINDOW)
-    promoted_this_round = {"q_corr_regr_aggregates", "q_unpivot_flag_measures"}
+    promoted_this_round = {"pyramid_channel_stats"}
     fam_of = {}
     for fam, qs in COMPONENT_QUERIES.items():
         for q in qs:
