@@ -16,9 +16,13 @@ Two paths:
   replay the whole index build — a production build would k-means
   them, which only changes the centroid table.
 
-For 1k+-dim vectors swap functions/vector.py's fold for an
-Arrow-batched pandas UDF (one BLAS GEMM per batch); the operator
-shapes (broadcast, bucket join, window top-k) stay identical.
+For 1k+-dim vectors the fold's n*dim interpreted cost crosses the
+Arrow transfer cost and the GEMM twins take over: ``assign_buckets_gemm``
+(index build), ``brute_force_topk_gemm`` (exact top-k with map-side
+per-batch candidate pruning), ``quantize_int8_auto`` (dim-dispatched).
+The operator shapes (broadcast/collect-guarded small side, bucket join,
+window top-k) stay identical; agreement with the fold forms is pinned
+by tests.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine, dot, norm
+from ..functions.vector import dot, norm
 
 
 def brute_force_topk(
@@ -41,16 +45,152 @@ def brute_force_topk(
 
     ``queries``: (query_id, qe); ``corpus``: (neighbor_id, ce).
     Deterministic: ties broken by neighbor id.
+
+    Zero-norm contract (module-wide, round 6): try_divide, so a
+    zero-norm query or corpus vector yields null cosine and ranks LAST
+    (desc nulls-last) instead of raising the ANSI divide-by-zero the
+    plain fold would — identical values on every non-degenerate pair.
+    The registered static-SQL twin keeps the plain division: the
+    fixture corpus has no zero vectors, and the oracle must replay the
+    same expression on both engines.
     """
     sims = (
         F.broadcast(queries)
         .crossJoin(corpus)
         .filter(F.col(query_id) != F.col(corpus_id))
-        .select(query_id, corpus_id, cosine("qe", "ce").alias("cosine"))
+        .select(
+            query_id,
+            corpus_id,
+            F.try_divide(dot("qe", "ce"), norm("qe") * norm("ce")).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return (
         sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Production GEMM twin of :func:`brute_force_topk` for wide dims —
+    the swap the module docstring promised for 1k+-dim vectors, now
+    real (same pattern as :func:`assign_buckets_gemm`).
+
+    The query set is driver-side metadata by the operator's own
+    contract (brute_force_topk broadcasts it); here it is collected
+    once (guarded at ``max_queries``), unit-normalized into a q x dim
+    matrix captured in the closure. Each corpus Arrow batch then does
+    ONE matmul against all queries and keeps only its per-query local
+    top-k under (cosine desc, neighbor_id asc) — the global top-k per
+    query is a subset of the union of per-batch top-k's, so the
+    map-side pruning is lossless. The final per-query window trims the
+    union. Scale shape: map-only scoring, the shuffle carries at most
+    q * k rows PER INPUT PARTITION instead of q * corpus rows — the
+    same WindowGroupLimit bound as the HOF form, but with BLAS doing
+    the n*dim work.
+
+    Agreement contract: same columns and ranking as brute_force_topk;
+    cosines agree within BLAS-vs-fold low-bit tolerance (~1e-12
+    relative), so neighbor sets match exactly unless true cosines tie
+    within that tolerance — the same caveat as assign_buckets_gemm,
+    pinned by test on tie-free data. Zero-norm vectors mirror the HOF
+    edge: a zero-norm query or corpus vector yields null cosine
+    (nulls rank last), exactly as the fold's x/0 does.
+    """
+    import math
+
+    import numpy as np
+
+    collected = queries.limit(max_queries + 1).collect()
+    if len(collected) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_gemm collects the query set to the driver "
+            f"(the same set brute_force_topk broadcasts); got more than "
+            f"{max_queries} rows — that is a corpus, not a query set "
+            f"(use ivf_topk or raise max_queries)"
+        )
+    if not collected:
+        return corpus.select(
+            F.col(corpus_id),
+            F.lit(None).cast("double").alias("cosine"),
+        ).limit(0).select(
+            F.lit(None).cast("long").alias(query_id),
+            corpus_id,
+            "cosine",
+            F.lit(None).cast("int").alias("rank"),
+        )
+    # ids are bigint by the embeddings-table contract (the output schema
+    # pins them; an id of another type belongs to the HOF form)
+    qrows = sorted(
+        ((r[query_id], list(r["qe"])) for r in collected), key=lambda t: t[0]
+    )
+    q_ids = np.array([t[0] for t in qrows], dtype=np.int64)
+    qmat = np.array([t[1] for t in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    q_dead = qnorm == 0
+    qnorm[q_dead] = 1.0
+    qmat = (qmat.T / qnorm).T
+
+    src = corpus.select(F.col(corpus_id).alias("_cid"), F.col("ce").alias("_ce"))
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _stack_vectors(np, pdf["_ce"].to_numpy(), "brute_force_topk_gemm")
+            cids = pdf["_cid"].to_numpy()
+            cnorm = np.linalg.norm(m, axis=1)
+            c_dead = cnorm == 0
+            cnorm[c_dead] = 1.0
+            sims = qmat @ ((m.T / cnorm)).astype(np.float64)
+            # null-cosine edges: zero-norm query rows / corpus cols
+            sims[q_dead, :] = math.nan
+            sims[:, c_dead] = math.nan
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                row = sims[qi]
+                mask = cids != q_ids[qi]  # the HOF form's self-exclusion
+                cand_ids = cids[mask]
+                cand_sims = row[mask]
+                if len(cand_ids) == 0:
+                    continue
+                # local top-k under (cosine desc, id asc), NaN last —
+                # argsort on (-sim, id) with NaN pushed to +inf key
+                key = np.where(np.isnan(cand_sims), np.inf, -cand_sims)
+                order = np.lexsort((cand_ids, key))[:k]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_c.extend(cand_ids[order])
+                out_s.extend(cand_sims[order])
+            yield pd.DataFrame(
+                {
+                    query_id: np.array(out_q, dtype=np.int64),
+                    corpus_id: np.array(out_c, dtype=np.int64),
+                    "cosine": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    scored = src.mapInPandas(
+        _score,
+        schema=f"`{query_id}` bigint, `{corpus_id}` bigint, cosine double",
+    )
+    # NaN markers become SQL nulls so ordering matches the HOF form
+    scored = scored.withColumn(
+        "cosine", F.when(F.isnan("cosine"), F.lit(None)).otherwise(F.col("cosine"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

@@ -490,6 +490,96 @@ def test_quantize_int8_batch_constructed_edges(spark):
     assert batch[2][1] == 4  # constant vector: every code saturates
 
 
+def test_brute_force_topk_gemm_agrees_with_hof(spark, sf_dir):
+    """The GEMM top-k twin must return the same neighbors in the same
+    ranks as the HOF form, cosines within BLAS-vs-fold tolerance. The
+    corpus is repartitioned so the per-batch local-top-k pruning and
+    the final window trim both actually engage (the lossless-union
+    property the docstring claims)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_gemm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    ).repartition(4)
+    hof = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk(q, c, k=10).collect()
+    }
+    gemm = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk_gemm(q, c, k=10).collect()
+    }
+    assert set(gemm) == set(hof) and hof
+    for key, (nid, cos) in hof.items():
+        gnid, gcos = gemm[key]
+        assert gnid == nid, f"neighbor diverges at {key}: {gnid} vs {nid}"
+        assert gcos == pytest.approx(cos, rel=1e-9)
+
+
+def test_brute_force_topk_gemm_edges(spark):
+    """Constructed edges: zero-norm query (null cosine everywhere,
+    neighbors rank by id), zero-norm corpus vector (ranks last via null
+    cosine), oversized query set raises, empty query set yields an
+    empty frame with the right columns."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_gemm,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0]),  # zero-norm query
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.0]),  # zero-norm corpus vector
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = emb.filter("vec_id <= 1").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    hof = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk(q, c, k=3).collect()
+    }
+    gemm = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in brute_force_topk_gemm(q, c, k=3).collect()
+    }
+    assert set(gemm) == set(hof)
+    for key, (nid, cos) in hof.items():
+        gnid, gcos = gemm[key]
+        assert gnid == nid
+        if cos is None:
+            assert gcos is None
+        else:
+            assert gcos == _pytest.approx(cos, rel=1e-9)
+    # the zero-norm corpus vector never outranks a real neighbor
+    assert hof[(1, 1)][0] == 2
+    with _pytest.raises(ValueError, match="query set"):
+        brute_force_topk_gemm(q, c, k=3, max_queries=1)
+    empty = brute_force_topk_gemm(q.limit(0), c, k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
 def test_quantize_dispatch_rule():
     """Pure dispatch rule (VERDICT r6 #2): HOF below the measured
     crossover (and when the dim is unknown), kernel at/above it,
