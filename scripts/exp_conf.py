@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -38,21 +37,34 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
-    best: dict[tuple[str, str], float] = {}
-    for r in range(rounds):
-        for vname, conf in VARIANTS.items():
+    # shared interleaved order-alternated harness: each candidate is a
+    # (variant conf, query) pair whose thunk pins the conf right before
+    # the run (confs are runtime-settable; plans are lazy, so the conf
+    # in force at action time is the one that governs execution)
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    def make_thunk(conf, name):
+        def thunk():
             for k, v in conf.items():
                 spark.conf.set(k, v)
-            for name in HEADLINE:
-                t0 = time.perf_counter()
-                q.REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = time.perf_counter() - t0
-                key = (vname, name)
-                best[key] = min(best.get(key, float("inf")), dt)
-                spark.catalog.clearCache()
-        print(f"round {r} done", file=sys.stderr)
+            return q.REGISTRY[name].fn(spark, sf_dir)
+
+        return thunk
+
+    def run_and_clear(df):
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    frames = {
+        f"{vname}::{name}": make_thunk(conf, name)
+        for vname, conf in VARIANTS.items()
+        for name in HEADLINE
+    }
+    res = interleaved_ab(frames, rounds=rounds, warmup=1, action=run_and_clear)
+    best = {
+        (key.split("::")[0], key.split("::")[1]): v["best"]
+        for key, v in res.items()
+    }
 
     for vname in VARIANTS:
         total = sum(best[(vname, n)] for n in HEADLINE)

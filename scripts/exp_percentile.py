@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -266,19 +265,21 @@ def main() -> int:
             assert rows == base, f"{name} diverges:\n{rows}\nvs\n{base}"
     print(f"# all variants agree bit-exact: {base}", flush=True)
 
-    best: dict[str, float] = {k: float("inf") for k in VARIANTS}
-    for r in range(rounds):
-        for name, fn in VARIANTS.items():
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best[name] = min(best[name], dt)
-            spark.catalog.clearCache()
-        print(
-            f"# round {r}: " + json.dumps({k: round(v, 3) for k, v in best.items()}),
-            flush=True,
-        )
-    print(json.dumps({"sf_dir": sf_dir, "best": {k: round(v, 4) for k, v in best.items()}}))
+    # shared interleaved order-alternated harness (the old loop never
+    # rotated order across rounds — the last variant always ran warmest)
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    def run_and_clear(df):
+        df.write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    res = interleaved_ab(
+        {name: (lambda fn=fn: fn(spark, sf_dir)) for name, fn in VARIANTS.items()},
+        rounds=rounds,
+        warmup=0,  # the equality check above already warmed every variant
+        action=run_and_clear,
+    )
+    print(json.dumps({"sf_dir": sf_dir, "best": {k: v["best"] for k, v in res.items()}}))
     spark.stop()
     return 0
 
