@@ -33,6 +33,24 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import dot, norm
 
+#: Measured crossover for exact cosine top-k (scripts/exp_topk_gemm.py,
+#: 20k corpus, 5 queries, interleaved protocol): parity at dim-256
+#: (0.632s vs 0.632s), GEMM 1.8x at dim-512, 2.3x at dim-768, 1.4x at
+#: dim-1024. Lower than the quantize crossover (QUANTIZE_KERNEL_MIN_DIM,
+#: 544): the top-k HOF pays three folds per query x corpus pair, so its
+#: interpreted cost crosses the Arrow cost sooner.
+TOPK_GEMM_MIN_DIM = 256
+
+
+def dispatch_by_dim(dim: int | None, kernel_min_dim: int) -> str:
+    """The shared dim-dispatch rule (VERDICT r6 #2): ``"hof"`` below
+    the measured crossover (or when the dimension is unknown — the HOF
+    is never catastrophically wrong, while the kernel pays Arrow
+    transfer for nothing at narrow dims), ``"kernel"`` at/above it."""
+    if dim is None or dim < kernel_min_dim:
+        return "hof"
+    return "kernel"
+
 
 def brute_force_topk(
     queries: DataFrame,
@@ -193,6 +211,30 @@ def brute_force_topk_gemm(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def brute_force_topk_auto(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    dim: int | None = None,
+    gemm_min_dim: int = TOPK_GEMM_MIN_DIM,
+) -> DataFrame:
+    """Dim-aware exact top-k: route to the JVM HOF form or the GEMM
+    twin by embedding dimension (the top-k counterpart of
+    :func:`quantize_int8_auto`, with its own measured crossover —
+    lower, because the HOF pays three folds per pair). ``dim=None``
+    probes ONE query row (bounded; fixed-dimension contract). Same
+    neighbors/ranks either way (agreement test-pinned); cosines differ
+    only in BLAS-vs-fold low bits on the kernel side."""
+    if dim is None:
+        first = queries.select(F.size("qe").alias("d")).limit(1).collect()
+        dim = first[0]["d"] if first else None
+    if dispatch_by_dim(dim, gemm_min_dim) == "hof":
+        return brute_force_topk(queries, corpus, k, query_id, corpus_id)
+    return brute_force_topk_gemm(queries, corpus, k, query_id, corpus_id)
 
 
 def assign_buckets(
@@ -420,13 +462,8 @@ QUANTIZE_KERNEL_MIN_DIM = 544
 def quantize_dispatch_dim(
     dim: int | None, kernel_min_dim: int = QUANTIZE_KERNEL_MIN_DIM
 ) -> str:
-    """Pure dispatch rule: ``"hof"`` below the crossover (or when the
-    dimension is unknown — the HOF is never catastrophically wrong,
-    while the kernel pays Arrow transfer for nothing at narrow dims),
-    ``"kernel"`` at/above it."""
-    if dim is None or dim < kernel_min_dim:
-        return "hof"
-    return "kernel"
+    """:func:`dispatch_by_dim` with the measured QUANTIZE crossover."""
+    return dispatch_by_dim(dim, kernel_min_dim)
 
 
 def quantize_int8_auto(

@@ -580,6 +580,54 @@ def test_brute_force_topk_gemm_edges(spark):
     assert empty.columns == ["query_id", "neighbor_id", "cosine", "rank"]
 
 
+def test_brute_force_topk_auto_dispatch(spark):
+    """brute_force_topk_auto routes by dim with the top-k's own
+    (lower) measured crossover: JVM plan below dim-256, GEMM
+    (MapInPandas) at/above; results agree across the boundary."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        TOPK_GEMM_MIN_DIM,
+        brute_force_topk_auto,
+        dispatch_by_dim,
+    )
+
+    assert dispatch_by_dim(64, TOPK_GEMM_MIN_DIM) == "hof"
+    assert dispatch_by_dim(TOPK_GEMM_MIN_DIM, TOPK_GEMM_MIN_DIM) == "kernel"
+    assert dispatch_by_dim(None, TOPK_GEMM_MIN_DIM) == "hof"
+
+    def synth(dim):
+        emb = spark.range(40).selectExpr(
+            "id AS vec_id",
+            f"transform(sequence(1, {dim}), "
+            "i -> cast(sin(id * i + 1) AS float)) AS embedding",
+        )
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        )
+        return q, c
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    qn, cn = synth(8)
+    qw, cw = synth(TOPK_GEMM_MIN_DIM)
+    assert "MapInPandas" not in plan(brute_force_topk_auto(qn, cn, k=5))
+    assert "MapInPandas" in plan(brute_force_topk_auto(qw, cw, k=5))
+    narrow = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk_auto(qn, cn, k=5).collect()
+    }
+    wide = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk_auto(qw, cw, k=5).collect()
+    }
+    assert narrow and wide and len(narrow) == len(wide) == 15
+
+
 def test_quantize_dispatch_rule():
     """Pure dispatch rule (VERDICT r6 #2): HOF below the measured
     crossover (and when the dim is unknown), kernel at/above it,
