@@ -27,6 +27,7 @@ by tests.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -40,6 +41,18 @@ from ..functions.vector import dot, norm
 #: 544): the top-k HOF pays three folds per query x corpus pair, so its
 #: interpreted cost crosses the Arrow cost sooner.
 TOPK_GEMM_MIN_DIM = 256
+
+
+#: Measured crossover for the PAIRWISE cosine projection (the IVF
+#: verify stage: one cosine per already-joined (qe, ce) row —
+#: scripts/exp_pair_cosine.py, 100k pairs, interleaved protocol). The
+#: fold pays three aggregates per row while the batch UDF ships two
+#: vectors per row for one fused einsum; measured: fold wins at
+#: dim-64 (1.9x) and dim-128 (1.4x), the UDF wins from dim-256 up
+#: (1.09x there, ~2x at dim-512). 192 splits the measured bracket —
+#: lower than the quantize crossover (544) because of the three folds,
+#: in line with the top-k crossover (256).
+PAIR_COSINE_UDF_MIN_DIM = 192
 
 
 def dispatch_by_dim(dim: int | None, kernel_min_dim: int) -> str:
@@ -569,6 +582,34 @@ def quantize_int8_batch(
     )
 
 
+def pair_cosine_batch_col():
+    """Arrow-batched pairwise cosine column for already-joined vector
+    pairs — the verify-stage twin of the HOF
+    ``try_divide(dot, norm*norm)`` projection, for the wide-dim regime
+    (:data:`PAIR_COSINE_UDF_MIN_DIM`). One fused einsum per Arrow
+    batch; zero-norm rows come back as NaN markers (numpy division
+    silenced) which the CALLER maps to SQL null (``isnan -> null``,
+    as ivf_topk does) to replicate try_divide's nulls-rank-last
+    semantics. Values differ from the fold only in BLAS-vs-fold low
+    bits — not oracle-hashable, agreement-tested."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dots = np.einsum("ij,ij->i", ma, mb)
+            na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+            nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+            out = dots / (na * nb)
+        out[~np.isfinite(out)] = np.nan
+        return pd.Series(out)
+
+    return _pair_cos
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -576,6 +617,7 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 2,
     gemm: bool = False,
+    verify_batch: bool | None = False,
 ) -> DataFrame:
     """IVF ANN: probe the nprobe nearest buckets per query, exact
     cosine within candidates. queries: (query_id, qe);
@@ -588,14 +630,29 @@ def ivf_topk(
     fold; identical assignment by the exact-agreement test, so the
     top-k result is unchanged.
 
+    ``verify_batch`` swaps the VERIFY stage's per-pair cosine fold for
+    the Arrow-batched einsum (:func:`pair_cosine_batch_col`) — the
+    wide-dim production path, same dispatch family as the other GEMM
+    twins (measured crossover :data:`PAIR_COSINE_UDF_MIN_DIM`; the
+    probe stage's query x centroid ranking stays a fold — it is
+    codebook-sized, never the cost). ``None`` auto-dispatches by
+    probing one corpus row's dimension. Neighbor sets and ranks agree
+    with the fold form on tie-free data (BLAS low-bit caveat,
+    agreement-tested); default False keeps the oracle-replayable plan.
+
     The zero-norm contract matches the assignment paths end to end:
     dead centroids are excluded from the PROBE ranking too (not just
     the index build — otherwise a zero-norm centroid crashes the probe
     cosine under ANSI, or pre-ANSI silently eats one of every query's
     nprobe slots while owning no corpus vectors), and the verify
-    cosine is try_divide'd so a zero-norm query/corpus vector ranks
-    last (null) instead of erroring.
+    cosine yields null for a zero-norm query/corpus vector on BOTH
+    verify paths (try_divide / NaN-to-null), ranking last instead of
+    erroring.
     """
+    if verify_batch is None:
+        first = corpus.select(F.size("ce").alias("d")).limit(1).collect()
+        dim = first[0]["d"] if first else None
+        verify_batch = dispatch_by_dim(dim, PAIR_COSINE_UDF_MIN_DIM) == "kernel"
     assign = assign_buckets_gemm if gemm else assign_buckets
     valid_cents = centroids.filter(norm("centroid_vec") != 0)
     corpus_buckets = assign(
@@ -624,15 +681,32 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        candidates.select(
+    if verify_batch:
+        # two-step projection: the UDF lands in its own column FIRST,
+        # then the NaN->null map reads that column — a single
+        # when(isnan(udf)).otherwise(udf) would risk evaluating the
+        # UDF expression twice (the round-6 when()-guard lesson)
+        scored = candidates.select(
+            "query_id",
+            "neighbor_id",
+            pair_cosine_batch_col()(F.col("qe"), F.col("ce")).alias("_raw"),
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.isnan("_raw"), F.lit(None))
+            .otherwise(F.col("_raw"))
+            .alias("cosine"),
+        )
+    else:
+        scored = candidates.select(
             "query_id",
             "neighbor_id",
             F.try_divide(dot("qe", "ce"), norm("qe") * norm("ce")).alias(
                 "cosine"
             ),
         )
-        .withColumn("rank", F.row_number().over(w))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

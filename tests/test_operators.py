@@ -281,6 +281,93 @@ def test_ivf_topk_gemm_path_identical(spark, sf_dir):
     assert gemm == fold
 
 
+def test_ivf_topk_verify_batch_identical(spark, sf_dir):
+    """ivf_topk(verify_batch=True) — the Arrow-batched verify cosine —
+    must return the same neighbor set and ranks as the fold verify
+    (cosines agree within BLAS-vs-fold tolerance), and the auto
+    dispatch (verify_batch=None) must pick the fold plan at the
+    fixtures' dim-64 (no Python eval node) per the measured
+    PAIR_COSINE_UDF_MIN_DIM crossover."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        ivf_topk,
+        stride_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    cents = stride_centroids(
+        emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve")), 40
+    )
+    import pytest
+
+    fold_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(q, c, cents).collect()
+    }
+    batch_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(q, c, cents, verify_batch=True).collect()
+    }
+    assert set(batch_rows) == set(fold_rows) and fold_rows
+    for key, (nid, cos) in fold_rows.items():
+        bnid, bcos = batch_rows[key]
+        assert bnid == nid
+        assert bcos == pytest.approx(cos, rel=1e-9)
+    # auto dispatch at dim-64 stays on the fold plan (no Python eval)
+    auto_plan = (
+        ivf_topk(q, c, cents, verify_batch=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in auto_plan
+
+
+def test_ivf_topk_verify_batch_zero_norm_edges(spark):
+    """The batch verify replicates try_divide's zero-norm semantics:
+    a zero-norm corpus vector gets null cosine and ranks last on BOTH
+    verify paths."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 0.0, 0.0]),  # zero-norm corpus vector
+            (3, [0.5, 0.5, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "centroid_id bigint, centroid_vec array<float>"
+    )
+    for vb in (False, True):
+        rows = {
+            r.rank: (r.neighbor_id, r.cosine)
+            for r in ivf_topk(q, c, cents, k=3, nprobe=1, verify_batch=vb).collect()
+        }
+        assert rows[1][0] == 1 and rows[2][0] == 3
+        assert rows[3] == (2, None), f"verify_batch={vb}: {rows}"
+
+
 def test_train_centroids_gemm_matches_fold(spark, sf_dir):
     """With the exact (decimal-sum) update, the whole Lloyd loop must be
     bit-reproducible whichever assignment engine runs: per-iteration
