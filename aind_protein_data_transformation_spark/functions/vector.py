@@ -6,9 +6,13 @@ element order (verified on adversarial inputs), so dot products and
 norms computed this way hash-match without any decimal detour.
 
 Scale note: these are JVM higher-order functions — fine for 64-dim
-vectors. For 1k+-dim embeddings at 100 TB, swap in an Arrow-batched
-pandas UDF doing a single BLAS matmul per batch (same column contract);
-``operators/similarity.py`` documents the switch point.
+vectors. For wide embeddings the Arrow-batched twins in
+``operators/similarity.py`` take over, each behind a MEASURED dim
+crossover (dispatch_by_dim): assign_buckets_gemm (index build),
+brute_force_topk_gemm / brute_force_topk_auto (exact top-k),
+quantize_int8_batch / quantize_int8_auto, and pair_cosine_batch_col
+(ivf_topk's verify stage). Same column contracts; agreement with these
+folds is test-pinned.
 """
 
 from __future__ import annotations
