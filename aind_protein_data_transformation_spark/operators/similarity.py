@@ -597,8 +597,8 @@ def pair_cosine_batch_col():
 
     @pandas_udf("double")
     def _pair_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.stack(a.to_numpy()).astype(np.float64)
-        mb = np.stack(b.to_numpy()).astype(np.float64)
+        ma = _stack_vectors(np, a.to_numpy(), "pair_cosine_batch_col")
+        mb = _stack_vectors(np, b.to_numpy(), "pair_cosine_batch_col")
         with np.errstate(divide="ignore", invalid="ignore"):
             dots = np.einsum("ij,ij->i", ma, mb)
             na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
