@@ -302,3 +302,48 @@ def test_ntile_closed_form_matches_native(spark, n, k):
     )
     for r in got:
         assert r.native == r.closed, (n, k, r.v, r.native, r.closed)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_quantize_kernel_bit_identical_property(spark, vecs):
+    """Fuzzed bit-identity across the quantize dispatch boundary: for
+    ANY float32 vectors (including zero vectors and huge/tiny
+    magnitudes), the Arrow kernel and the HOF projection agree on every
+    output bit — the guarantee that lets quantize_int8_auto dispatch by
+    cost alone. Fixed dim (the embeddings-table contract); magnitudes
+    and signs fuzzed."""
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        quantize_int8_batch,
+        quantize_int8_hof,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    hof = {
+        r.vec_id: (r.qscale, r.n_saturated, r.recon_mse)
+        for r in quantize_int8_hof(emb).collect()
+    }
+    kern = {
+        r.vec_id: (r.qscale, r.n_saturated, r.recon_mse)
+        for r in quantize_int8_batch(emb).collect()
+    }
+    assert kern == hof
