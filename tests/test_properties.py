@@ -347,3 +347,81 @@ def test_quantize_kernel_bit_identical_property(spark, vecs):
         for r in quantize_int8_batch(emb).collect()
     }
     assert kern == hof
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-1e4,
+                    max_value=1e4,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+            st.lists(
+                st.floats(
+                    min_value=-1e4,
+                    max_value=1e4,
+                    allow_nan=False,
+                    allow_infinity=False,
+                    width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pair_cosine_batch_matches_fold_property(spark, pairs):
+    """Fuzzed agreement for the ivf verify-stage twins: the Arrow
+    einsum cosine (NaN->null mapped) equals the try_divide fold within
+    BLAS-vs-fold tolerance on every pair, and BOTH yield null exactly
+    when a side has zero norm — the ranking-semantics contract the
+    verify_batch dispatch relies on."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.functions.vector import dot, norm
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        pair_cosine_batch_col,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in a], [float(y) for y in b])
+            for i, (a, b) in enumerate(pairs)
+        ],
+        "pair_id bigint, qe array<float>, ce array<float>",
+    )
+    fold = {
+        r.pair_id: r.c
+        for r in df.select(
+            "pair_id",
+            F.try_divide(dot("qe", "ce"), norm("qe") * norm("ce")).alias("c"),
+        ).collect()
+    }
+    udf = {
+        r.pair_id: r.c
+        for r in df.select(
+            "pair_id", pair_cosine_batch_col()(F.col("qe"), F.col("ce")).alias("_r")
+        )
+        .selectExpr("pair_id", "IF(isnan(_r), CAST(NULL AS DOUBLE), _r) AS c")
+        .collect()
+    }
+    assert set(udf) == set(fold)
+    for k, fv in fold.items():
+        uv = udf[k]
+        if fv is None:
+            assert uv is None, f"pair {k}: fold null, udf {uv}"
+        else:
+            assert uv is not None, f"pair {k}: udf null, fold {fv}"
+            assert math.isclose(uv, fv, rel_tol=1e-9, abs_tol=1e-12), (k, uv, fv)
