@@ -63,9 +63,16 @@ DRIVER_WINDOW = [
     "q_lead_lag_gaps",
     "q_sessionize_events",
     "q_pivot_status_by_priority",
-    # scalar packs
-    "q_string_functions",
-    "q_array_functions",
+    # scalar packs — round-8 rotation (VERDICT round 7 #4): the three
+    # packs rotated to the tail in round 5 (date/time, math, conditional
+    # — no driver row since r4) rotate BACK through the window so their
+    # ledger rows stay fresh; out: q_string_functions and
+    # q_array_functions (driver-green r1–r7, seven consecutive rounds)
+    # and sample_hash_split (r4–r7) — each family keeps an in-window
+    # representative (see covered_by in tests/test_registry_window.py).
+    "q_date_functions",
+    "q_math_functions",
+    "q_conditional_price_bands",
     "q_json_functions",
     # round-6 rotation (VERDICT round 5 #1): the two §2B rows never
     # driver-confirmed in any round get their first driver exposure —
@@ -91,9 +98,6 @@ DRIVER_WINDOW = [
     # transitive closure over the LSH pairs (promoted round 4: first
     # driver row for the connected-components operator)
     "dedup_cluster_components",
-    # deterministic hash-split sampling (promoted round 4: first driver
-    # row for the sampling/sharding family)
-    "sample_hash_split",
     # similarity family
     "similarity_cosine_topk",
     "similarity_ivf_ann",

@@ -43,11 +43,11 @@ REQUIRED_IN_WINDOW = {
     # curation family's repetition stats
     "text_repetition_stats",
     # promoted round 4 (VERDICT round 3 #2/#3): scale-safe percentile
-    # plan + first driver rows for connected components, hash-split
-    # sampling, and unigram-logprob quality scoring
+    # plan + first driver rows for connected components and
+    # unigram-logprob quality scoring (sample_hash_split earned four
+    # green rounds r4–r7 and rotated to the tail in round 8)
     "q_percentiles_rank_select",
     "dedup_cluster_components",
-    "sample_hash_split",
     "text_unigram_logprob",
     # promoted round 5 (VERDICT round 4 #3): first driver rows for the
     # round-4 §2B additions — reshape (PIVOT), batch sessionization,
@@ -134,6 +134,10 @@ def test_tail_components_are_covered_in_window():
         "q21_sole_blame_suppliers": "q_semi_join_customers_with_orders",
         # deterministic hash-keyed sampling/sharding: the portable-hash
         # + bucketed-groupBy family is represented by exact dedup
+        # (sample_hash_split rotated to the tail round 8 after four
+        # green driver rounds r4–r7; the hash-derived-decision shape is
+        # the same xxhash64/pmod machinery dedup_exact drives)
+        "sample_hash_split": "dedup_exact",
         # element-wise vector projection family (fold-parity ops):
         # represented by the in-window cosine/IVF queries
         "embedding_quantize_int8": "similarity_cosine_topk",
@@ -146,7 +150,9 @@ def test_tail_components_are_covered_in_window():
         "sample_stratified": "dedup_exact",
         # alpha=0.5 temperature resampling: the data-computed-rates
         # hash-Bernoulli family, driver-checked via sample_hash_split
-        "sample_temperature_alpha": "sample_hash_split",
+        # in r4–r7 (same xxhash64-Bernoulli mechanism as dedup_exact's
+        # portable-hash machinery, which keeps the window slot)
+        "sample_temperature_alpha": "dedup_exact",
         # mixing = the stratified hash-Bernoulli mechanism with
         # data-computed rates; same family shapes
         "sample_mix_to_target": "dedup_exact",
@@ -163,7 +169,9 @@ def test_tail_components_are_covered_in_window():
         # unpivot is a zero-shuffle projection over a grouped aggregate
         "q_pivot_status_matrix": "q1_pricing_summary",
         "q_unpivot_nation_metrics": "q_rollup_region_nation_revenue",
-        "q_explode_tokens": "q_array_functions",
+        # explode-over-tokens: the in-window BPE token counter drives
+        # the same split+explode+hash-agg machinery
+        "q_explode_tokens": "text_token_count_bpe",
         "q_exists_subquery": "q_semi_join_customers_with_orders",
         "q_percentiles_exact": "q_percentiles_rank_select",
         # MAD = two composed rank-select passes; the percentile
@@ -179,9 +187,15 @@ def test_tail_components_are_covered_in_window():
         # same projection-over-scan shape), and the text family keeps
         # quality/bpe/unigram-logprob (winnow is the same
         # tokenize+hash+window machinery)
-        "q_date_functions": "q_string_functions",
-        "q_math_functions": "q_string_functions",
-        "q_conditional_price_bands": "q1_pricing_summary",
+        # round-8 rotation (VERDICT round 7 #4): date/math/conditional
+        # rotate BACK into the window (no driver row since r4);
+        # string/array rotate to the tail after seven consecutive green
+        # rounds each — the scalar-pack projection-over-scan shape keeps
+        # date/math in window, and the array-HOF machinery
+        # (aggregate/transform/zip_with) is driven end-to-end by the
+        # in-window cosine/IVF similarity queries via functions/vector.py
+        "q_string_functions": "q_date_functions",
+        "q_array_functions": "similarity_cosine_topk",
         "doc_fingerprint_winnow": "text_quality_stats",
         "q_stddev_variance": "q1_pricing_summary",
         "q_minmax_by": "q1_pricing_summary",
@@ -190,10 +204,11 @@ def test_tail_components_are_covered_in_window():
         # tf-idf top-k: stacked aggs + per-doc ranking window; text-stats
         # + topk family shapes
         "text_tfidf_keywords": "text_quality_stats",
-        # curation family: PII scan is a scalar-pack regex shape; the
-        # cross-corpus join (decontaminate) and repetition stats hold
-        # window slots
-        "pii_redact_scan": "q_string_functions",
+        # curation family: PII scan is a regex projection-over-scan
+        # shape — the in-window text-quality query drives the same
+        # regexp_extract/ratio machinery; the cross-corpus join
+        # (decontaminate) and repetition stats hold window slots
+        "pii_redact_scan": "text_quality_stats",
         # rotated to the tail round 7 after six green driver rounds
         # (r1–r6), freeing the slot for pyramid_channel_stats' first
         # driver row (§2A A12): the left-outer join + COALESCE fill
@@ -213,8 +228,8 @@ def test_tail_components_are_covered_in_window():
         "text_frequent_ngrams": "decontaminate_ngram_overlap",
         "curate_boilerplate_ratio": "decontaminate_ngram_overlap",
         # A-ES weighted reservoir = hash-derived-decision family
-        # (driver-checked via the hash split) + rank-window trim
-        "sample_weighted_reservoir": "sample_hash_split",
+        # (driver-checked via the hash split, r4–r7) + rank-window trim
+        "sample_weighted_reservoir": "dedup_exact",
         # round-4 reshape/stats additions: pivot/unpivot and the
         # co-moment aggregates are conditional/hash aggregates (q1's
         # family); batch sessionization is window frames + running sum
@@ -253,34 +268,34 @@ def test_tail_components_are_covered_in_window():
 # (i.e. is scheduled for its first driver row this round).
 DRIVER_GREEN_ROUNDS = {
     "asof_inner_error_context": (3,),
-    "asof_purchase_last_click": (3, 4, 5, 6,),
-    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6,),
-    "dedup_cluster_components": (4, 5, 6,),
-    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6,),
-    "dedup_exact": (1, 2, 3, 4, 5, 6,),
-    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6,),
-    "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6,),
-    "dedup_simhash": (1, 2, 3, 4, 5, 6,),
+    "asof_purchase_last_click": (3, 4, 5, 6, 7,),
+    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7,),
+    "dedup_cluster_components": (4, 5, 6, 7,),
+    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7,),
+    "dedup_exact": (1, 2, 3, 4, 5, 6, 7,),
+    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7,),
+    "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6, 7,),
+    "dedup_simhash": (1, 2, 3, 4, 5, 6, 7,),
     "doc_fingerprint_winnow": (1, 2, 3, 4),
-    "grid_block_slices": (2, 3, 4, 5, 6,),
-    "multimodal_frame_sample": (2, 3, 4, 5, 6,),
+    "grid_block_slices": (2, 3, 4, 5, 6, 7,),
+    "multimodal_frame_sample": (2, 3, 4, 5, 6, 7,),
     "multimodal_payload_stats": (2, 3),
-    "ome_channel_windows": (2, 3, 4, 5, 6,),
-    "ome_scale_recurrence": (2, 3, 4, 5, 6,),
-    "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6,),
-    "pyramid_cascade_l2": (2, 3, 4, 5, 6,),
-    "pyramid_windowed_mean": (2, 3, 4, 5, 6,),
+    "ome_channel_windows": (2, 3, 4, 5, 6, 7,),
+    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7,),
+    "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6, 7,),
+    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7,),
+    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7,),
     "q10_returned_items": (1,),
     "q12_shipmode_priority": (2,),
     "q14_promo_share": (1,),
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6,),
-    "q3_shipping_priority": (1, 2, 3, 4, 5, 6,),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7,),
+    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7,),
     "q5_local_supplier_volume": (1,),
     "q7_nation_volume": (1,),
     "q8_market_share": (1,),
     "q_anti_join_customers_without_orders": (1, 2, 3),
     "q_approx_aggregates": (2, 3, 4, 5),
-    "q_array_functions": (1, 2, 3, 4, 5, 6,),
+    "q_array_functions": (1, 2, 3, 4, 5, 6, 7,),
     "q_conditional_price_bands": (1, 2, 3, 4),
     "q_cube_status_priority": (1,),
     "q_date_functions": (1, 2, 3, 4),
@@ -288,49 +303,50 @@ DRIVER_GREEN_ROUNDS = {
     "q_exists_subquery": (1,),
     "q_explode_tokens": (1,),
     "q_grouping_sets": (1,),
-    "q_json_functions": (2, 3, 4, 5, 6,),
-    "q_lead_lag_gaps": (1, 5, 6,),
+    "q_json_functions": (2, 3, 4, 5, 6, 7,),
+    "q_lead_lag_gaps": (1, 5, 6, 7,),
     "q_map_functions": (1,),
     "q_math_functions": (1, 2, 3, 4),
     "q_minmax_by": (1,),
     "q_ntile_wealth_deciles": (1,),
     "q_outer_join_order_fill": (1, 2, 3, 4, 5, 6,),
     "q_percentiles_exact": (1,),
-    "q_percentiles_rank_select": (4, 5, 6,),
-    "q_pivot_status_by_priority": (5, 6,),
+    "q_percentiles_rank_select": (4, 5, 6, 7,),
+    "q_pivot_status_by_priority": (5, 6, 7,),
     "q_rank_variants": (1,),
-    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6,),
+    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7,),
     "q_scalar_subquery": (1, 2, 3),
-    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6,),
-    "q_sessionize_events": (5, 6,),
-    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6,),
+    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7,),
+    "q_sessionize_events": (5, 6, 7,),
+    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7,),
     "q_stddev_variance": (1,),
-    "q_string_functions": (1, 2, 3, 4, 5, 6,),
-    "q_theta_join_price_band": (1, 2, 3, 4, 5, 6,),
+    "q_string_functions": (1, 2, 3, 4, 5, 6, 7,),
+    "q_theta_join_price_band": (1, 2, 3, 4, 5, 6, 7,),
     "q_topk_per_group": (1,),
-    "q_window_interval_range": (5, 6,),
-    "q_window_running_totals": (1, 2, 3, 4, 5, 6,),
-    "sample_hash_split": (4, 5, 6,),
-    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6,),
-    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6,),
-    "similarity_kmeans_assign": (2, 3, 4, 5, 6,),
-    "sink_parquet_roundtrip": (2, 3, 4, 5, 6,),
-    "stack_deal_round_robin": (2, 3, 4, 5, 6,),
-    "stack_regex_rename": (2, 3, 4, 5, 6,),
-    "streaming_dedup_watermark": (2, 3, 4, 5, 6,),
+    "q_window_interval_range": (5, 6, 7,),
+    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7,),
+    "sample_hash_split": (4, 5, 6, 7,),
+    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7,),
+    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7,),
+    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7,),
+    "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7,),
+    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7,),
+    "stack_regex_rename": (2, 3, 4, 5, 6, 7,),
+    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7,),
     "streaming_foreachbatch_sink": (2, 3, 4, 5),
-    "streaming_late_data_policy": (3, 4, 5, 6,),
-    "streaming_session_window": (3, 4, 5, 6,),
-    "streaming_sliding_window": (3, 4, 5, 6,),
-    "streaming_stateful_totals": (2, 3, 4, 5, 6,),
-    "streaming_tumbling_window": (3, 4, 5, 6,),
+    "streaming_late_data_policy": (3, 4, 5, 6, 7,),
+    "streaming_session_window": (3, 4, 5, 6, 7,),
+    "streaming_sliding_window": (3, 4, 5, 6, 7,),
+    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7,),
+    "streaming_tumbling_window": (3, 4, 5, 6, 7,),
     "text_lang_id": (1,),
-    "text_quality_stats": (1, 2, 3, 4, 5, 6,),
-    "text_repetition_stats": (3, 4, 5, 6,),
-    "text_token_count_bpe": (2, 3, 4, 5, 6,),
-    "text_unigram_logprob": (4, 5, 6,),
-    "q_corr_regr_aggregates": (6,),
-    "q_unpivot_flag_measures": (6,),
+    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7,),
+    "text_repetition_stats": (3, 4, 5, 6, 7,),
+    "text_token_count_bpe": (2, 3, 4, 5, 6, 7,),
+    "text_unigram_logprob": (4, 5, 6, 7,),
+    "q_corr_regr_aggregates": (6, 7,),
+    "q_unpivot_flag_measures": (6, 7,),
+    "pyramid_channel_stats": (7,),
 }
 
 # SURVEY.md §2B component families -> the registry queries that exercise
@@ -425,7 +441,11 @@ def test_rotated_out_queries_earned_their_rest():
     covered_by redundancy case). Guards against rotating a query out on
     its first green."""
     window = set(DRIVER_WINDOW)
-    promoted_this_round = {"pyramid_channel_stats"}
+    promoted_this_round = {
+        "q_date_functions",
+        "q_math_functions",
+        "q_conditional_price_bands",
+    }
     fam_of = {}
     for fam, qs in COMPONENT_QUERIES.items():
         for q in qs:
