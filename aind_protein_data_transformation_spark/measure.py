@@ -39,6 +39,7 @@ def interleaved_ab(
     rounds: int = 5,
     warmup: int = 1,
     action: Callable[[DataFrame], None] = _noop,
+    post_run: Callable[[], None] | None = None,
 ) -> dict[str, dict[str, float]]:
     """Time candidate plans fairly in one session.
 
@@ -53,10 +54,22 @@ def interleaved_ab(
     - ``warmup`` untimed executions of EVERY candidate first, so
       one-time Janino codegen / scan listing is paid outside the
       timings for all sides equally;
-    - then ``rounds`` timed rounds; within each round every candidate
-      runs once (interleaved), and the candidate order ROTATES by one
-      position each round (order-alternated), so across rounds each
-      candidate occupies each slot equally often.
+    - then the timed rounds; within each round every candidate runs
+      once (interleaved), and the candidate order ROTATES by one
+      position each round (order-alternated). Slot occupancy is only
+      EQUAL when the round count is a multiple of the candidate count
+      (with 2 candidates and 5 rounds one side would sit in the warm
+      last slot 3/5 of the time), so ``rounds`` is rounded UP to the
+      next multiple of ``len(frames)`` — callers get at least what
+      they asked for, and each candidate occupies each slot exactly
+      ``rounds_effective / len(frames)`` times.
+
+    ``post_run`` (optional) executes after every run — warmup and
+    timed — OUTSIDE the timing window. Use it for per-run hygiene that
+    must not be billed (``spark.catalog.clearCache``, temp-dir cleanup);
+    putting such work inside ``action`` would inflate every absolute
+    timing by the hygiene cost (A/B deltas stay fair either way, since
+    all sides pay it — but absolute numbers feed BENCH.md).
 
     Returns ``{label: {"best": s, "median": s, "runs": [s, ...]}}``.
     Compare ``best`` values (the same best-of estimator bench.py and
@@ -72,16 +85,23 @@ def interleaved_ab(
     for _ in range(warmup):
         for _label, thunk in items:
             action(thunk())
+            if post_run is not None:
+                post_run()
     samples: dict[str, list[float]] = {label: [] for label, _ in items}
     n = len(items)
+    # equal slot occupancy needs rounds % n == 0 (see docstring)
+    if rounds % n:
+        rounds += n - rounds % n
     for r in range(rounds):
-        # rotate the start position: over `rounds` rounds each candidate
+        # rotate the start position: over the rounds each candidate
         # sits in the (warmest) last slot equally often
         order = items[r % n :] + items[: r % n]
         for label, thunk in order:
             t0 = time.perf_counter()
             action(thunk())
             samples[label].append(time.perf_counter() - t0)
+            if post_run is not None:
+                post_run()
     out: dict[str, dict[str, float]] = {}
     for label, runs in samples.items():
         s = sorted(runs)

@@ -615,6 +615,83 @@ def verify_minhash_index(
     }
 
 
+def compact_minhash_index(
+    spark, name: str, id_col: str = "doc_id"
+) -> dict[str, int]:
+    """Rewrite both index tables without duplicate rows (VERDICT r7 #3).
+
+    Re-appending a shard after a crash is result-idempotent
+    (:func:`incremental_minhash_pairs` aggregates per pair) but
+    storage-MONOTONIC: the duplicate band/sig rows inflate every
+    subsequent probe's candidate join. This offline maintenance pass
+    drops exact-duplicate rows from both tables — bands on their full
+    key (band, k0..k{B-1}, id), sigs on the doc id — and rewrites each
+    with its ORIGINAL bucket spec (read from table metadata, the same
+    guard append_minhash_shard applies), so probes keep joining
+    co-located. Probe results are unchanged by construction: the
+    distinct candidate set and the per-pair aggregated jaccard are both
+    invariant under row multiplicity (pinned by test).
+
+    Contract check: before rewriting, any doc_id carrying CONFLICTING
+    signature payloads (n, hs) raises — that is the append-only
+    contract violation incremental_minhash_pairs documents (a re-signed
+    document under a reused id); compacting would have to silently pick
+    one version. Recover by rebuilding the index (write_minhash_index)
+    or removing the stale shard's rows out of band.
+
+    Not transactional: each ``overwrite`` of a plain-parquet bucketed
+    table is itself the non-atomic boundary (an ACID table format would
+    close it). Run with the index quiesced; the pass is idempotent, so
+    re-running after a crash that lost one table's rewrite completes
+    the compaction. The deduplicated rows are materialized
+    (localCheckpoint) BEFORE either overwrite so the rewrite never
+    reads the table it is replacing.
+
+    Returns row counts: ``{"bands_before", "bands_after",
+    "sigs_before", "sigs_after"}``.
+    """
+    n_band_buckets = _table_num_buckets(spark, f"{name}_bands")
+    n_sig_buckets = _table_num_buckets(spark, f"{name}_sigs")
+    bands = spark.table(f"{name}_bands")
+    sigs = spark.table(f"{name}_sigs")
+    n_conflicts = (
+        sigs.groupBy(id_col)
+        .agg(F.count_distinct(F.struct("n", "hs")).alias("n_versions"))
+        .filter(F.col("n_versions") > 1)
+        .count()
+    )
+    if n_conflicts:
+        raise ValueError(
+            f"minhash index {name!r} holds conflicting signature payloads "
+            f"for {n_conflicts} doc_ids — the append-only/immutable-doc_id "
+            f"contract was violated (a document was re-signed under a "
+            f"reused id); compaction cannot pick a version. Rebuild with "
+            f"write_minhash_index or remove the stale shard's rows."
+        )
+    key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
+    bands_before = bands.count()
+    sigs_before = sigs.count()
+    comp_bands = bands.dropDuplicates(key_cols + [id_col]).localCheckpoint()
+    comp_sigs = sigs.dropDuplicates([id_col]).localCheckpoint()
+    (
+        comp_sigs.write.mode("overwrite")
+        .bucketBy(n_sig_buckets, id_col)
+        .saveAsTable(f"{name}_sigs")
+    )
+    (
+        comp_bands.write.mode("overwrite")
+        .bucketBy(n_band_buckets, *key_cols)
+        .sortBy(*key_cols)
+        .saveAsTable(f"{name}_bands")
+    )
+    return {
+        "bands_before": bands_before,
+        "bands_after": comp_bands.count(),
+        "sigs_before": sigs_before,
+        "sigs_after": comp_sigs.count(),
+    }
+
+
 def incremental_minhash_pairs(
     spark,
     new_docs: DataFrame,
@@ -623,10 +700,22 @@ def incremental_minhash_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify: bool = False,
 ) -> DataFrame:
     """Near-dup pairs between ``new_docs`` and the corpus indexed by
     :func:`write_minhash_index`: (new_id, index_id, jaccard), exact
     Jaccard >= ``threshold`` over the LSH candidates.
+
+    ``verify=True`` runs :func:`verify_minhash_index` first (VERDICT r7
+    #6) — one offline audit before probing a possibly-interrupted
+    index: an index whose band rows lack signature rows (the dangerous
+    partial state a pre-ordering append or external tampering can
+    leave) would otherwise SILENTLY drop those documents' candidates at
+    the verify join; with the flag set the probe raises up front,
+    naming the recovery rule (re-run append_minhash_shard for the
+    affected shard). Off by default: the audit costs two distinct
+    aggregates + an anti-join over the index — an operator turns it on
+    for the first probe after an interrupted ingest, not per shard.
 
     Scale shape: the shard is shingled/signed in one pass; its band
     rows join the bucketed band index (index side co-located and
@@ -640,11 +729,24 @@ def incremental_minhash_pairs(
     Output is one ROW per pair even against an index holding duplicate
     rows (a re-run append after a crash — ADVICE r6): the candidate
     set is distinct but the signature join was not, so duplicated sig
-    rows used to multiply output rows. Every duplicate carries the
-    identical signature payload, hence the identical jaccard, so the
-    final per-(new_id, index_id) dropDuplicates is pure row dedup —
-    it can never select among differing values.
+    rows used to multiply output rows.
+
+    Index contract (ADVICE r7): the persisted index is APPEND-ONLY over
+    IMMUTABLE doc_ids — re-appending a shard repeats identical rows (a
+    crash re-run), it never re-signs a changed document under the same
+    id (a changed document is a NEW doc_id; there is no update path —
+    neither table carries a version column). Under that contract every
+    duplicate row carries the identical signature payload, hence the
+    identical jaccard, and the final per-(new_id, index_id) aggregation
+    is pure row dedup. The aggregation uses max(jaccard) rather than an
+    arbitrary-pick dropDuplicates so that even a contract VIOLATION (an
+    out-of-band re-signed doc_id) yields the deterministic upper bound
+    instead of a nondeterministic one of the two values;
+    :func:`compact_minhash_index` detects such conflicting signature
+    payloads and raises.
     """
+    if verify:
+        verify_minhash_index(spark, name, id_col=id_col)
     # localCheckpoint, not persist(): the shard signatures feed two
     # branches (band probe + verify join), but a persist() here would
     # outlive the returned DataFrame in the session's cache manager —
@@ -694,6 +796,7 @@ def incremental_minhash_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .dropDuplicates(["new_id", "index_id"])
+        .groupBy("new_id", "index_id")
+        .agg(F.max("jaccard").alias("jaccard"))
     )
     return verified

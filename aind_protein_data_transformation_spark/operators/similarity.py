@@ -111,6 +111,7 @@ def brute_force_topk_gemm(
     query_id: str = "query_id",
     corpus_id: str = "neighbor_id",
     max_queries: int = 100_000,
+    max_query_elements: int = 32_000_000,
 ) -> DataFrame:
     """Production GEMM twin of :func:`brute_force_topk` for wide dims —
     the swap the module docstring promised for 1k+-dim vectors, now
@@ -136,6 +137,16 @@ def brute_force_topk_gemm(
     pinned by test on tie-free data. Zero-norm vectors mirror the HOF
     edge: a zero-norm query or corpus vector yields null cosine
     (nulls rank last), exactly as the fold's x/0 does.
+
+    Memory guard (ADVICE r7): the q x dim query matrix is captured in
+    the mapInPandas closure and pickled into every task, so the bound
+    that matters is BYTES, not rows — ``max_queries`` alone would admit
+    ~0.8 GB at 100k x dim-1024 float64. ``max_query_elements`` caps
+    q * dim (default 32M elements = 256 MB float64); either limit
+    raises a clear error naming the alternative (ivf_topk). The query
+    vectors also pass through :func:`_stack_vectors`, so a ragged or
+    mixed-dim query set gets the same contract error the corpus side
+    gets instead of a bare numpy stack trace.
     """
     import math
 
@@ -165,7 +176,20 @@ def brute_force_topk_gemm(
         ((r[query_id], list(r["qe"])) for r in collected), key=lambda t: t[0]
     )
     q_ids = np.array([t[0] for t in qrows], dtype=np.int64)
-    qmat = np.array([t[1] for t in qrows], dtype=np.float64)
+    # same contract error as the corpus side for ragged/mixed-dim sets
+    qmat = _stack_vectors(
+        np, [t[1] for t in qrows], "brute_force_topk_gemm (query set)"
+    )
+    if qmat.size > max_query_elements:
+        raise ValueError(
+            f"brute_force_topk_gemm captures the q x dim query matrix in "
+            f"every task closure; {qmat.shape[0]} queries x dim "
+            f"{qmat.shape[1]} = {qmat.size} elements exceeds "
+            f"max_query_elements={max_query_elements} "
+            f"(~{max_query_elements * 8 // 2**20} MB float64) — use "
+            f"ivf_topk for query sets this large, or raise the cap if the "
+            f"executors have the headroom"
+        )
     qnorm = np.linalg.norm(qmat, axis=1)
     q_dead = qnorm == 0
     qnorm[q_dead] = 1.0

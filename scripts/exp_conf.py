@@ -51,16 +51,21 @@ def main() -> int:
 
         return thunk
 
-    def run_and_clear(df):
-        df.write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
-
+    # query-OUTER / variant-INNER (ADVICE r7): the A/B sides of each
+    # query must sit adjacent within every interleaved round — built
+    # variant-outer, all aqe_on::* candidates still ran as a block
+    # before all aqe_off::* and the rotation only shifted the boundary
+    # by 1-2 positions, recreating the sequential-block bias the shared
+    # harness exists to prevent. clearCache goes through post_run so the
+    # absolute timings don't include the clear cost (same advice).
     frames = {
         f"{vname}::{name}": make_thunk(conf, name)
-        for vname, conf in VARIANTS.items()
         for name in HEADLINE
+        for vname, conf in VARIANTS.items()
     }
-    res = interleaved_ab(frames, rounds=rounds, warmup=1, action=run_and_clear)
+    res = interleaved_ab(
+        frames, rounds=rounds, warmup=1, post_run=spark.catalog.clearCache
+    )
     best = {
         (key.split("::")[0], key.split("::")[1]): v["best"]
         for key, v in res.items()

@@ -246,19 +246,16 @@ def main() -> int:
     # shared interleaved order-alternated harness (the old loop
     # interleaved but never rotated the order, so the last-listed
     # variant always sat in the warmest slot). Plans rebuild per run
-    # (callable form) and the action clears the cache after each run,
-    # matching the old per-run semantics.
+    # (callable form); the cache clear runs through post_run, OUTSIDE
+    # the timed window (ADVICE r7 — billing it inflated the absolute
+    # per-variant timings), matching the replaced loop's semantics.
     from aind_protein_data_transformation_spark.measure import interleaved_ab
-
-    def run_and_clear(df):
-        df.write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
 
     res = interleaved_ab(
         {name: (lambda fn=fn: fn(spark, sf_dir)) for name, fn in VARIANTS.items()},
         rounds=rounds,
         warmup=0,  # the equality check above already warmed every variant
-        action=run_and_clear,
+        post_run=spark.catalog.clearCache,
     )
     best = {k: v["best"] for k, v in res.items()}
     print(json.dumps({"sf_dir": sf_dir, "best": best}))

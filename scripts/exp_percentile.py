@@ -266,18 +266,16 @@ def main() -> int:
     print(f"# all variants agree bit-exact: {base}", flush=True)
 
     # shared interleaved order-alternated harness (the old loop never
-    # rotated order across rounds — the last variant always ran warmest)
+    # rotated order across rounds — the last variant always ran
+    # warmest). clearCache runs through post_run, outside the timed
+    # window (ADVICE r7: billing it inflated absolute timings).
     from aind_protein_data_transformation_spark.measure import interleaved_ab
-
-    def run_and_clear(df):
-        df.write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
 
     res = interleaved_ab(
         {name: (lambda fn=fn: fn(spark, sf_dir)) for name, fn in VARIANTS.items()},
         rounds=rounds,
         warmup=0,  # the equality check above already warmed every variant
-        action=run_and_clear,
+        post_run=spark.catalog.clearCache,
     )
     print(json.dumps({"sf_dir": sf_dir, "best": {k: v["best"] for k, v in res.items()}}))
     spark.stop()

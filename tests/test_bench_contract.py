@@ -158,3 +158,44 @@ def test_interleaved_ab_rebuilds_callables_per_run():
 
     interleaved_ab({"x": make}, rounds=2, warmup=1, action=lambda _t: None)
     assert builds["x"] == 3  # 1 warmup + 2 timed
+
+
+def test_interleaved_ab_rounds_up_for_equal_slot_occupancy():
+    """ADVICE r7: with 2 candidates and an odd round count one side
+    would occupy the warm last slot more often; the harness rounds the
+    round count UP to the next multiple of the candidate count so each
+    candidate takes each slot exactly rounds/n times."""
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    ran: list[str] = []
+    frames = {k: (lambda k=k: k) for k in ("a", "b")}
+    res = interleaved_ab(frames, rounds=5, warmup=0, action=ran.append)
+    # 5 rounds requested, 2 candidates -> 6 timed rounds
+    assert len(res["a"]["runs"]) == 6
+    assert len(res["b"]["runs"]) == 6
+    # equal slot occupancy: each candidate runs LAST exactly half the time
+    last_slots = [ran[i + 1] for i in range(0, len(ran), 2)]
+    assert last_slots.count("a") == last_slots.count("b") == 3
+
+
+def test_interleaved_ab_post_run_hook_outside_timing():
+    """ADVICE r7: per-run hygiene (clearCache) goes through post_run —
+    executed after every warmup and timed run, never inside the timed
+    window. Verified by a slow hook: if it were billed, every sample
+    would exceed its sleep."""
+    import time as _time
+
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    calls = {"post": 0}
+
+    def post():
+        calls["post"] += 1
+        _time.sleep(0.05)
+
+    res = interleaved_ab(
+        {"x": lambda: "x"}, rounds=2, warmup=1, action=lambda _t: None,
+        post_run=post,
+    )
+    assert calls["post"] == 3  # 1 warmup + 2 timed
+    assert all(r < 0.05 for r in res["x"]["runs"])

@@ -1,0 +1,68 @@
+"""calibrate_dispatch (VERDICT r7 #2): the crossover self-calibration
+helper must reproduce the anchored dispatch winners on this layout —
+HOF at dim-64, kernel at dim-1024 (the two points every round's
+measurements agreed on even as the crossover between them moved with
+layout) — and its bracketing rule must be exact on constructed sweeps.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from aind_protein_data_transformation_spark.calibrate import (
+    FAMILIES,
+    _crossover,
+    calibrate_dispatch,
+)
+from aind_protein_data_transformation_spark.operators.similarity import (
+    dispatch_by_dim,
+)
+
+DIMS = (64, 128, 256, 512, 1024)
+
+
+def test_crossover_bracketing_rule():
+    # the round-7 quantize bracket: hof through 512, kernel from 576
+    assert _crossover((64, 512, 576, 1024), {
+        64: "hof", 512: "hof", 576: "kernel", 1024: "kernel"
+    }) == 544
+    # kernel never stably wins -> sentinel above the tested range
+    assert _crossover(DIMS, {d: "hof" for d in DIMS}) == 2048
+    # kernel wins everywhere -> dispatch kernel from the smallest dim
+    assert _crossover(DIMS, {d: "kernel" for d in DIMS}) == 64
+    # non-monotone noise below the stable run is ignored: the cut is
+    # the smallest dim from which kernel wins at EVERY larger dim
+    assert _crossover(DIMS, {
+        64: "hof", 128: "kernel", 256: "hof", 512: "kernel", 1024: "kernel"
+    }) == (256 + 512) // 2
+    # a kernel win only at the top anchors the bracket there
+    assert _crossover(DIMS, {
+        64: "hof", 128: "hof", 256: "hof", 512: "hof", 1024: "kernel"
+    }) == (512 + 1024) // 2
+
+
+def test_crossover_rejects_unknown_family(spark):
+    with pytest.raises(ValueError, match="unknown dispatch families"):
+        calibrate_dispatch(spark, op="gemmify")
+
+
+def test_calibrate_reproduces_anchored_winners(spark, tmp_path):
+    """Timing-based (the helper's whole point): on this fixture layout
+    the HOF must win at dim-64 and the kernel at dim-1024 for all three
+    families — the anchors every round's measurements reproduced — and
+    the returned kernel_min_dim must route dim-64 to the HOF and
+    dim-1024 to the kernel through dispatch_by_dim."""
+    res = calibrate_dispatch(
+        spark,
+        dims=(64, 1024),
+        n_rows=20_000,
+        rounds=2,
+        scratch_dir=str(tmp_path / "calib"),
+    )
+    assert set(res) == set(FAMILIES)
+    for fam, r in res.items():
+        assert r["sweep"][64]["winner"] == "hof", (fam, r["sweep"])
+        assert r["sweep"][1024]["winner"] == "kernel", (fam, r["sweep"])
+        cut = r["kernel_min_dim"]
+        assert dispatch_by_dim(64, cut) == "hof", (fam, cut)
+        assert dispatch_by_dim(1024, cut) == "kernel", (fam, cut)

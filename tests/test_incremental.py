@@ -268,6 +268,120 @@ def test_reappend_emits_unique_rows(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_compact_restores_single_append_counts(spark, sf_dir, tmp_path):
+    """VERDICT r7 #3: a re-appended shard is result-idempotent but
+    storage-monotonic. compact_minhash_index rewrites both tables
+    without the duplicate rows: after double-append + compact, row
+    counts equal a single-append index, probes return exactly the same
+    pairs, and the bucketed layout survives the rewrite."""
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        compact_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    part = F.pmod(F.hash("doc_id"), F.lit(3))
+    a, b, c = (docs.filter(part == i) for i in range(3))
+
+    def probe(name):
+        return {
+            (r.new_id, r.index_id): r.jaccard
+            for r in incremental_minhash_pairs(
+                spark, c, name, threshold=THRESHOLD
+            ).collect()
+        }
+
+    try:
+        write_minhash_index(a, "t_cmp_ref", path=str(tmp_path / "ref"))
+        append_minhash_shard(spark, b, "t_cmp_ref")  # single append
+        write_minhash_index(a, "t_cmp", path=str(tmp_path / "cmp"))
+        append_minhash_shard(spark, b, "t_cmp")
+        append_minhash_shard(spark, b, "t_cmp")  # crash re-run duplicate
+        before = probe("t_cmp")
+        assert before, "degenerate: no cross pairs at this sf"
+        stats = compact_minhash_index(spark, "t_cmp")
+        # duplicates were really present and really removed
+        assert stats["bands_before"] > stats["bands_after"]
+        assert stats["sigs_before"] > stats["sigs_after"]
+        assert stats["bands_after"] == spark.table("t_cmp_ref_bands").count()
+        assert stats["sigs_after"] == spark.table("t_cmp_ref_sigs").count()
+        # probe result unchanged, bucketing preserved
+        assert probe("t_cmp") == before
+        for t in ("t_cmp_bands", "t_cmp_sigs"):
+            ddl = spark.sql(f"SHOW CREATE TABLE {t}").first()[0]
+            assert "CLUSTERED BY" in ddl, ddl
+        # idempotent: compacting a compacted index is a no-op
+        stats2 = compact_minhash_index(spark, "t_cmp")
+        assert stats2["bands_before"] == stats2["bands_after"]
+        assert stats2["sigs_before"] == stats2["sigs_after"]
+    finally:
+        for t in ("t_cmp_bands", "t_cmp_sigs",
+                  "t_cmp_ref_bands", "t_cmp_ref_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_raises_on_conflicting_signatures(spark, sf_dir, tmp_path):
+    """ADVICE r7: a document re-signed under a reused doc_id violates
+    the append-only contract — compaction detects the conflicting
+    signature payloads and raises instead of silently picking one."""
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        compact_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    part = F.pmod(F.hash("doc_id"), F.lit(3))
+    a, b = docs.filter(part == 0), docs.filter(part == 1).limit(5)
+    try:
+        write_minhash_index(a, "t_conf", path=str(tmp_path / "conf"))
+        append_minhash_shard(spark, b, "t_conf")
+        # out-of-band re-sign: same ids, modified text
+        b_modified = b.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" entirely new suffix"))
+        )
+        append_minhash_shard(spark, b_modified, "t_conf")
+        with pytest.raises(ValueError, match="conflicting signature"):
+            compact_minhash_index(spark, "t_conf")
+    finally:
+        for t in ("t_conf_bands", "t_conf_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_probe_verify_flag_detects_interrupted_index(spark, sf_dir, tmp_path):
+    """VERDICT r7 #6: the offline audit is wired into the probe —
+    incremental_minhash_pairs(verify=True) raises up front on an index
+    whose band rows lack signatures (the dangerous partial state),
+    instead of silently dropping those candidates; on a healthy index
+    the flag changes nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    part = F.pmod(F.hash("doc_id"), F.lit(3))
+    a, b, c = (docs.filter(part == i) for i in range(3))
+    try:
+        write_minhash_index(a, "t_vfy", path=str(tmp_path / "vfy"))
+        healthy = incremental_minhash_pairs(
+            spark, c, "t_vfy", threshold=THRESHOLD, verify=True
+        ).collect()
+        plain = incremental_minhash_pairs(
+            spark, c, "t_vfy", threshold=THRESHOLD
+        ).collect()
+        assert {(r.new_id, r.index_id) for r in healthy} == {
+            (r.new_id, r.index_id) for r in plain
+        }
+        # interrupt: band rows without signatures
+        _partial_append(spark, b, "t_vfy", bands=True)
+        with pytest.raises(ValueError, match="no signature row"):
+            incremental_minhash_pairs(
+                spark, c, "t_vfy", threshold=THRESHOLD, verify=True
+            )
+    finally:
+        for t in ("t_vfy_bands", "t_vfy_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_probe_leaves_cache_manager_empty(spark, split_docs, tmp_path):
     corpus, shard = split_docs
     name = "t_incr_cache"
