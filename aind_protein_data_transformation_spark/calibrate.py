@@ -155,7 +155,7 @@ def calibrate_dispatch(
         if "quantize" in ops or "topk" in ops:
             emb = _materialize(
                 src.selectExpr(
-                    f"monotonically_increasing_id() AS vec_id",
+                    "monotonically_increasing_id() AS vec_id",
                     f"{_resize_expr(vec_col_src, dim)} AS embedding",
                 ),
                 f"{base}-emb.parquet",
