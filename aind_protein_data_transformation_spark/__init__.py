@@ -15,6 +15,8 @@ Layout:
 - ``functions`` — scalar/vector helper column expressions.
 - ``sources``   — non-parquet sources (binary-file chunk decode, ...).
 - ``streaming`` — Structured Streaming surface over the events table.
+- ``measure``   — shared interleaved order-alternated A/B harness.
+- ``calibrate`` — HOF-vs-kernel dispatch crossover self-calibration.
 """
 
 __version__ = "0.1.0"

@@ -19,6 +19,30 @@ Scale design (100 TB corpus):
   J>0), then one count per pair — skew-prone on stopword shingles, so
   hot shingles can be dropped by document frequency before the join
   (``shared_shingle_pairs(max_df=...)``, the boilerplate-pruning cap).
+
+Incremental index runbook (the operator lifecycle, end to end):
+
+1. ``write_minhash_index(corpus, name)`` — one-time build: bucketed
+   band + signature tables, co-located for probe joins.
+2. ``append_minhash_shard(spark, shard, name)`` — per-ingest update;
+   sigs-first ordering makes every crash state benign. Re-run after
+   any crash: result-idempotent (duplicate rows change no pairs).
+3. ``incremental_minhash_pairs(spark, shard, name)`` — the probe;
+   pass ``verify=True`` on the FIRST probe after a possibly
+   interrupted ingest to audit the index up front instead of silently
+   losing candidates.
+4. ``verify_minhash_index(spark, name)`` — the same audit standalone;
+   raises on the dangerous state (band rows without signatures, only
+   producible by tampering or pre-ordering code) with the recovery
+   rule, and reports benign orphan signatures.
+5. ``compact_minhash_index(spark, name)`` — periodic maintenance once
+   crash re-appends have accumulated duplicate rows (storage and
+   probe-candidate inflation); preserves bucketing, detects
+   re-signed-doc_id contract violations, idempotent.
+
+doc_ids are IMMUTABLE: a changed document is a new id. There is no
+update path; compaction refuses an index where one id carries two
+different signatures.
 """
 
 from __future__ import annotations
