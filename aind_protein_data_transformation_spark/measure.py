@@ -60,9 +60,16 @@ def interleaved_ab(
       EQUAL when the round count is a multiple of the candidate count
       (with 2 candidates and 5 rounds one side would sit in the warm
       last slot 3/5 of the time), so ``rounds`` is rounded UP to the
-      next multiple of ``len(frames)`` — callers get at least what
-      they asked for, and each candidate occupies each slot exactly
-      ``rounds_effective / len(frames)`` times.
+      next multiple of ``len(frames)`` whenever that is feasible
+      (``len(frames) <= rounds``, i.e. at most doubling the requested
+      work) — callers get at least what they asked for, and each
+      candidate occupies each slot exactly ``rounds / len(frames)``
+      times. With MORE candidates than rounds (a many-query conf
+      sweep) full slot equalization would need >= len(frames) rounds,
+      so the requested count is kept and a residual slot asymmetry of
+      one rotation step remains — build such frame dicts with the A/B
+      sides of each comparison ADJACENT (query-outer, variant-inner)
+      so the pairwise deltas stay fair regardless.
 
     ``post_run`` (optional) executes after every run — warmup and
     timed — OUTSIDE the timing window. Use it for per-run hygiene that
@@ -89,8 +96,9 @@ def interleaved_ab(
                 post_run()
     samples: dict[str, list[float]] = {label: [] for label, _ in items}
     n = len(items)
-    # equal slot occupancy needs rounds % n == 0 (see docstring)
-    if rounds % n:
+    # equal slot occupancy needs rounds % n == 0 (see docstring);
+    # infeasible to equalize when n > rounds — keep the requested count
+    if rounds % n and n <= rounds:
         rounds += n - rounds % n
     for r in range(rounds):
         # rotate the start position: over the rounds each candidate

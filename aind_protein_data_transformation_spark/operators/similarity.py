@@ -642,6 +642,7 @@ def ivf_topk(
     nprobe: int = 2,
     gemm: bool = False,
     verify_batch: bool | None = False,
+    pair_min_dim: int = PAIR_COSINE_UDF_MIN_DIM,
 ) -> DataFrame:
     """IVF ANN: probe the nprobe nearest buckets per query, exact
     cosine within candidates. queries: (query_id, qe);
@@ -660,7 +661,10 @@ def ivf_topk(
     twins (measured crossover :data:`PAIR_COSINE_UDF_MIN_DIM`; the
     probe stage's query x centroid ranking stays a fold — it is
     codebook-sized, never the cost). ``None`` auto-dispatches by
-    probing one corpus row's dimension. Neighbor sets and ranks agree
+    probing one corpus row's dimension against ``pair_min_dim`` —
+    defaulted to the module constant, overridable with a value from
+    ``calibrate.calibrate_dispatch`` (the crossover is layout- and
+    volume-dependent). Neighbor sets and ranks agree
     with the fold form on tie-free data (BLAS low-bit caveat,
     agreement-tested); default False keeps the oracle-replayable plan.
 
@@ -676,7 +680,7 @@ def ivf_topk(
     if verify_batch is None:
         first = corpus.select(F.size("ce").alias("d")).limit(1).collect()
         dim = first[0]["d"] if first else None
-        verify_batch = dispatch_by_dim(dim, PAIR_COSINE_UDF_MIN_DIM) == "kernel"
+        verify_batch = dispatch_by_dim(dim, pair_min_dim) == "kernel"
     assign = assign_buckets_gemm if gemm else assign_buckets
     valid_cents = centroids.filter(norm("centroid_vec") != 0)
     corpus_buckets = assign(

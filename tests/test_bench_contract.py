@@ -178,6 +178,19 @@ def test_interleaved_ab_rounds_up_for_equal_slot_occupancy():
     assert last_slots.count("a") == last_slots.count("b") == 3
 
 
+def test_interleaved_ab_keeps_rounds_when_candidates_exceed_them():
+    """The round-up is capped: with more candidates than rounds (a
+    many-query conf sweep — exp_conf passes ~40 frames with rounds=3)
+    equalization would need >= n rounds, a 10x+ blowup; the requested
+    round count is kept and the docstring prescribes adjacent A/B
+    construction instead."""
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    frames = {f"c{i}": (lambda i=i: i) for i in range(7)}
+    res = interleaved_ab(frames, rounds=3, warmup=0, action=lambda _t: None)
+    assert all(len(v["runs"]) == 3 for v in res.values())
+
+
 def test_interleaved_ab_post_run_hook_outside_timing():
     """ADVICE r7: per-run hygiene (clearCache) goes through post_run —
     executed after every warmup and timed run, never inside the timed

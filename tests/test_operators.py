@@ -329,6 +329,16 @@ def test_ivf_topk_verify_batch_identical(spark, sf_dir):
         .toString()
     )
     assert "EvalPython" not in auto_plan
+    # a calibrated threshold (calibrate_dispatch output) overrides the
+    # module constant: pair_min_dim at/below the fixture dim flips the
+    # auto dispatch to the Arrow verify stage
+    calibrated_plan = (
+        ivf_topk(q, c, cents, verify_batch=None, pair_min_dim=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" in calibrated_plan
 
 
 def test_ivf_topk_verify_batch_zero_norm_edges(spark):
