@@ -66,10 +66,19 @@ def interleaved_ab(
       candidate occupies each slot exactly ``rounds / len(frames)``
       times. With MORE candidates than rounds (a many-query conf
       sweep) full slot equalization would need >= len(frames) rounds,
-      so the requested count is kept and a residual slot asymmetry of
-      one rotation step remains — build such frame dicts with the A/B
-      sides of each comparison ADJACENT (query-outer, variant-inner)
-      so the pairwise deltas stay fair regardless.
+      so the requested count is kept and the harness instead
+      ALTERNATES DIRECTION: odd rounds run the (slow-rotating) order
+      reversed. Adjacency alone is NOT enough in this regime — round 8
+      measured a ~0.1 s/query SECOND-slot advantage inside adjacent
+      A/B pairs that rotation-by-one never cancels when it cannot
+      complete a cycle (the AQE on/off sweep produced a fake 22%
+      "win" for whichever side was listed second; reversing the
+      listing flipped it). Direction alternation gives each pair
+      member the favored slot on alternating rounds, so best-of and
+      median both see every candidate in each intra-pair position.
+      Build such frame dicts with the A/B sides of each comparison
+      ADJACENT (query-outer, variant-inner) so the alternation acts on
+      the pair.
 
     ``post_run`` (optional) executes after every run — warmup and
     timed — OUTSIDE the timing window. Use it for per-run hygiene that
@@ -98,12 +107,24 @@ def interleaved_ab(
     n = len(items)
     # equal slot occupancy needs rounds % n == 0 (see docstring);
     # infeasible to equalize when n > rounds — keep the requested count
-    if rounds % n and n <= rounds:
+    # and alternate direction instead (the intra-pair slot fix)
+    equalize = n <= rounds
+    if rounds % n and equalize:
         rounds += n - rounds % n
     for r in range(rounds):
-        # rotate the start position: over the rounds each candidate
-        # sits in the (warmest) last slot equally often
-        order = items[r % n :] + items[: r % n]
+        if equalize:
+            # rotate the start position: over the rounds each candidate
+            # sits in the (warmest) last slot equally often
+            order = items[r % n :] + items[: r % n]
+        else:
+            # many-candidate regime: rotate every OTHER round and run
+            # odd rounds reversed, so adjacent A/B pairs swap their
+            # internal order each round (see docstring — rotation alone
+            # leaves the pair's second member permanently favored)
+            k = (r // 2) % n
+            order = items[k:] + items[:k]
+            if r % 2:
+                order = order[::-1]
         for label, thunk in order:
             t0 = time.perf_counter()
             action(thunk())

@@ -38,7 +38,10 @@ Incremental index runbook (the operator lifecycle, end to end):
 5. ``compact_minhash_index(spark, name)`` — periodic maintenance once
    crash re-appends have accumulated duplicate rows (storage and
    probe-candidate inflation); preserves bucketing, detects
-   re-signed-doc_id contract violations, idempotent.
+   re-signed-doc_id contract violations, idempotent. At index sizes
+   where staging the whole index is unreasonable, compact into a fresh
+   name instead (``target="name_v2"``) and swap probes over — a pure
+   streaming rewrite with no overwrite window.
 
 doc_ids are IMMUTABLE: a changed document is a new id. There is no
 update path; compaction refuses an index where one id carries two
@@ -640,7 +643,11 @@ def verify_minhash_index(
 
 
 def compact_minhash_index(
-    spark, name: str, id_col: str = "doc_id"
+    spark,
+    name: str,
+    id_col: str = "doc_id",
+    target: str | None = None,
+    path: str | None = None,
 ) -> dict[str, int]:
     """Rewrite both index tables without duplicate rows (VERDICT r7 #3).
 
@@ -663,13 +670,25 @@ def compact_minhash_index(
     one version. Recover by rebuilding the index (write_minhash_index)
     or removing the stale shard's rows out of band.
 
-    Not transactional: each ``overwrite`` of a plain-parquet bucketed
-    table is itself the non-atomic boundary (an ACID table format would
-    close it). Run with the index quiesced; the pass is idempotent, so
-    re-running after a crash that lost one table's rewrite completes
-    the compaction. The deduplicated rows are materialized
-    (localCheckpoint) BEFORE either overwrite so the rewrite never
-    reads the table it is replacing.
+    Two modes:
+
+    - **In place** (``target=None``): overwrite ``name``'s tables. Each
+      ``overwrite`` of a plain-parquet bucketed table is a non-atomic
+      boundary (an ACID table format would close it), so run with the
+      index quiesced; the pass is idempotent — re-running after a crash
+      that lost one table's rewrite completes the compaction. The
+      deduplicated rows are materialized (localCheckpoint) BEFORE
+      either overwrite so the rewrite never reads the table it is
+      replacing — fine for the offline maintenance sizes this mode is
+      for, but it stages the whole index on executor local storage.
+    - **Into a fresh index** (``target="name_v2"`` [+ ``path``]): write
+      the compacted tables under the TARGET name and leave the source
+      untouched — the production shape at index sizes where staging the
+      whole index is unreasonable: a pure streaming
+      read-dedup-bucketed-write with no checkpoint and no overwrite
+      window; the operator swaps probes to the target (and drops the
+      source) once the build is verified. Probe equivalence between
+      source and target is pinned by test.
 
     Returns row counts: ``{"bands_before", "bands_after",
     "sigs_before", "sigs_after"}``.
@@ -695,24 +714,34 @@ def compact_minhash_index(
     key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
     bands_before = bands.count()
     sigs_before = sigs.count()
-    comp_bands = bands.dropDuplicates(key_cols + [id_col]).localCheckpoint()
-    comp_sigs = sigs.dropDuplicates([id_col]).localCheckpoint()
-    (
-        comp_sigs.write.mode("overwrite")
-        .bucketBy(n_sig_buckets, id_col)
-        .saveAsTable(f"{name}_sigs")
-    )
-    (
-        comp_bands.write.mode("overwrite")
+    comp_bands = bands.dropDuplicates(key_cols + [id_col])
+    comp_sigs = sigs.dropDuplicates([id_col])
+    if target is None:
+        # in place: materialize before overwriting the source tables
+        comp_bands = comp_bands.localCheckpoint()
+        comp_sigs = comp_sigs.localCheckpoint()
+        out = name
+        mode = "overwrite"
+    else:
+        out = target
+        mode = "errorifexists"
+    sw = comp_sigs.write.mode(mode).bucketBy(n_sig_buckets, id_col)
+    if path:
+        sw = sw.option("path", f"{path}/sigs")
+    sw.saveAsTable(f"{out}_sigs")
+    bw = (
+        comp_bands.write.mode(mode)
         .bucketBy(n_band_buckets, *key_cols)
         .sortBy(*key_cols)
-        .saveAsTable(f"{name}_bands")
     )
+    if path:
+        bw = bw.option("path", f"{path}/bands")
+    bw.saveAsTable(f"{out}_bands")
     return {
         "bands_before": bands_before,
-        "bands_after": comp_bands.count(),
+        "bands_after": spark.table(f"{out}_bands").count(),
         "sigs_before": sigs_before,
-        "sigs_after": comp_sigs.count(),
+        "sigs_after": spark.table(f"{out}_sigs").count(),
     }
 
 

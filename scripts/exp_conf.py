@@ -26,7 +26,9 @@ VARIANTS: dict[str, dict[str, str]] = {
 
 
 def main() -> int:
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # even default: with direction alternation both pair sides lead
+    # the same number of rounds
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     import aind_protein_data_transformation_spark.queries as q
     from bench import HEADLINE
@@ -56,8 +58,12 @@ def main() -> int:
     # variant-outer, all aqe_on::* candidates still ran as a block
     # before all aqe_off::* and the rotation only shifted the boundary
     # by 1-2 positions, recreating the sequential-block bias the shared
-    # harness exists to prevent. clearCache goes through post_run so the
-    # absolute timings don't include the clear cost (same advice).
+    # harness exists to prevent. Adjacency alone is NOT sufficient
+    # either: round 8 measured a ~0.1 s/query second-in-pair advantage
+    # (the harness's odd-round reversal now alternates the pair order;
+    # use an EVEN rounds count so both sides lead equally often).
+    # clearCache goes through post_run so the absolute timings don't
+    # include the clear cost (same advice).
     frames = {
         f"{vname}::{name}": make_thunk(conf, name)
         for name in HEADLINE

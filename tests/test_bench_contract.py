@@ -191,6 +191,31 @@ def test_interleaved_ab_keeps_rounds_when_candidates_exceed_them():
     assert all(len(v["runs"]) == 3 for v in res.values())
 
 
+def test_interleaved_ab_alternates_pair_order_when_rotation_cannot():
+    """Round-8 measured artifact: in the many-candidate regime
+    (n > rounds) rotation-by-one leaves the second member of every
+    adjacent A/B pair permanently in the favored just-after slot — the
+    AQE sweep produced a fake 22% win that flipped with the listing
+    order. The harness now runs odd rounds REVERSED, so each pair
+    member takes each intra-pair position on alternating rounds."""
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    ran: list[str] = []
+    # 3 adjacent A/B pairs, query-outer/variant-inner, rounds < n
+    names = [f"{q}::{v}" for q in ("q1", "q2", "q3") for v in ("on", "off")]
+    frames = {k: (lambda k=k: k) for k in names}
+    interleaved_ab(frames, rounds=4, warmup=0, action=ran.append)
+    rounds_run = [ran[i : i + 6] for i in range(0, len(ran), 6)]
+    assert len(rounds_run) == 4
+    for q in ("q1", "q2", "q3"):
+        first_counts = {"on": 0, "off": 0}
+        for rnd in rounds_run:
+            a, b = rnd.index(f"{q}::on"), rnd.index(f"{q}::off")
+            first_counts["on" if a < b else "off"] += 1
+        # each side leads the pair equally often across the 4 rounds
+        assert first_counts == {"on": 2, "off": 2}, (q, rounds_run)
+
+
 def test_interleaved_ab_post_run_hook_outside_timing():
     """ADVICE r7: per-run hygiene (clearCache) goes through post_run —
     executed after every warmup and timed run, never inside the timed

@@ -321,6 +321,51 @@ def test_compact_restores_single_append_counts(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_compact_into_target_leaves_source_and_matches(spark, sf_dir, tmp_path):
+    """The production compaction mode: compact into a FRESH index name
+    (no localCheckpoint staging, no overwrite window). The target index
+    must probe identically to the bloated source, hold single-append
+    row counts with bucketing, and the source must be untouched."""
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        compact_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    part = F.pmod(F.hash("doc_id"), F.lit(3))
+    a, b, c = (docs.filter(part == i) for i in range(3))
+
+    def probe(name):
+        return {
+            (r.new_id, r.index_id): r.jaccard
+            for r in incremental_minhash_pairs(
+                spark, c, name, threshold=THRESHOLD
+            ).collect()
+        }
+
+    try:
+        write_minhash_index(a, "t_tgt_src", path=str(tmp_path / "src"))
+        append_minhash_shard(spark, b, "t_tgt_src")
+        append_minhash_shard(spark, b, "t_tgt_src")  # duplicate rows
+        src_bands = spark.table("t_tgt_src_bands").count()
+        src_probe = probe("t_tgt_src")
+        assert src_probe, "degenerate: no cross pairs at this sf"
+        stats = compact_minhash_index(
+            spark, "t_tgt_src", target="t_tgt_v2", path=str(tmp_path / "v2")
+        )
+        assert stats["bands_after"] < stats["bands_before"]
+        # source untouched, target probes identically with bucketing
+        assert spark.table("t_tgt_src_bands").count() == src_bands
+        assert probe("t_tgt_v2") == src_probe
+        ddl = spark.sql("SHOW CREATE TABLE t_tgt_v2_bands").first()[0]
+        assert "CLUSTERED BY" in ddl, ddl
+    finally:
+        for t in ("t_tgt_src_bands", "t_tgt_src_sigs",
+                  "t_tgt_v2_bands", "t_tgt_v2_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_compact_raises_on_conflicting_signatures(spark, sf_dir, tmp_path):
     """ADVICE r7: a document re-signed under a reused doc_id violates
     the append-only contract — compaction detects the conflicting
