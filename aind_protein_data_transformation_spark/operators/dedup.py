@@ -663,6 +663,13 @@ def compact_minhash_index(
     distinct candidate set and the per-pair aggregated jaccard are both
     invariant under row multiplicity (pinned by test).
 
+    ZERO-shuffle: both dedup keys are supersets of their table's bucket
+    columns, so the bucketed read's hash partitioning already satisfies
+    the aggregation's clustering requirement — Catalyst plans the
+    dropDuplicates without an Exchange (plan-asserted in
+    tests/test_incremental.py), and the pass is read → partition-local
+    dedup → bucketed write at any index size.
+
     Contract check: before rewriting, any doc_id carrying CONFLICTING
     signature payloads (n, hs) raises — that is the append-only
     contract violation incremental_minhash_pairs documents (a re-signed

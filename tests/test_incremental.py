@@ -315,6 +315,26 @@ def test_compact_restores_single_append_counts(spark, sf_dir, tmp_path):
         stats2 = compact_minhash_index(spark, "t_cmp")
         assert stats2["bands_before"] == stats2["bands_after"]
         assert stats2["sigs_before"] == stats2["sigs_after"]
+        # scale shape: the dedup keys are supersets of the bucket
+        # columns, so the bucketed reads satisfy the aggregation's
+        # clustering requirement and compaction shuffles NOTHING
+        from aind_protein_data_transformation_spark.operators.dedup import (
+            LSH_BAND_SIZE,
+        )
+
+        key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
+        for tbl, keys in (
+            ("t_cmp_bands", key_cols + ["doc_id"]),
+            ("t_cmp_sigs", ["doc_id"]),
+        ):
+            plan = (
+                spark.table(tbl)
+                .dropDuplicates(keys)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange" not in plan, (tbl, plan)
     finally:
         for t in ("t_cmp_bands", "t_cmp_sigs",
                   "t_cmp_ref_bands", "t_cmp_ref_sigs"):
