@@ -739,6 +739,168 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------------------- SRP-LSH
+#
+# Signed-random-projection signatures — the LSH-bucketed embedding
+# near-dup family (the oracle-checked query form is
+# queries/llm_similarity.py::dedup_embedding_srp; these are its
+# reusable operator forms, fold + Arrow twin, for arbitrary frames).
+
+SRP_W_MOD = 2001
+SRP_W_OFF = 1000
+
+
+def srp_weight_matrix(n_bits: int, dim: int):
+    """The deterministic hyperplane matrix as numpy (n_bits x dim),
+    replaying the portable md5 hash64 arithmetic the SQL forms use:
+    w(b, j) = hash64('srp:b:j') % 2001 - 1000 — integer-valued, so
+    every engine (Spark fold, DuckDB oracle, this numpy twin) builds
+    the IDENTICAL matrix from nothing but the (b, j) indices."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((n_bits, dim), dtype=np.float64)
+    for b in range(n_bits):
+        for j in range(1, dim + 1):
+            h = int(hashlib.md5(f"srp:{b}:{j}".encode()).hexdigest()[:15], 16)
+            w[b, j - 1] = h % SRP_W_MOD - SRP_W_OFF
+    return w
+
+
+def srp_band_vals(
+    vectors: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(vec_id, band_vals array<int>) — SRP signature bands via the
+    JVM fold (whole-stage codegen, oracle-replayable arithmetic):
+    normalize, take the sign of each hyperplane projection, pack
+    big-endian into n_bands integers of n_bits/n_bands bits. Identical
+    construction to the dedup_embedding_srp query's sigs stage, except
+    the normalize divides through try_divide (the module-wide zero-norm
+    contract): a zero-norm vector's elements go NULL, every projection
+    sum goes NULL, every >= test fails, and the signature comes out
+    all-zero bands — exactly what the GEMM twin's NaN comparisons
+    produce (the query keeps the plain division the oracle replays; its
+    fixtures hold no zero vectors). The weight matrix rides in as ONE
+    broadcast row (bounded by construction: n_bits x dim integers)."""
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits={n_bits} must divide into n_bands={n_bands}")
+    band_bits = n_bits // n_bands
+    spark = vectors.sparkSession
+    first = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not first:
+        return vectors.select(
+            F.col(vec_id), F.array().cast("array<int>").alias("band_vals")
+        ).limit(0)
+    dim = first[0]["d"]
+    w = spark.sql(
+        f"""
+        SELECT transform(sequence(0, {n_bits - 1}), b ->
+                 transform(sequence(1, {dim}), j ->
+                   CAST(conv(substring(md5(concat('srp:', CAST(b AS STRING),
+                        ':', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                   % {SRP_W_MOD} - {SRP_W_OFF})) AS wm
+        """
+    )
+    src = vectors.select(
+        F.col(vec_id),
+        F.expr(
+            f"transform({vec_col}, x -> try_divide(CAST(x AS DOUBLE), "
+            f"sqrt(aggregate({vec_col}, 0.0D, (acc, e) -> "
+            f"acc + CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))"
+        ).alias("_en"),
+    )
+    return src.crossJoin(F.broadcast(w)).select(
+        vec_id,
+        F.expr(
+            f"""transform(sequence(0, {n_bands - 1}), b ->
+              aggregate(sequence(1, {band_bits}), 0, (acc, k) ->
+                acc * 2 + CASE WHEN aggregate(
+                    zip_with(_en, element_at(wm, b * {band_bits} + k),
+                             (e, wt) -> e * CAST(wt AS DOUBLE)),
+                    0.0D, (acc2, x) -> acc2 + x) >= 0.0D
+                  THEN 1 ELSE 0 END))"""
+        ).alias("band_vals"),
+    )
+
+
+def srp_band_vals_gemm(
+    vectors: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Arrow/BLAS twin of :func:`srp_band_vals` for wide dims — the
+    signature stage as ONE matmul per batch (sign(en @ W.T), then a
+    vectorized big-endian band pack), the same production swap
+    assign_buckets_gemm makes for the index build. Map-only, no
+    shuffle; the weight matrix is built on the driver from the same
+    md5 arithmetic (:func:`srp_weight_matrix`) and captured in the
+    closure (n_bits x dim doubles — KBs).
+
+    Agreement caveat (the module-wide BLAS rule): fold and BLAS sums
+    differ in the low bits, so a projection balanced within ~1e-12 of
+    zero could flip a sign between the two forms; real embeddings sit
+    far from that knife-edge (exact agreement on the fixtures,
+    test-pinned). Zero-norm vectors: 0/0 elements propagate NaN and
+    every comparison is False, so all bits come out 0 — matching the
+    fold form, where the SQL NULL sum fails the >= 0 test the same
+    way."""
+    if n_bits % n_bands:
+        raise ValueError(f"n_bits={n_bits} must divide into n_bands={n_bands}")
+    import numpy as np
+
+    band_bits = n_bits // n_bands
+    first = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not first:
+        return vectors.select(
+            F.col(vec_id), F.array().cast("array<int>").alias("band_vals")
+        ).limit(0)
+    dim = first[0]["d"]
+    wt = srp_weight_matrix(n_bits, dim).T  # dim x n_bits
+    pack = (2 ** np.arange(band_bits - 1, -1, -1)).astype(np.int64)
+
+    src = vectors.select(F.col(vec_id).alias("_vid"), F.col(vec_col).alias("_ve"))
+
+    def _sign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = _stack_vectors(np, pdf["_ve"].to_numpy(), "srp_band_vals_gemm")
+            if m.shape[1] != wt.shape[0]:
+                # a batch can be internally consistent yet disagree with
+                # the probed dimension (cross-batch raggedness) — same
+                # contract error as the in-batch check
+                raise ValueError(
+                    f"srp_band_vals_gemm requires fixed-dimension vectors "
+                    f"(embeddings-table contract); probed dim "
+                    f"{wt.shape[0]}, batch dim {m.shape[1]}"
+                )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vnorm = np.linalg.norm(m, axis=1)
+                en = (m.T / vnorm).T
+                bits = (en @ wt >= 0.0).astype(np.int64)
+            vals = bits.reshape(len(m), -1, band_bits) @ pack
+            yield pd.DataFrame(
+                {
+                    vec_id: pdf["_vid"].to_numpy(),
+                    "band_vals": [row.astype("int32") for row in vals],
+                }
+            )
+
+    id_type = dict(vectors.dtypes)[vec_id]
+    return src.mapInPandas(
+        _sign, schema=f"`{vec_id}` {id_type}, band_vals array<int>"
+    )
+
+
 def stride_centroids(corpus: DataFrame, stride: int) -> DataFrame:
     """Deterministic stride init: every ``stride``-th id becomes a seed
     centroid, keyed by its own id. A plain modulo filter on the id —

@@ -325,6 +325,184 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- SRP-LSH near-dup
+#
+# The LSH-bucketed variant of the embedding near-dup scale path (the
+# companion to dedup_embedding_cosine's IVF-bucketed blocking): 32
+# signed-random-projection bits per vector, banded 4 x 8, candidates =
+# pairs sharing a band, exact cosine verify. Hyperplane weights are
+# derived from the portable md5 hash64 (integer-valued, bit-identical
+# on both engines), so the ORACLE REPLAYS THE ENTIRE INDEX — weights,
+# signatures, banding, and verify.
+
+SRP_N_BITS = 32
+SRP_N_BANDS = 4
+SRP_BAND_BITS = 8
+SRP_W_MOD = 2001  # weights in [-1000, 1000], integer-valued doubles
+SRP_W_OFF = 1000
+SRP_THRESH = 0.9
+
+_SRP_SPARK_SQL = f"""
+WITH base AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           transform(sequence(1, size(embedding)),
+               i -> CAST(CAST(element_at(embedding, i) AS DOUBLE)
+                    + 0.02 * ((i % 3) - 1) AS FLOAT)) AS embedding
+    FROM embeddings WHERE vec_id % 20 = 0
+),
+corpus AS (
+    SELECT vec_id,
+           transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(aggregate(embedding, 0.0D,
+                   (acc, e) -> acc + CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) AS en
+    FROM base
+),
+w AS (
+    SELECT transform(sequence(0, {SRP_N_BITS - 1}), b ->
+             transform(sequence(1, d), j ->
+               CAST(conv(substring(md5(concat('srp:', CAST(b AS STRING),
+                    ':', CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT)
+               % {SRP_W_MOD} - {SRP_W_OFF})) AS wm
+    FROM (SELECT size(embedding) AS d FROM embeddings
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+),
+sigs AS (
+    -- REPARTITION before the 32 x dim signature folds: the fixture
+    -- parquet is a single row group, and fusing this CPU-dense kernel
+    -- into the scan would serialize it on one core (the narrow-scan
+    -- pattern, plans.scale.fanout_width)
+    SELECT /*+ BROADCAST(w) */ vec_id, en,
+           transform(sequence(0, {SRP_N_BANDS - 1}), b ->
+             aggregate(sequence(1, {SRP_BAND_BITS}), 0, (acc, k) ->
+               acc * 2 + CASE WHEN aggregate(
+                   zip_with(en, element_at(wm, b * {SRP_BAND_BITS} + k),
+                            (e, wt) -> e * CAST(wt AS DOUBLE)),
+                   0.0D, (acc2, x) -> acc2 + x) >= 0.0D
+                 THEN 1 ELSE 0 END)) AS band_vals
+    FROM (SELECT /*+ REPARTITION({{fan}}) */ * FROM corpus) CROSS JOIN w
+),
+bands AS (
+    SELECT vec_id, band, band_val
+    FROM sigs LATERAL VIEW posexplode(band_vals) t AS band, band_val
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val
+     AND a.vec_id < b.vec_id
+),
+sims AS (
+    SELECT id_a, id_b,
+           aggregate(zip_with(ca.en, cb.en, (x, y) -> x * y), 0.0D,
+                     (acc, v) -> acc + v) AS cosine
+    FROM cand
+    JOIN corpus ca ON ca.vec_id = id_a
+    JOIN corpus cb ON cb.vec_id = id_b
+)
+SELECT id_a, id_b, cosine FROM sims WHERE cosine >= {SRP_THRESH}
+ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "dedup_embedding_srp",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(CAST(embedding[i] AS DOUBLE)
+                        + 0.02 * ((i % 3) - 1) AS FLOAT)) AS embedding
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    corpus AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) /
+                   sqrt(list_sum(list_transform(embedding,
+                       e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) AS en
+        FROM base
+    ),
+    w AS (
+        SELECT list_transform(generate_series(0, {SRP_N_BITS - 1}), b ->
+                 list_transform(generate_series(1, d), j ->
+                   (('0x' || substr(md5('srp:' || CAST(b AS VARCHAR)
+                        || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT)
+                   % {SRP_W_MOD} - {SRP_W_OFF})) AS wm
+        FROM (SELECT len(embedding) AS d FROM embeddings
+              WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+    ),
+    sigs AS (
+        SELECT vec_id, en,
+               list_transform(generate_series(0, {SRP_N_BANDS - 1}), b ->
+                 list_sum(list_transform(generate_series(1, {SRP_BAND_BITS}), k ->
+                   CAST(pow(2, {SRP_BAND_BITS} - k) AS BIGINT) *
+                   CASE WHEN list_sum(list_transform(generate_series(1, len(en)),
+                            i -> en[i] * CAST(wm[b * {SRP_BAND_BITS} + k][i] AS DOUBLE)))
+                        >= 0.0 THEN 1 ELSE 0 END))) AS band_vals
+        FROM corpus CROSS JOIN w
+    ),
+    bands AS (
+        SELECT vec_id, i - 1 AS band, band_vals[i] AS band_val
+        FROM sigs, (SELECT unnest(generate_series(1, {SRP_N_BANDS})) AS i) t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT id_a, id_b,
+               list_sum(list_transform(generate_series(1, len(ca.en)),
+                   i -> ca.en[i] * cb.en[i])) AS cosine
+        FROM cand
+        JOIN corpus ca ON ca.vec_id = id_a
+        JOIN corpus cb ON cb.vec_id = id_b
+    )
+    SELECT id_a, id_b, cosine FROM sims WHERE cosine >= {SRP_THRESH}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH embedding near-dup — the LSH-bucketed variant of the
+    similarity scale path (companion to ``dedup_embedding_cosine``'s
+    IVF-bucketed blocking; north_star "an IVF or LSH-bucketed variant").
+
+    Blocking: each vector gets a 32-bit signed-random-projection
+    signature (sign of <en, w_b> per hyperplane), banded 4 x 8;
+    candidate pairs share at least one band value (the classic
+    SimHash/SRP pigeonhole: near-parallel vectors agree on almost
+    every sign bit, so some 8-bit band matches, while random pairs
+    collide on an 8-bit band with p = 1/256 per band). Exact cosine
+    verify over the shared-band candidates — the same mutant-injection
+    fixture as the IVF variant, where the blocked result provably
+    equals brute force (test-pinned).
+
+    Hyperplanes are NOT floats from an RNG: w(b, j) =
+    hash64('srp:b:j') % 2001 - 1000 — integer-valued, derived from the
+    repo's portable md5 hash64, so DuckDB replays the ENTIRE index
+    build bit-for-bit (weights, signature bits, band values, verify
+    cosines) and the oracle check is exact, not statistical.
+
+    Scale shape: the weight matrix is ONE broadcast row (32 x dim
+    integers, ~16 KB at dim-64 — the only nested-loop join, build
+    side bounded by construction); signatures are a map-side projection
+    (no shuffle); the band self-join is a hash join on (band,
+    band_val) carrying 4 rows per vector; the verify join
+    touches only colliding pairs. Same 100-TB contract as the text
+    LSH: no all-pairs stage anywhere. At production dims swap the
+    signature fold for an Arrow GEMM twin exactly as assign_buckets
+    did (sign(en @ W.T) in one matmul per batch).
+    """
+    ensure_views(spark, sf_dir, "embeddings")
+    from ..plans.scale import fanout_width
+
+    return spark.sql(_SRP_SPARK_SQL.format(fan=fanout_width(spark)))
+
+
 def quantize_hof_frame(emb: DataFrame) -> DataFrame:
     """The quantize projection WITHOUT the driver-contract ORDER BY —
     the map-only work shared by the registered query (which appends

@@ -239,6 +239,65 @@ def test_assign_buckets_gemm_agrees_with_fold(spark, sf_dir):
     assert gemm == fold
 
 
+def test_srp_band_vals_gemm_agrees_with_fold(spark, sf_dir):
+    """The SRP signature's BLAS twin must produce the IDENTICAL band
+    values the oracle-replayable fold produces on the fixtures (signs
+    far from the BLAS low-bit knife edge) — the agreement that lets the
+    GEMM form stand in for the dedup_embedding_srp blocking at scale.
+    Also pins the weight-matrix determinism: the numpy md5 replay must
+    equal the Spark SQL md5 arithmetic element-for-element."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        srp_band_vals,
+        srp_band_vals_gemm,
+        srp_weight_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = {r.vec_id: list(r.band_vals) for r in srp_band_vals(emb).collect()}
+    gemm = {r.vec_id: list(r.band_vals) for r in srp_band_vals_gemm(emb).collect()}
+    assert gemm == fold and fold
+    # every vector produced 4 bands of 8 bits
+    assert all(len(v) == 4 and all(0 <= x < 256 for x in v) for v in fold.values())
+    # weight determinism: numpy replay == Spark SQL md5 arithmetic
+    import numpy as np
+
+    w_np = srp_weight_matrix(2, 3)
+    w_sql = spark.sql(
+        "SELECT transform(sequence(0, 1), b -> transform(sequence(1, 3), j -> "
+        "CAST(conv(substring(md5(concat('srp:', CAST(b AS STRING), ':', "
+        "CAST(j AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000)) AS wm"
+    ).first()["wm"]
+    assert np.array_equal(w_np, np.array(w_sql, dtype=np.float64))
+
+
+def test_srp_band_vals_gemm_zero_norm_and_ragged_edges(spark):
+    """Zero-norm vectors produce all-zero bits on BOTH forms (NaN
+    comparisons are False in numpy; NULL fails >= in SQL), and a ragged
+    batch raises the _stack_vectors contract error, not a numpy one."""
+    import pytest
+
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        srp_band_vals,
+        srp_band_vals_gemm,
+    )
+
+    rows = [(1, [0.0] * 8), (2, [1.0, -1.0, 2.0, -2.0, 3.0, -3.0, 4.0, -4.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    fold = {r.vec_id: list(r.band_vals) for r in srp_band_vals(df).collect()}
+    gemm = {r.vec_id: list(r.band_vals) for r in srp_band_vals_gemm(df).collect()}
+    assert fold[1] == [0, 0, 0, 0]
+    assert gemm == fold
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="fixed-dimension"):
+        srp_band_vals_gemm(ragged).collect()
+
+
 def test_assign_buckets_gemm_empty_centroids(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -220,6 +220,57 @@ def test_dedup_embedding_cosine_is_bucketed_not_all_pairs(spark, sf_dir):
     assert got == want
 
 
+def test_dedup_embedding_srp_is_banded_not_all_pairs(spark, sf_dir):
+    """The SRP-LSH near-dup query must block by shared signature band:
+    no CartesianProduct; the only nested-loop join is the ONE-row
+    hyperplane-matrix broadcast (build side projects the `wm` weight
+    column); the band self-join and verify joins are hash joins. Recall
+    is exact at this data: the banded result equals brute force (mutant
+    pairs agree on ~99% of sign bits, so an 8-bit band always matches
+    here)."""
+    from aind_protein_data_transformation_spark.functions.vector import (
+        dot,
+        unit_normalize,
+    )
+    from aind_protein_data_transformation_spark.queries.llm_similarity import (
+        dedup_embedding_srp,
+    )
+
+    df = dedup_embedding_srp(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        # every NLJ build side must be the 1-row weight matrix
+        assert "wm" in frag.split("BroadcastExchange")[1], plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: (
+                F.element_at("embedding", i).cast("double") + 0.02 * ((i % 3) - 1)
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.select("vec_id", "embedding")
+        .unionByName(perturbed)
+        .select("vec_id", unit_normalize("embedding").alias("en"))
+    )
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("en").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("en").alias("eb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot("ea", "eb") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    got = {(r.id_a, r.id_b) for r in df.collect()}
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got == want and got
+
+
 def test_minhash_verify_plan_is_bucketed(spark, sf_dir):
     """The MinHash pipeline's pair stage must stay bucketed: no
     CartesianProduct, no nested-loop join, and the exact-Jaccard verify
