@@ -42,11 +42,13 @@ from .operators.similarity import (
     pair_cosine_batch_col,
     quantize_int8_batch,
     quantize_int8_hof,
+    srp_band_vals,
+    srp_band_vals_gemm,
 )
 
-#: The three dispatch families and the ``*_auto`` parameter each
+#: The dispatch families and the ``*_auto`` / operator parameter each
 #: calibrated value feeds.
-FAMILIES = ("quantize", "topk", "pair_cosine")
+FAMILIES = ("quantize", "topk", "pair_cosine", "srp")
 
 DEFAULT_DIMS = (64, 128, 192, 256, 384, 512, 768, 1024)
 
@@ -117,7 +119,17 @@ def calibrate_dispatch(
     ``op``: one family name or a sequence of them — ``"quantize"``
     (-> ``quantize_int8_auto(kernel_min_dim=...)``), ``"topk"``
     (-> ``brute_force_topk_auto(gemm_min_dim=...)``), ``"pair_cosine"``
-    (-> the ``ivf_topk(verify_batch=None)`` probe threshold).
+    (-> ``ivf_topk(pair_min_dim=...)``), ``"srp"`` (-> pick
+    ``srp_band_vals`` below the crossover, ``srp_band_vals_gemm``
+    at/above it). Measured caveat for ``"srp"``: unlike the other
+    three families the fold side does O(n_bits * dim) interpreted
+    multiply-adds PER ROW (32 dot products, not one), so on this
+    layout the kernel wins from dim-64 (2x) through dim-1024 (~200x;
+    the fold leg alone runs ~90s per execution at dim-1024 x 20k
+    rows) — ``kernel_min_dim`` comes back as ``min(dims)`` and the
+    fold form's value is oracle replayability, not dispatch. Sweep
+    srp on small dims (<=256) unless you are paying the fold's cost
+    deliberately.
 
     Returns ``{family: {"kernel_min_dim": int, "sweep": {dim:
     {"hof_s", "kernel_s", "winner"}}}}``. ``kernel_min_dim`` is
@@ -152,7 +164,7 @@ def calibrate_dispatch(
     for dim in dims:
         base = os.path.join(scratch_dir, f"{tag}x{dim}")
         emb = None
-        if "quantize" in ops or "topk" in ops:
+        if "quantize" in ops or "topk" in ops or "srp" in ops:
             emb = _materialize(
                 src.selectExpr(
                     "monotonically_increasing_id() AS vec_id",
@@ -187,6 +199,15 @@ def calibrate_dispatch(
                 rounds=rounds,
             )
             out["topk"]["sweep"][dim] = _verdict(res)
+        if "srp" in ops:
+            res = interleaved_ab(
+                {
+                    "hof": srp_band_vals(emb, "vec_id", "embedding"),
+                    "kernel": srp_band_vals_gemm(emb, "vec_id", "embedding"),
+                },
+                rounds=rounds,
+            )
+            out["srp"]["sweep"][dim] = _verdict(res)
         if "pair_cosine" in ops:
             from .functions.vector import dot, norm
 

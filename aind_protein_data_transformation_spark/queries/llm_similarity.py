@@ -493,9 +493,18 @@ def dedup_embedding_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no shuffle); the band self-join is a hash join on (band,
     band_val) carrying 4 rows per vector; the verify join
     touches only colliding pairs. Same 100-TB contract as the text
-    LSH: no all-pairs stage anywhere. At production dims swap the
-    signature fold for an Arrow GEMM twin exactly as assign_buckets
-    did (sign(en @ W.T) in one matmul per batch).
+    LSH: no all-pairs stage anywhere. The production signature path is
+    :func:`operators.similarity.srp_band_vals_gemm` (sign(en @ W.T) in
+    one matmul per batch, agreement-tested against the fold).
+
+    Sizing note (the honest LSH-banding scale caveat): random pairs
+    collide on an 8-bit band with p = 1/256, so expected candidate
+    volume is ~n^2 * n_bands / 2^band_bits — band_bits is a DESIGN
+    constant that must grow with log2(n) (8 bits suits the 2k-row
+    fixture; a 1e9-row corpus wants 16-20-bit bands and more of them
+    to keep recall), exactly as MinHash's band width does. The
+    per-bucket skew cap pattern (lsh_candidate_pairs(max_bucket=...))
+    applies unchanged if a degenerate embedding mass collides.
     """
     ensure_views(spark, sf_dir, "embeddings")
     from ..plans.scale import fanout_width

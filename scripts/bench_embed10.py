@@ -107,6 +107,8 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
         assign_buckets_gemm,
         ivf_topk,
         quantize_int8_batch,
+        srp_band_vals,
+        srp_band_vals_gemm,
         stride_centroids,
     )
     from aind_protein_data_transformation_spark.session import get_spark
@@ -165,6 +167,17 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
             )
             res["quantize_hof_s"] = quant["hof"]["best"]
             res["quantize_batch_s"] = quant["batch"]["best"]
+            # SRP signature build (round 8): the map-only scale path of
+            # the LSH-banded near-dup — fold vs one-matmul-per-batch
+            srp = interleaved_ab(
+                {
+                    "fold": srp_band_vals(emb),
+                    "gemm": srp_band_vals_gemm(emb),
+                },
+                rounds=3,
+            )
+            res["srp_fold_s"] = srp["fold"]["best"]
+            res["srp_gemm_s"] = srp["gemm"]["best"]
             out[tag] = res
             spark.catalog.clearCache()
     finally:
@@ -234,6 +247,8 @@ def main(argv: list[str]) -> int:
         "ivf_topk_s",
         "quantize_hof_s",
         "quantize_batch_s",
+        "srp_fold_s",
+        "srp_gemm_s",
     ):
         a, b = scaling["x1"][key], scaling["x10"][key]
         summary[f"{key}_x10_over_x1"] = round(b / a, 2) if a > 0 else None

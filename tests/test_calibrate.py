@@ -48,21 +48,50 @@ def test_crossover_rejects_unknown_family(spark):
 
 def test_calibrate_reproduces_anchored_winners(spark, tmp_path):
     """Timing-based (the helper's whole point): on this fixture layout
-    the HOF must win at dim-64 and the kernel at dim-1024 for all three
-    families — the anchors every round's measurements reproduced — and
-    the returned kernel_min_dim must route dim-64 to the HOF and
-    dim-1024 to the kernel through dispatch_by_dim."""
+    the HOF must win at dim-64 and the kernel at dim-1024 for the three
+    crossover families — the anchors every round's measurements
+    reproduced — and the returned kernel_min_dim must route dim-64 to
+    the HOF and dim-1024 to the kernel through dispatch_by_dim. The
+    srp family is excluded here: it has no hof regime (see below)."""
     res = calibrate_dispatch(
         spark,
+        op=("quantize", "topk", "pair_cosine"),
         dims=(64, 1024),
         n_rows=20_000,
         rounds=2,
         scratch_dir=str(tmp_path / "calib"),
     )
-    assert set(res) == set(FAMILIES)
+    assert set(res) == {"quantize", "topk", "pair_cosine"}
     for fam, r in res.items():
         assert r["sweep"][64]["winner"] == "hof", (fam, r["sweep"])
         assert r["sweep"][1024]["winner"] == "kernel", (fam, r["sweep"])
         cut = r["kernel_min_dim"]
         assert dispatch_by_dim(64, cut) == "hof", (fam, cut)
         assert dispatch_by_dim(1024, cut) == "kernel", (fam, cut)
+
+
+def test_calibrate_srp_kernel_everywhere(spark, tmp_path):
+    """The srp family's measured shape is DIFFERENT from the other
+    three: the fold does O(n_bits * dim) interpreted multiply-adds per
+    row (32 hyperplane dot products), so the GEMM twin wins from
+    dim-64 up (measured 2x at 64, ~200x at 1024 on this layout —
+    the 1024 point is asserted once in BENCH.md, not here, because the
+    fold leg alone costs ~90s/run). Calibration must report
+    kernel-everywhere: kernel_min_dim == min(dims), and dispatch_by_dim
+    routes even the smallest dim to the kernel."""
+    res = calibrate_dispatch(
+        spark,
+        op="srp",
+        dims=(64, 128),
+        n_rows=20_000,
+        rounds=2,
+        scratch_dir=str(tmp_path / "calib_srp"),
+    )
+    assert set(res) == {"srp"}
+    sweep = res["srp"]["sweep"]
+    assert sweep[64]["winner"] == "kernel", sweep
+    assert sweep[128]["winner"] == "kernel", sweep
+    cut = res["srp"]["kernel_min_dim"]
+    assert cut == 64, (cut, sweep)
+    assert dispatch_by_dim(64, cut) == "kernel"
+    assert set(FAMILIES) == {"quantize", "topk", "pair_cosine", "srp"}
