@@ -93,7 +93,13 @@ DRIVER_WINDOW = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # round-8 intra-round rotation: dedup_simhash rotates to the tail
+    # after seven consecutive driver greens (r1–r7) to give the new
+    # SRP-LSH embedding near-dup its first driver row; the
+    # signature-based near-dup family keeps minhash (bit-signature +
+    # banded blocking, the same machinery) plus exact/ngram in window,
+    # and simhash keeps its local oracle + property suites.
+    "dedup_embedding_srp",
     "dedup_embedding_cosine",
     # transitive closure over the LSH pairs (promoted round 4: first
     # driver row for the connected-components operator)

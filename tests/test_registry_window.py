@@ -144,10 +144,13 @@ def test_tail_components_are_covered_in_window():
         # SemDeDup-style cluster-bucketed representative keep: the
         # bucketed embedding near-dup family's in-window representative
         "dedup_semantic_keep": "dedup_embedding_cosine",
-        # SRP-LSH blocking (round 8): same embedding near-dup family,
-        # LSH-banded instead of IVF-bucketed — the in-window IVF form
-        # drives the same candidate-pair + exact-verify machinery
-        "dedup_embedding_srp": "dedup_embedding_cosine",
+        # rotated to the tail round 8 after seven consecutive driver
+        # greens (r1–r7), freeing the slot for the new SRP-LSH
+        # embedding near-dup's first driver row: simhash's
+        # bit-signature + banded-blocking machinery is the in-window
+        # minhash query's shape (and SRP itself is the sign-projection
+        # twin of the same construction)
+        "dedup_simhash": "dedup_minhash_lsh",
         # sequence packing = distributed prefix sum + explode + hash agg;
         # the running-total family's in-window representative
         "pack_sequences_fixed": "q_window_running_totals",
