@@ -46,6 +46,11 @@ Incremental index runbook (the operator lifecycle, end to end):
 doc_ids are IMMUTABLE: a changed document is a new id. There is no
 update path; compaction refuses an index where one id carries two
 different signatures.
+
+The same five-step lifecycle exists for EMBEDDING near-dup
+(operators/embedding_index.py: write/append/probe/verify/compact an
+SRP-LSH index over vectors) — one operator playbook for both text and
+embedding shards.
 """
 
 from __future__ import annotations
