@@ -185,6 +185,131 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
     return out
 
 
+def index_lifecycle(sf_dir: str, out_dir: str) -> dict:
+    """Measurement 4 (round 8): the incremental SRP index's scale
+    argument — probe cost tracks the SHARD, the batch re-run tracks
+    the CORPUS. One session; at each scale the corpus is indexed once
+    (build timed separately — it amortizes across every future shard),
+    then a FIXED copy-0 mutant shard is (a) probed against the index
+    (incremental_srp_pairs: sign the shard, join the bucketed bands,
+    verify only collisions) vs (b) answered by re-running the banded
+    batch pipeline over corpus+shard. Flat probe slope + growing batch
+    slope is the lifecycle's payoff; the pair sets are asserted EQUAL
+    on the straddling direction before timing, so both sides answer
+    the same question."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+    from aind_protein_data_transformation_spark.operators.embedding_index import (
+        _en_expr,
+        _sig_bands,
+        incremental_srp_pairs,
+        write_srp_index,
+    )
+    from aind_protein_data_transformation_spark.session import get_spark
+
+    MUT_OFFSET = 1_000_000_000  # above every scaled vec_id
+    MUT = (
+        "transform(sequence(1, size(embedding)), i -> "
+        "CAST(CAST(element_at(embedding, i) AS DOUBLE) "
+        "+ 0.02 * ((i % 3) - 1) AS FLOAT))"
+    )
+    spark = get_spark("bench-embed10-index")
+    out: dict[str, dict] = {}
+    try:
+        for tag, d in (("x1", sf_dir), ("x10", out_dir)):
+            emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
+            # fixed shard at both scales: copy-0 mutants
+            shard = (
+                emb.filter(f"vec_id % 20 = 0 AND vec_id < {OFFSET}")
+                .selectExpr(f"vec_id + {MUT_OFFSET} AS vec_id", f"{MUT} AS embedding")
+                .localCheckpoint()
+            )
+            name = f"bench_srp_idx_{tag}"
+            t0 = time.perf_counter()
+            write_srp_index(emb, name, path=f"/tmp/sparkgraft-srpidx-{tag}")
+            build_s = round(time.perf_counter() - t0, 4)
+
+            def batch_pairs():
+                both = emb.unionByName(shard)
+                bands = _sig_bands(both, "vec_id", "embedding", 32, 4, True)
+                en = both.select(
+                    "vec_id", F.expr(_en_expr("embedding")).alias("en")
+                )
+                a, b = bands.alias("a"), bands.alias("b")
+                cand = (
+                    a.join(
+                        b,
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.band_val") == F.col("b.band_val"))
+                        & (F.col("a.vec_id") >= MUT_OFFSET)
+                        & (F.col("b.vec_id") < MUT_OFFSET),
+                    )
+                    .select(
+                        F.col("a.vec_id").alias("new_id"),
+                        F.col("b.vec_id").alias("index_id"),
+                    )
+                    .distinct()
+                )
+                return (
+                    cand.join(
+                        en.select(
+                            F.col("vec_id").alias("new_id"),
+                            F.col("en").alias("en_new"),
+                        ),
+                        "new_id",
+                    )
+                    .join(
+                        en.select(
+                            F.col("vec_id").alias("index_id"),
+                            F.col("en").alias("en_idx"),
+                        ),
+                        "index_id",
+                    )
+                    .select(
+                        "new_id",
+                        "index_id",
+                        F.expr(
+                            "aggregate(zip_with(en_new, en_idx, (x, y) -> x * y), "
+                            "0.0D, (acc, v) -> acc + v)"
+                        ).alias("cosine"),
+                    )
+                    .filter("cosine >= 0.9")
+                    .groupBy("new_id", "index_id")
+                    .agg(F.max("cosine").alias("cosine"))
+                )
+
+            def probe_pairs():
+                return incremental_srp_pairs(spark, shard, name, threshold=0.9)
+
+            # both sides answer the same question (pair-set equality)
+            p = {(r.new_id, r.index_id) for r in probe_pairs().collect()}
+            bset = {(r.new_id, r.index_id) for r in batch_pairs().collect()}
+            assert p == bset and p, (tag, len(p), len(bset))
+            ab = interleaved_ab(
+                # probe rebuilt per run: its shard checkpoint is already
+                # materialized above, but the probe plan does an eager
+                # table read per construction; batch is a pure plan
+                {"probe": probe_pairs, "batch": batch_pairs},
+                rounds=4,
+            )
+            out[tag] = {
+                "corpus_rows": emb.count(),
+                "shard_rows": shard.count(),
+                "pairs": len(p),
+                "index_build_s": build_s,
+                "probe_s": ab["probe"]["best"],
+                "batch_s": ab["batch"]["best"],
+            }
+            for t in (f"{name}_bands", f"{name}_vecs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+    finally:
+        spark.stop()
+    return out
+
+
 def main(argv: list[str]) -> int:
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     out_dir = argv[2] if len(argv) > 2 else "/tmp/sparkgraft-embed10"
@@ -253,6 +378,19 @@ def main(argv: list[str]) -> int:
         a, b = scaling["x1"][key], scaling["x10"][key]
         summary[f"{key}_x10_over_x1"] = round(b / a, 2) if a > 0 else None
     print(json.dumps(summary), flush=True)
+
+    # 4) incremental index lifecycle: probe vs batch re-run
+    life = index_lifecycle(sf_dir, out_dir)
+    lsum = {"metric": "embed10_index_lifecycle", **life}
+    for key in ("probe_s", "batch_s"):
+        a, b = life["x1"][key], life["x10"][key]
+        lsum[f"{key}_x10_over_x1"] = round(b / a, 2) if a > 0 else None
+    lsum["batch_over_probe_x10"] = (
+        round(life["x10"]["batch_s"] / life["x10"]["probe_s"], 2)
+        if life["x10"]["probe_s"] > 0
+        else None
+    )
+    print(json.dumps(lsum), flush=True)
     return 0
 
 
