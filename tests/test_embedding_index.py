@@ -306,6 +306,40 @@ def test_compact_raises_on_conflicting_vectors(spark, vecs, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_zero_norm_vectors_never_pair_on_either_verify_path(spark, tmp_path):
+    """The module-wide zero-norm contract, end to end through the
+    index: a zero vector's en elements go NULL (try_divide), so the
+    fold verify's dot is NULL and the Arrow kernel's is NaN->null —
+    it can never emit a pair, on EITHER side of the probe, and neither
+    path crashes (pyarrow hands the kernel NaN for the null list
+    elements; _stack_vectors must keep accepting that)."""
+    corpus = spark.sql(
+        "SELECT id AS vec_id, CASE WHEN id = 0 THEN "
+        "transform(sequence(1, 8), i -> float(0)) ELSE "
+        "transform(sequence(1, 8), i -> float(sin(id * i + 1))) END "
+        "AS embedding FROM range(50)"
+    )
+    shard = spark.sql(
+        "SELECT id + 1000 AS vec_id, CASE WHEN id = 1 THEN "
+        "transform(sequence(1, 8), i -> float(0)) ELSE "
+        "transform(sequence(1, 8), i -> float(sin(id * i + 1) + 0.001)) "
+        "END AS embedding FROM range(50)"
+    )
+    try:
+        write_srp_index(corpus, "t_ezn", path=str(tmp_path / "ezn"))
+        fold = incremental_srp_pairs(spark, shard, "t_ezn").collect()
+        kern = incremental_srp_pairs(
+            spark, shard, "t_ezn", verify_batch=True
+        ).collect()
+        fold_set = {(r.new_id, r.index_id) for r in fold}
+        assert fold_set == {(r.new_id, r.index_id) for r in kern}
+        assert fold_set, "degenerate: no pairs at all"
+        assert not any(n == 1001 or i == 0 for n, i in fold_set)
+    finally:
+        for t in ("t_ezn_bands", "t_ezn_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_dim_mismatch_raises_instead_of_silent_drop(spark, vecs, tmp_path):
     """zip_with over mismatched lengths pads with NULL -> NULL cosine
     -> every candidate silently dropped; the index guards the dimension
