@@ -50,6 +50,14 @@ from .operators.similarity import (
 #: calibrated value feeds.
 FAMILIES = ("quantize", "topk", "pair_cosine", "srp")
 
+#: The default sweep: the three families with a real crossover to
+#: find. ``srp`` is opt-in — its fold leg costs O(n_bits * dim)
+#: interpreted work per row (~90 s/run at dim-1024 x 20k rows) and the
+#: measured verdict is kernel-everywhere, so sweeping it by default
+#: would spend ~10 minutes re-deriving a known constant; pass
+#: ``op="srp"`` (on small dims) to measure it deliberately.
+DEFAULT_FAMILIES = ("quantize", "topk", "pair_cosine")
+
 DEFAULT_DIMS = (64, 128, 192, 256, 384, 512, 768, 1024)
 
 
@@ -98,7 +106,7 @@ def _crossover(dims: Sequence[int], winners: dict[int, str]) -> int:
 def calibrate_dispatch(
     spark,
     sample_df: DataFrame | None = None,
-    op: str | Sequence[str] = FAMILIES,
+    op: str | Sequence[str] = DEFAULT_FAMILIES,
     dims: Sequence[int] = DEFAULT_DIMS,
     n_rows: int = 20_000,
     rounds: int = 2,

@@ -63,6 +63,22 @@ def sql_unit_normalize(a: str) -> str:
     return f"list_transform({a}, x -> CAST(x AS DOUBLE) / {norm})"
 
 
+def spark_try_unit_normalize_sql(a: str) -> str:
+    """Spark-SQL text form of the module-wide try_divide unit
+    normalize: a zero-norm vector's elements go NULL, so every
+    downstream projection/dot is NULL and it can never emit a pair.
+    ONE definition shared by the SRP signer fold
+    (operators/similarity.srp_band_vals) and the embedding index's
+    stored vectors (operators/embedding_index) — the signer and the
+    index's verify stage must never drift apart in op order or casts,
+    or the fold/GEMM/index agreement the tests pin silently breaks."""
+    return (
+        f"transform({a}, x -> try_divide(CAST(x AS DOUBLE), "
+        f"sqrt(aggregate({a}, 0.0D, (acc, e) -> "
+        f"acc + CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))"
+    )
+
+
 def sql_dot(a: str, b: str) -> str:
     """DuckDB twin of :func:`dot` (same left-to-right element order)."""
     return (

@@ -64,11 +64,19 @@ def interleaved_ab(
       (``len(frames) <= rounds``, i.e. at most doubling the requested
       work) — callers get at least what they asked for, and each
       candidate occupies each slot exactly ``rounds / len(frames)``
-      times. With MORE candidates than rounds (a many-query conf
+      times. Within the equalized regime the base order also REVERSES
+      every full cycle: with 3+ candidates pure rotation keeps each
+      candidate's cyclic predecessor fixed (the intra-pair warm-slot
+      bias in miniature), and alternating forward/reversed cycles
+      gives it both neighbors — fully cancelled when rounds is a
+      multiple of ``2 * len(frames)``; at exactly one cycle the
+      adjacency bias is structural (pass 2n rounds to cancel it).
+      With MORE candidates than rounds (a many-query conf
       sweep) full slot equalization would need >= len(frames) rounds,
-      so the requested count is kept and the harness instead
-      ALTERNATES DIRECTION: odd rounds run the (slow-rotating) order
-      reversed. Adjacency alone is NOT enough in this regime — round 8
+      so the requested count is kept (rounded up to EVEN — an odd
+      count would leave every pair's leading side split unevenly) and
+      the harness instead ALTERNATES DIRECTION: odd rounds run the
+      (slow-rotating) order reversed. Adjacency alone is NOT enough in this regime — round 8
       measured a ~0.1 s/query SECOND-slot advantage inside adjacent
       A/B pairs that rotation-by-one never cancels when it cannot
       complete a cycle (the AQE on/off sweep produced a fake 22%
@@ -111,11 +119,25 @@ def interleaved_ab(
     equalize = n <= rounds
     if rounds % n and equalize:
         rounds += n - rounds % n
+    if not equalize and rounds % 2:
+        # an odd round count in the alternating regime leaves every
+        # pair's leading side split (k+1)/k — half the intra-pair slot
+        # advantage would survive into best-of; +1 round is always
+        # within the round-up budget
+        rounds += 1
     for r in range(rounds):
         if equalize:
             # rotate the start position: over the rounds each candidate
-            # sits in the (warmest) last slot equally often
-            order = items[r % n :] + items[: r % n]
+            # sits in the (warmest) last slot equally often. The BASE
+            # order flips every full cycle: pure rotation keeps each
+            # candidate's cyclic predecessor FIXED for n >= 3 (b would
+            # run just after its comparison partner a in every round),
+            # re-creating the intra-pair warm-slot bias within the
+            # cycle; a reversed cycle gives it the other neighbor.
+            # Each cycle visits every slot once either way, so slot
+            # occupancy stays exactly rounds/n per candidate.
+            base = items if (r // n) % 2 == 0 else items[::-1]
+            order = base[r % n :] + base[: r % n]
         else:
             # many-candidate regime: rotate every OTHER round and run
             # odd rounds reversed, so adjacent A/B pairs swap their

@@ -542,6 +542,23 @@ def _table_num_buckets(spark, table: str) -> int:
     raise ValueError(f"{table} is not a bucketed table")
 
 
+def _table_external_location(spark, table: str) -> str | None:
+    """The table's storage location IF it is EXTERNAL (created with a
+    ``path=`` option), else None. In-place compaction must re-pass an
+    external table's own location: a plain overwrite-saveAsTable with
+    no path would silently recreate the table MANAGED in the warehouse
+    dir, leaving the stale pre-compaction files at the original
+    external path for any direct reader (and never cleaning them)."""
+    typ = loc = None
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        nm = r.col_name.strip()
+        if nm == "Type":
+            typ = (r.data_type or "").strip()
+        elif nm == "Location":
+            loc = (r.data_type or "").strip()
+    return loc if typ == "EXTERNAL" else None
+
+
 def append_minhash_shard(
     spark,
     docs: DataFrame,
@@ -684,8 +701,13 @@ def compact_minhash_index(
 
     Two modes:
 
-    - **In place** (``target=None``): overwrite ``name``'s tables. Each
-      ``overwrite`` of a plain-parquet bucketed table is a non-atomic
+    - **In place** (``target=None``): overwrite ``name``'s tables. An
+      EXTERNAL table (built with ``path=``) is rewritten AT ITS OWN
+      LOCATION (read from the catalog) so it stays external and no
+      stale pre-compaction copy is stranded at the original path —
+      without that, overwrite-saveAsTable would silently recreate the
+      table managed in the warehouse dir. Each ``overwrite`` of a
+      plain-parquet bucketed table is a non-atomic
       boundary (an ACID table format would close it), so run with the
       index quiesced; the pass is idempotent — re-running after a crash
       that lost one table's rewrite completes the compaction. The
@@ -728,26 +750,35 @@ def compact_minhash_index(
     sigs_before = sigs.count()
     comp_bands = bands.dropDuplicates(key_cols + [id_col])
     comp_sigs = sigs.dropDuplicates([id_col])
+    sig_path = f"{path}/sigs" if path else None
+    band_path = f"{path}/bands" if path else None
     if target is None:
         # in place: materialize before overwriting the source tables
         comp_bands = comp_bands.localCheckpoint()
         comp_sigs = comp_sigs.localCheckpoint()
         out = name
         mode = "overwrite"
+        # an EXTERNAL source table keeps its own location (else the
+        # rewrite would silently go MANAGED and strand the stale
+        # external files — see _table_external_location)
+        if sig_path is None:
+            sig_path = _table_external_location(spark, f"{name}_sigs")
+        if band_path is None:
+            band_path = _table_external_location(spark, f"{name}_bands")
     else:
         out = target
         mode = "errorifexists"
     sw = comp_sigs.write.mode(mode).bucketBy(n_sig_buckets, id_col)
-    if path:
-        sw = sw.option("path", f"{path}/sigs")
+    if sig_path:
+        sw = sw.option("path", sig_path)
     sw.saveAsTable(f"{out}_sigs")
     bw = (
         comp_bands.write.mode(mode)
         .bucketBy(n_band_buckets, *key_cols)
         .sortBy(*key_cols)
     )
-    if path:
-        bw = bw.option("path", f"{path}/bands")
+    if band_path:
+        bw = bw.option("path", band_path)
     bw.saveAsTable(f"{out}_bands")
     return {
         "bands_before": bands_before,

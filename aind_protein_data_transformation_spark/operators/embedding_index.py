@@ -58,14 +58,12 @@ SRP_INDEX_THRESH = 0.9
 
 
 def _en_expr(vec_col: str) -> str:
-    """Unit-normalize ``vec_col`` JVM-side (try_divide: a zero-norm
-    vector's elements go NULL, so its dot with anything is NULL and it
-    can never emit a pair — the module-wide zero-norm contract)."""
-    return (
-        f"transform({vec_col}, x -> try_divide(CAST(x AS DOUBLE), "
-        f"sqrt(aggregate({vec_col}, 0.0D, (acc, e) -> "
-        f"acc + CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))"
-    )
+    """Unit-normalize ``vec_col`` JVM-side — the SHARED try_divide
+    normalize (functions/vector.py): one definition for the signer
+    fold and the stored vectors, so they cannot drift apart."""
+    from ..functions.vector import spark_try_unit_normalize_sql
+
+    return spark_try_unit_normalize_sql(vec_col)
 
 
 def _sig_bands(
@@ -85,6 +83,43 @@ def _sig_bands(
     return sig.select(
         vec_id, F.posexplode("band_vals").alias("band", "band_val")
     )
+
+
+def _stamp_srp_params(spark, name: str, n_bits: int, n_bands: int) -> None:
+    """Record the signer geometry on the bands table — it is part of
+    the index identity (band_val collisions across different widths
+    are meaningless), so appends and probes validate against it."""
+    spark.sql(
+        f"ALTER TABLE {name}_bands SET TBLPROPERTIES "
+        f"('sparkgraft.srp.n_bits' = '{n_bits}', "
+        f"'sparkgraft.srp.n_bands' = '{n_bands}')"
+    )
+
+
+def _check_srp_params(spark, name: str, n_bits: int, n_bands: int) -> None:
+    """Raise when the caller's signer geometry disagrees with the
+    index's stamped one: a mismatched probe emits band rows for the
+    wrong band set / bit width, so candidate pairs silently go MISSING
+    instead of failing — the same silent-drop class the dimension
+    guard closes. Unstamped tables (not built by write_srp_index) pass
+    unvalidated."""
+    props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+    }
+    bits = props.get("sparkgraft.srp.n_bits")
+    bands = props.get("sparkgraft.srp.n_bands")
+    if bits is None or bands is None:
+        return
+    if (int(bits), int(bands)) != (n_bits, n_bands):
+        raise ValueError(
+            f"srp index {name!r} was built with n_bits={bits}/"
+            f"n_bands={bands} but the caller passed n_bits={n_bits}/"
+            f"n_bands={n_bands} — band values across different signer "
+            f"geometries never collide meaningfully, so the probe/append "
+            f"would silently lose near-dup pairs. Pass the index's own "
+            f"geometry (it is stamped in the bands table's properties)."
+        )
 
 
 def _table_dim(spark, name: str) -> int | None:
@@ -123,10 +158,11 @@ def write_srp_index(
 ) -> None:
     """Index ``vectors`` for incremental near-dup probes: persist the
     band and normalized-vector tables described in the module notes.
-    ``n_bits``/``n_bands`` are part of the index identity — appends and
-    probes must use the same values (band_val collisions across
-    different widths are meaningless), exactly as the minhash index
-    fixes its shingle k."""
+    ``n_bits``/``n_bands`` are part of the index identity (band_val
+    collisions across different signer geometries are meaningless), so
+    they are STAMPED into the bands table's properties and validated
+    by every append and probe — a mismatch raises instead of silently
+    losing pairs, exactly like the dimension guard."""
     bands = _sig_bands(vectors, vec_id, vec_col, n_bits, n_bands, use_gemm)
     vecs = vectors.select(F.col(vec_id), F.expr(_en_expr(vec_col)).alias("en"))
     vw = vecs.write.mode("overwrite").bucketBy(n_buckets, vec_id)
@@ -141,6 +177,7 @@ def write_srp_index(
     if path:
         bw = bw.option("path", f"{path}/bands")
     bw.saveAsTable(f"{name}_bands")
+    _stamp_srp_params(vectors.sparkSession, name, n_bits, n_bands)
 
 
 def append_srp_shard(
@@ -169,6 +206,7 @@ def append_srp_shard(
     band_buckets = _table_num_buckets(spark, f"{name}_bands")
     vec_buckets = _table_num_buckets(spark, f"{name}_vecs")
     _check_dim(spark, name, vectors, vec_col)
+    _check_srp_params(spark, name, n_bits, n_bands)
     base = vectors.select(vec_id, vec_col).localCheckpoint()
     (
         base.select(F.col(vec_id), F.expr(_en_expr(vec_col)).alias("en"))
@@ -224,8 +262,11 @@ def compact_srp_index(
 ) -> dict[str, int]:
     """Drop the duplicate rows crash re-appends accumulate — the
     :func:`compact_minhash_index` twin, with the same two modes
-    (in-place overwrite for quiesced maintenance; ``target=`` for the
-    streaming compact-into-fresh-index production shape) and the same
+    (in-place overwrite for quiesced maintenance — external tables are
+    rewritten at their own catalog location so they stay external and
+    no stale copy is stranded; ``target=`` for the
+    streaming compact-into-fresh-index production shape), the same
+    stamped-geometry preservation, and the same
     ZERO-shuffle property: both dedup keys are supersets of their
     table's bucket columns, so Catalyst plans the dropDuplicates
     without an Exchange off the bucketed reads (plan-asserted in
@@ -257,28 +298,53 @@ def compact_srp_index(
         )
     bands_before = bands.count()
     vecs_before = vecs.count()
+    # the stamped signer geometry must survive the rewrite (overwrite
+    # recreates the table without its properties)
+    src_props = {
+        r.key: r.value
+        for r in spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+        if r.key in ("sparkgraft.srp.n_bits", "sparkgraft.srp.n_bands")
+    }
     comp_bands = bands.dropDuplicates(["band", "band_val", vec_id])
     comp_vecs = vecs.dropDuplicates([vec_id])
+    vec_path = f"{path}/vecs" if path else None
+    band_path = f"{path}/bands" if path else None
     if target is None:
+        from .dedup import _table_external_location
+
         comp_bands = comp_bands.localCheckpoint()
         comp_vecs = comp_vecs.localCheckpoint()
         out = name
         mode = "overwrite"
+        # an EXTERNAL source table keeps its own location (else the
+        # rewrite silently goes MANAGED and strands the stale external
+        # files — same guard as compact_minhash_index)
+        if vec_path is None:
+            vec_path = _table_external_location(spark, f"{name}_vecs")
+        if band_path is None:
+            band_path = _table_external_location(spark, f"{name}_bands")
     else:
         out = target
         mode = "errorifexists"
     vw = comp_vecs.write.mode(mode).bucketBy(vec_buckets, vec_id)
-    if path:
-        vw = vw.option("path", f"{path}/vecs")
+    if vec_path:
+        vw = vw.option("path", vec_path)
     vw.saveAsTable(f"{out}_vecs")
     bw = (
         comp_bands.write.mode(mode)
         .bucketBy(band_buckets, "band", "band_val")
         .sortBy("band", "band_val")
     )
-    if path:
-        bw = bw.option("path", f"{path}/bands")
+    if band_path:
+        bw = bw.option("path", band_path)
     bw.saveAsTable(f"{out}_bands")
+    if len(src_props) == 2:
+        _stamp_srp_params(
+            spark,
+            out,
+            int(src_props["sparkgraft.srp.n_bits"]),
+            int(src_props["sparkgraft.srp.n_bands"]),
+        )
     return {
         "bands_before": bands_before,
         "bands_after": spark.table(f"{out}_bands").count(),
@@ -328,6 +394,7 @@ def incremental_srp_pairs(
     if verify:
         verify_srp_index(spark, name, vec_id=vec_id)
     _check_dim(spark, name, new_vectors, vec_col)
+    _check_srp_params(spark, name, n_bits, n_bands)
     if verify_batch is None:
         verify_batch = (
             dispatch_by_dim(_table_dim(spark, name), pair_min_dim) == "kernel"

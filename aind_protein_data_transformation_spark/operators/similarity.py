@@ -806,13 +806,11 @@ def srp_band_vals(
                    % {SRP_W_MOD} - {SRP_W_OFF})) AS wm
         """
     )
+    from ..functions.vector import spark_try_unit_normalize_sql
+
     src = vectors.select(
         F.col(vec_id),
-        F.expr(
-            f"transform({vec_col}, x -> try_divide(CAST(x AS DOUBLE), "
-            f"sqrt(aggregate({vec_col}, 0.0D, (acc, e) -> "
-            f"acc + CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))"
-        ).alias("_en"),
+        F.expr(spark_try_unit_normalize_sql(vec_col)).alias("_en"),
     )
     return src.crossJoin(F.broadcast(w)).select(
         vec_id,

@@ -182,13 +182,46 @@ def test_interleaved_ab_keeps_rounds_when_candidates_exceed_them():
     """The round-up is capped: with more candidates than rounds (a
     many-query conf sweep — exp_conf passes ~40 frames with rounds=3)
     equalization would need >= n rounds, a 10x+ blowup; the requested
-    round count is kept and the docstring prescribes adjacent A/B
-    construction instead."""
+    round count is kept apart from an even-bump (an odd count would
+    leave every pair's leading side split 2/1, so half the measured
+    intra-pair slot advantage would survive into best-of)."""
     from aind_protein_data_transformation_spark.measure import interleaved_ab
 
     frames = {f"c{i}": (lambda i=i: i) for i in range(7)}
     res = interleaved_ab(frames, rounds=3, warmup=0, action=lambda _t: None)
-    assert all(len(v["runs"]) == 3 for v in res.values())
+    assert all(len(v["runs"]) == 4 for v in res.values())  # even-bumped
+    res = interleaved_ab(frames, rounds=4, warmup=0, action=lambda _t: None)
+    assert all(len(v["runs"]) == 4 for v in res.values())
+
+
+def test_interleaved_ab_equalize_cycles_alternate_direction():
+    """With 3+ candidates, pure rotation keeps each candidate's cyclic
+    predecessor FIXED (b always runs just after a) — the intra-pair
+    warm-slot bias inside the equalized regime. The base order now
+    reverses every full cycle, giving each candidate both neighbors as
+    predecessors while keeping slot occupancy exactly rounds/n."""
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    ran: list[str] = []
+    frames = {k: (lambda k=k: k) for k in ("a", "b", "c")}
+    interleaved_ab(frames, rounds=6, warmup=0, action=ran.append)
+    assert ran == [
+        "a", "b", "c", "b", "c", "a", "c", "a", "b",   # forward cycle
+        "c", "b", "a", "b", "a", "c", "a", "c", "b",   # reversed cycle
+    ]
+    # slot occupancy stays exact: each candidate leads twice, ends twice
+    leads = [ran[i] for i in range(0, len(ran), 3)]
+    lasts = [ran[i + 2] for i in range(0, len(ran), 3)]
+    for k in ("a", "b", "c"):
+        assert leads.count(k) == 2 and lasts.count(k) == 2
+    # predecessor diversity: b is preceded by a in the forward cycle
+    # and by c in the reversed one (within-round adjacency)
+    pred_b = {
+        ran[i - 1]
+        for i in range(len(ran))
+        if ran[i] == "b" and i % 3 != 0
+    }
+    assert pred_b == {"a", "c"}
 
 
 def test_interleaved_ab_alternates_pair_order_when_rotation_cannot():

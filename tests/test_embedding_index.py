@@ -233,7 +233,22 @@ def test_reappend_compact_restores_single_append_counts(spark, vecs, tmp_path):
         append_srp_shard(spark, b, "t_ecmp")  # crash re-run duplicate
         before = _probe(spark, c, "t_ecmp")
         assert before, "degenerate: no cross pairs on this fixture"
+
+        def _meta(t):
+            info = {
+                r.col_name.strip(): (r.data_type or "").strip()
+                for r in spark.sql(f"DESCRIBE FORMATTED {t}").collect()
+            }
+            return info.get("Type"), info.get("Location")
+
+        loc_before = {t: _meta(t) for t in ("t_ecmp_bands", "t_ecmp_vecs")}
         stats = compact_srp_index(spark, "t_ecmp")
+        # in-place compaction of an EXTERNAL index must keep each table
+        # external AT ITS OWN LOCATION — a silent managed-table rewrite
+        # would strand the stale pre-compaction files at the path
+        for t, (typ, loc) in loc_before.items():
+            assert typ == "EXTERNAL", (t, typ)
+            assert _meta(t) == (typ, loc), t
         assert stats["bands_before"] > stats["bands_after"]
         assert stats["vecs_before"] > stats["vecs_after"]
         assert stats["bands_after"] == spark.table("t_ecmp_ref_bands").count()
@@ -303,6 +318,44 @@ def test_compact_raises_on_conflicting_vectors(spark, vecs, tmp_path):
             compact_srp_index(spark, "t_econf")
     finally:
         for t in ("t_econf_bands", "t_econf_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_signer_geometry_mismatch_raises_and_survives_compaction(spark, vecs, tmp_path):
+    """n_bits/n_bands are index identity: a probe or append with a
+    different signer geometry emits band rows that can never collide
+    meaningfully, silently losing pairs — the stamped table properties
+    turn that into an up-front error, and compaction (which recreates
+    the table) must carry the stamp forward in both modes."""
+    shard = _mutants(vecs, 10, 0, 1_000_000)
+    try:
+        write_srp_index(
+            vecs, "t_egeo", path=str(tmp_path / "egeo"), n_bits=16, n_bands=4
+        )
+        with pytest.raises(ValueError, match="n_bits=16"):
+            incremental_srp_pairs(spark, shard, "t_egeo")  # defaults 32/4
+        with pytest.raises(ValueError, match="n_bits=16"):
+            append_srp_shard(spark, shard, "t_egeo")
+        # matching geometry works
+        assert incremental_srp_pairs(
+            spark, shard, "t_egeo", n_bits=16, n_bands=4
+        ).count()
+        # the stamp survives in-place compaction...
+        compact_srp_index(spark, "t_egeo")
+        with pytest.raises(ValueError, match="n_bits=16"):
+            incremental_srp_pairs(spark, shard, "t_egeo")
+        # ...and compact-into-target
+        compact_srp_index(
+            spark, "t_egeo", target="t_egeo_v2", path=str(tmp_path / "egeo2")
+        )
+        with pytest.raises(ValueError, match="n_bits=16"):
+            incremental_srp_pairs(spark, shard, "t_egeo_v2")
+        assert incremental_srp_pairs(
+            spark, shard, "t_egeo_v2", n_bits=16, n_bands=4
+        ).count()
+    finally:
+        for t in ("t_egeo_bands", "t_egeo_vecs",
+                  "t_egeo_v2_bands", "t_egeo_v2_vecs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

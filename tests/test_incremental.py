@@ -300,7 +300,21 @@ def test_compact_restores_single_append_counts(spark, sf_dir, tmp_path):
         append_minhash_shard(spark, b, "t_cmp")  # crash re-run duplicate
         before = probe("t_cmp")
         assert before, "degenerate: no cross pairs at this sf"
+
+        def _meta(t):
+            info = {
+                r.col_name.strip(): (r.data_type or "").strip()
+                for r in spark.sql(f"DESCRIBE FORMATTED {t}").collect()
+            }
+            return info.get("Type"), info.get("Location")
+
+        loc_before = {t: _meta(t) for t in ("t_cmp_bands", "t_cmp_sigs")}
         stats = compact_minhash_index(spark, "t_cmp")
+        # in-place compaction of an EXTERNAL index keeps each table
+        # external at its own location (no stranded stale copy)
+        for t, (typ, loc) in loc_before.items():
+            assert typ == "EXTERNAL", (t, typ)
+            assert _meta(t) == (typ, loc), t
         # duplicates were really present and really removed
         assert stats["bands_before"] > stats["bands_after"]
         assert stats["sigs_before"] > stats["sigs_after"]
