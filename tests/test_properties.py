@@ -425,3 +425,60 @@ def test_pair_cosine_batch_matches_fold_property(spark, pairs):
         else:
             assert uv is not None, f"pair {k}: udf null, fold {fv}"
             assert math.isclose(uv, fv, rel_tol=1e-9, abs_tol=1e-12), (k, uv, fv)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_srp_band_vals_gemm_matches_fold_property(spark, vecs):
+    """Fuzzed agreement for the SRP signer twins: for ANY float32
+    vectors away from the sign knife edge, the one-matmul GEMM signer
+    and the oracle-parity fold produce IDENTICAL band values; zero
+    vectors stay in (both forms emit all-zero bands by contract).
+    Knife-edge inputs — a hyperplane projection balanced within float
+    rounding of zero, where fold-vs-BLAS low-bit order can legitimately
+    flip the sign — are assumed away, exactly the scope the module
+    docstring claims (real embeddings sit far from the edge)."""
+    from hypothesis import assume
+
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        srp_band_vals,
+        srp_band_vals_gemm,
+        srp_weight_matrix,
+    )
+
+    m = np.array(vecs, dtype=np.float32).astype(np.float64)
+    w = srp_weight_matrix(32, 4)
+    norms = np.linalg.norm(m, axis=1)
+    nz = norms > 0
+    if nz.any():
+        en = m[nz] / norms[nz][:, None]
+        proj = en @ w.T
+        assume(float(np.abs(proj).min()) > 1e-9)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    fold = {r.vec_id: list(r.band_vals) for r in srp_band_vals(emb).collect()}
+    gemm = {
+        r.vec_id: list(r.band_vals) for r in srp_band_vals_gemm(emb).collect()
+    }
+    assert gemm == fold
+    # zero vectors really do come out all-zero bands on both paths
+    for i in np.where(~nz)[0]:
+        assert fold[int(i)] == [0, 0, 0, 0], fold[int(i)]
