@@ -117,14 +117,17 @@ def interleaved_ab(
     # infeasible to equalize when n > rounds — keep the requested count
     # and alternate direction instead (the intra-pair slot fix)
     equalize = n <= rounds
-    if rounds % n and equalize:
-        rounds += n - rounds % n
     if not equalize and rounds % 2:
         # an odd round count in the alternating regime leaves every
         # pair's leading side split (k+1)/k — half the intra-pair slot
         # advantage would survive into best-of; +1 round is always
-        # within the round-up budget
+        # within the round-up budget. The bump can make full
+        # equalization feasible (n == rounds after it) — prefer the
+        # strictly better exact-rotation schedule when it is.
         rounds += 1
+        equalize = n <= rounds
+    if rounds % n and equalize:
+        rounds += n - rounds % n
     for r in range(rounds):
         if equalize:
             # rotate the start position: over the rounds each candidate

@@ -750,9 +750,17 @@ def compact_minhash_index(
     sigs_before = sigs.count()
     comp_bands = bands.dropDuplicates(key_cols + [id_col])
     comp_sigs = sigs.dropDuplicates([id_col])
-    sig_path = f"{path}/sigs" if path else None
-    band_path = f"{path}/bands" if path else None
     if target is None:
+        if path is not None:
+            raise ValueError(
+                "compact_minhash_index: path= is only meaningful with "
+                "target= — in-place compaction always rewrites each "
+                "table at its own catalog location (external stays at "
+                "its path, managed stays managed); rewriting in place "
+                "to a DIFFERENT path would strand the stale "
+                "pre-compaction files at the old location for any "
+                "direct reader. Compact into a target to relocate."
+            )
         # in place: materialize before overwriting the source tables
         comp_bands = comp_bands.localCheckpoint()
         comp_sigs = comp_sigs.localCheckpoint()
@@ -761,13 +769,13 @@ def compact_minhash_index(
         # an EXTERNAL source table keeps its own location (else the
         # rewrite would silently go MANAGED and strand the stale
         # external files — see _table_external_location)
-        if sig_path is None:
-            sig_path = _table_external_location(spark, f"{name}_sigs")
-        if band_path is None:
-            band_path = _table_external_location(spark, f"{name}_bands")
+        sig_path = _table_external_location(spark, f"{name}_sigs")
+        band_path = _table_external_location(spark, f"{name}_bands")
     else:
         out = target
         mode = "errorifexists"
+        sig_path = f"{path}/sigs" if path else None
+        band_path = f"{path}/bands" if path else None
     sw = comp_sigs.write.mode(mode).bucketBy(n_sig_buckets, id_col)
     if sig_path:
         sw = sw.option("path", sig_path)

@@ -165,10 +165,14 @@ def write_srp_index(
     losing pairs, exactly like the dimension guard."""
     bands = _sig_bands(vectors, vec_id, vec_col, n_bits, n_bands, use_gemm)
     vecs = vectors.select(F.col(vec_id), F.expr(_en_expr(vec_col)).alias("en"))
-    vw = vecs.write.mode("overwrite").bucketBy(n_buckets, vec_id)
-    if path:
-        vw = vw.option("path", f"{path}/vecs")
-    vw.saveAsTable(f"{name}_vecs")
+    # build order: bands -> stamp -> vecs. A fresh build that crashes
+    # anywhere before the LAST write leaves the vecs table missing, so
+    # every partial state fails LOUDLY (probes can't read {name}_vecs;
+    # verify_srp_index raises) — in particular a complete-LOOKING index
+    # whose geometry stamp is missing (which would silently bypass
+    # _check_srp_params' unstamped pass) cannot be produced by a crash
+    # in this function. (Appends order vecs-first for the opposite
+    # reason — there the benign partial state is the goal.)
     bw = (
         bands.write.mode("overwrite")
         .bucketBy(n_buckets, "band", "band_val")
@@ -178,6 +182,10 @@ def write_srp_index(
         bw = bw.option("path", f"{path}/bands")
     bw.saveAsTable(f"{name}_bands")
     _stamp_srp_params(vectors.sparkSession, name, n_bits, n_bands)
+    vw = vecs.write.mode("overwrite").bucketBy(n_buckets, vec_id)
+    if path:
+        vw = vw.option("path", f"{path}/vecs")
+    vw.saveAsTable(f"{name}_vecs")
 
 
 def append_srp_shard(
@@ -307,9 +315,16 @@ def compact_srp_index(
     }
     comp_bands = bands.dropDuplicates(["band", "band_val", vec_id])
     comp_vecs = vecs.dropDuplicates([vec_id])
-    vec_path = f"{path}/vecs" if path else None
-    band_path = f"{path}/bands" if path else None
     if target is None:
+        if path is not None:
+            raise ValueError(
+                "compact_srp_index: path= is only meaningful with "
+                "target= — in-place compaction always rewrites each "
+                "table at its own catalog location; rewriting in place "
+                "to a DIFFERENT path would strand the stale "
+                "pre-compaction files at the old location. Compact "
+                "into a target to relocate."
+            )
         from .dedup import _table_external_location
 
         comp_bands = comp_bands.localCheckpoint()
@@ -319,17 +334,16 @@ def compact_srp_index(
         # an EXTERNAL source table keeps its own location (else the
         # rewrite silently goes MANAGED and strands the stale external
         # files — same guard as compact_minhash_index)
-        if vec_path is None:
-            vec_path = _table_external_location(spark, f"{name}_vecs")
-        if band_path is None:
-            band_path = _table_external_location(spark, f"{name}_bands")
+        vec_path = _table_external_location(spark, f"{name}_vecs")
+        band_path = _table_external_location(spark, f"{name}_bands")
     else:
         out = target
         mode = "errorifexists"
-    vw = comp_vecs.write.mode(mode).bucketBy(vec_buckets, vec_id)
-    if vec_path:
-        vw = vw.option("path", vec_path)
-    vw.saveAsTable(f"{out}_vecs")
+        vec_path = f"{path}/vecs" if path else None
+        band_path = f"{path}/bands" if path else None
+    # same bands -> stamp -> vecs ordering as write_srp_index: a
+    # target-mode crash before the LAST write leaves the target's vecs
+    # table missing (loud), never a complete-looking unstamped index
     bw = (
         comp_bands.write.mode(mode)
         .bucketBy(band_buckets, "band", "band_val")
@@ -345,6 +359,10 @@ def compact_srp_index(
             int(src_props["sparkgraft.srp.n_bits"]),
             int(src_props["sparkgraft.srp.n_bands"]),
         )
+    vw = comp_vecs.write.mode(mode).bucketBy(vec_buckets, vec_id)
+    if vec_path:
+        vw = vw.option("path", vec_path)
+    vw.saveAsTable(f"{out}_vecs")
     return {
         "bands_before": bands_before,
         "bands_after": spark.table(f"{out}_bands").count(),

@@ -202,6 +202,7 @@ def index_lifecycle(sf_dir: str, out_dir: str) -> dict:
     from aind_protein_data_transformation_spark.catalog import load_table
     from aind_protein_data_transformation_spark.measure import interleaved_ab
     from aind_protein_data_transformation_spark.operators.embedding_index import (
+        SRP_INDEX_THRESH,
         _en_expr,
         _sig_bands,
         incremental_srp_pairs,
@@ -209,6 +210,11 @@ def index_lifecycle(sf_dir: str, out_dir: str) -> dict:
     )
     from aind_protein_data_transformation_spark.session import get_spark
 
+    # ONE definition of the signer geometry + threshold for index,
+    # probe, and the batch twin — a library-default retune cannot
+    # desynchronize the two sides of the pair-set equality assert
+    N_BITS, N_BANDS = 32, 4
+    THRESH = SRP_INDEX_THRESH
     MUT_OFFSET = 1_000_000_000  # above every scaled vec_id
     MUT = (
         "transform(sequence(1, size(embedding)), i -> "
@@ -228,12 +234,18 @@ def index_lifecycle(sf_dir: str, out_dir: str) -> dict:
             )
             name = f"bench_srp_idx_{tag}"
             t0 = time.perf_counter()
-            write_srp_index(emb, name, path=f"/tmp/sparkgraft-srpidx-{tag}")
+            write_srp_index(
+                emb,
+                name,
+                path=f"/tmp/sparkgraft-srpidx-{tag}",
+                n_bits=N_BITS,
+                n_bands=N_BANDS,
+            )
             build_s = round(time.perf_counter() - t0, 4)
 
             def batch_pairs():
                 both = emb.unionByName(shard)
-                bands = _sig_bands(both, "vec_id", "embedding", 32, 4, True)
+                bands = _sig_bands(both, "vec_id", "embedding", N_BITS, N_BANDS, True)
                 en = both.select(
                     "vec_id", F.expr(_en_expr("embedding")).alias("en")
                 )
@@ -275,13 +287,16 @@ def index_lifecycle(sf_dir: str, out_dir: str) -> dict:
                             "0.0D, (acc, v) -> acc + v)"
                         ).alias("cosine"),
                     )
-                    .filter("cosine >= 0.9")
+                    .filter(f"cosine >= {THRESH}")
                     .groupBy("new_id", "index_id")
                     .agg(F.max("cosine").alias("cosine"))
                 )
 
             def probe_pairs():
-                return incremental_srp_pairs(spark, shard, name, threshold=0.9)
+                return incremental_srp_pairs(
+                    spark, shard, name, threshold=THRESH,
+                    n_bits=N_BITS, n_bands=N_BANDS,
+                )
 
             # both sides answer the same question (pair-set equality)
             p = {(r.new_id, r.index_id) for r in probe_pairs().collect()}

@@ -178,7 +178,7 @@ def test_interleaved_ab_rounds_up_for_equal_slot_occupancy():
     assert last_slots.count("a") == last_slots.count("b") == 3
 
 
-def test_interleaved_ab_keeps_rounds_when_candidates_exceed_them():
+def test_interleaved_ab_even_bumps_rounds_when_candidates_exceed_them():
     """The round-up is capped: with more candidates than rounds (a
     many-query conf sweep — exp_conf passes ~40 frames with rounds=3)
     equalization would need >= n rounds, a 10x+ blowup; the requested
@@ -192,6 +192,25 @@ def test_interleaved_ab_keeps_rounds_when_candidates_exceed_them():
     assert all(len(v["runs"]) == 4 for v in res.values())  # even-bumped
     res = interleaved_ab(frames, rounds=4, warmup=0, action=lambda _t: None)
     assert all(len(v["runs"]) == 4 for v in res.values())
+
+
+def test_interleaved_ab_even_bump_prefers_equalization_when_feasible():
+    """When the even-bump lifts the round count to exactly the
+    candidate count, the strictly better exact-rotation schedule is
+    used instead of the alternating fallback: 4 candidates at rounds=3
+    get 4 equalized rounds — each candidate leads once and takes the
+    warm last slot once."""
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+
+    ran: list[str] = []
+    frames = {k: (lambda k=k: k) for k in ("a", "b", "c", "d")}
+    res = interleaved_ab(frames, rounds=3, warmup=0, action=ran.append)
+    assert all(len(v["runs"]) == 4 for v in res.values())
+    rounds_run = [ran[i : i + 4] for i in range(0, len(ran), 4)]
+    leads = [rnd[0] for rnd in rounds_run]
+    lasts = [rnd[-1] for rnd in rounds_run]
+    assert sorted(leads) == ["a", "b", "c", "d"], rounds_run
+    assert sorted(lasts) == ["a", "b", "c", "d"], rounds_run
 
 
 def test_interleaved_ab_equalize_cycles_alternate_direction():

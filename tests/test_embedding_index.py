@@ -261,6 +261,10 @@ def test_reappend_compact_restores_single_append_counts(spark, vecs, tmp_path):
         stats2 = compact_srp_index(spark, "t_ecmp")
         assert stats2["bands_before"] == stats2["bands_after"]
         assert stats2["vecs_before"] == stats2["vecs_after"]
+        # in-place mode rejects a divergent path (it would strand the
+        # stale files at the catalog location)
+        with pytest.raises(ValueError, match="only meaningful with target"):
+            compact_srp_index(spark, "t_ecmp", path=str(tmp_path / "other"))
         # zero-shuffle: dedup keys are supersets of the bucket columns
         for tbl, keys in (
             ("t_ecmp_bands", ["band", "band_val", "vec_id"]),

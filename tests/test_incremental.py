@@ -329,6 +329,10 @@ def test_compact_restores_single_append_counts(spark, sf_dir, tmp_path):
         stats2 = compact_minhash_index(spark, "t_cmp")
         assert stats2["bands_before"] == stats2["bands_after"]
         assert stats2["sigs_before"] == stats2["sigs_after"]
+        # in-place mode rejects a divergent path (it would strand the
+        # stale files at the catalog location)
+        with pytest.raises(ValueError, match="only meaningful with target"):
+            compact_minhash_index(spark, "t_cmp", path=str(tmp_path / "o"))
         # scale shape: the dedup keys are supersets of the bucket
         # columns, so the bucketed reads satisfy the aggregation's
         # clustering requirement and compaction shuffles NOTHING
