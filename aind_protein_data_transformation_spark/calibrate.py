@@ -22,7 +22,10 @@ Measurement hygiene: each dim's input is MATERIALIZED to parquet before
 either candidate is timed, so vector-resizing cost is outside both
 timed plans, and the write preserves the source frame's partition
 count — the file-count/partition shape round 7 showed moves the
-crossover. With ``sample_df`` the ladder inherits the caller's own
+crossover. Every candidate is timed through the CALLABLE form (plan
+rebuilt per run), so eager construction work — the GEMM twins' driver
+collects and weight-matrix builds, the folds' dim probes — is billed
+inside the window on both sides, exactly as a production call pays it. With ``sample_df`` the ladder inherits the caller's own
 layout (their sample, re-dimensioned by JVM-side tiling); without it a
 synthetic corpus at the session's default parallelism stands in.
 """
@@ -60,6 +63,14 @@ DEFAULT_FAMILIES = ("quantize", "topk", "pair_cosine")
 
 DEFAULT_DIMS = (64, 128, 192, 256, 384, 512, 768, 1024)
 
+#: kernel_min_dim sentinel when the kernel never stably won: dispatch
+#: must stay on the HOF at EVERY dim, including dims far beyond the
+#: tested ladder — ``2 * max(dims)`` (the old sentinel) silently
+#: re-enabled the kernel for a dim-4096 caller whose calibration saw
+#: it LOSE everywhere up to 1024. An extrapolated flip the calibration
+#: never observed is exactly what this module exists to prevent.
+KERNEL_NEVER = 1 << 31
+
 
 def _resize_expr(vec_col: str, dim: int) -> str:
     """JVM-side tiling of an existing vector column to ``dim`` floats
@@ -85,8 +96,10 @@ def _crossover(dims: Sequence[int], winners: dict[int, str]) -> int:
     dim, bracketed to the midpoint with the last hof-winning dim below
     it (the rule that produced 544 from the round-7 512/576 bracket).
 
-    - kernel never stably wins -> ``2 * max(dims)``: the dispatch stays
-      on the HOF across (and safely beyond) the tested range;
+    - kernel never stably wins -> :data:`KERNEL_NEVER`: the dispatch
+      stays on the HOF at every dim, however far beyond the tested
+      range — a finite multiple of max(dims) would extrapolate a
+      kernel flip the calibration never observed;
     - kernel wins everywhere -> ``min(dims)``.
     """
     cut = None
@@ -96,7 +109,7 @@ def _crossover(dims: Sequence[int], winners: dict[int, str]) -> int:
         else:
             break
     if cut is None:
-        return 2 * max(dims)
+        return KERNEL_NEVER
     below = [d for d in dims if d < cut]
     if not below:
         return min(dims)
@@ -141,9 +154,9 @@ def calibrate_dispatch(
 
     Returns ``{family: {"kernel_min_dim": int, "sweep": {dim:
     {"hof_s", "kernel_s", "winner"}}}}``. ``kernel_min_dim`` is
-    ``2 * max(dims)`` when the kernel never stably won (dispatch stays
-    on the HOF over the tested range) and ``min(dims)`` when it always
-    won. Scratch parquet stays under ``scratch_dir`` (overwritten per
+    :data:`KERNEL_NEVER` when the kernel never stably won (dispatch
+    stays on the HOF at every dim — no extrapolated flip beyond the
+    tested range) and ``min(dims)`` when it always won. Scratch parquet stays under ``scratch_dir`` (overwritten per
     call, safe to delete).
 
     Cost: ~(warmup + rounds rounded up to a multiple of 2) executions
@@ -181,10 +194,17 @@ def calibrate_dispatch(
                 f"{base}-emb.parquet",
             )
         if "quantize" in ops:
+            # every candidate goes through the CALLABLE form: the plan
+            # is rebuilt each run, so eager driver-side construction
+            # work (dim probes, weight-matrix builds, query collects)
+            # is billed INSIDE the timed window on BOTH sides — the
+            # measure.py eager-plan rule. Prepared frames prepaid the
+            # kernel twins' collects outside the timings, shaving the
+            # kernel side near the knife edge (review finding).
             res = interleaved_ab(
                 {
-                    "hof": quantize_int8_hof(emb),
-                    "kernel": quantize_int8_batch(emb),
+                    "hof": lambda e=emb: quantize_int8_hof(e),
+                    "kernel": lambda e=emb: quantize_int8_batch(e),
                 },
                 rounds=rounds,
             )
@@ -201,8 +221,10 @@ def calibrate_dispatch(
             )
             res = interleaved_ab(
                 {
-                    "hof": brute_force_topk(qdf, corpus, k=k),
-                    "kernel": brute_force_topk_gemm(qdf, corpus, k=k),
+                    "hof": lambda q=qdf, c=corpus: brute_force_topk(q, c, k=k),
+                    "kernel": lambda q=qdf, c=corpus: brute_force_topk_gemm(
+                        q, c, k=k
+                    ),
                 },
                 rounds=rounds,
             )
@@ -210,8 +232,10 @@ def calibrate_dispatch(
         if "srp" in ops:
             res = interleaved_ab(
                 {
-                    "hof": srp_band_vals(emb, "vec_id", "embedding"),
-                    "kernel": srp_band_vals_gemm(emb, "vec_id", "embedding"),
+                    "hof": lambda e=emb: srp_band_vals(e, "vec_id", "embedding"),
+                    "kernel": lambda e=emb: srp_band_vals_gemm(
+                        e, "vec_id", "embedding"
+                    ),
                 },
                 rounds=rounds,
             )
@@ -227,19 +251,26 @@ def calibrate_dispatch(
                 ),
                 f"{base}-pairs.parquet",
             )
-            fold = pairs.select(
-                "pair_id",
-                F.try_divide(dot("qe", "ce"), norm("qe") * norm("ce")).alias(
-                    "cosine"
-                ),
-            )
-            raw = pairs.select(
-                "pair_id",
-                pair_cosine_batch_col()(F.col("qe"), F.col("ce")).alias("_r"),
-            ).selectExpr(
-                "pair_id", "IF(isnan(_r), CAST(NULL AS DOUBLE), _r) AS cosine"
-            )
-            res = interleaved_ab({"hof": fold, "kernel": raw}, rounds=rounds)
+            def _fold(p=pairs):
+                return p.select(
+                    "pair_id",
+                    F.try_divide(
+                        dot("qe", "ce"), norm("qe") * norm("ce")
+                    ).alias("cosine"),
+                )
+
+            def _raw(p=pairs):
+                return p.select(
+                    "pair_id",
+                    pair_cosine_batch_col()(F.col("qe"), F.col("ce")).alias(
+                        "_r"
+                    ),
+                ).selectExpr(
+                    "pair_id",
+                    "IF(isnan(_r), CAST(NULL AS DOUBLE), _r) AS cosine",
+                )
+
+            res = interleaved_ab({"hof": _fold, "kernel": _raw}, rounds=rounds)
             out["pair_cosine"]["sweep"][dim] = _verdict(res)
 
     for o in ops:

@@ -722,7 +722,12 @@ def compact_minhash_index(
       read-dedup-bucketed-write with no checkpoint and no overwrite
       window; the operator swaps probes to the target (and drops the
       source) once the build is verified. Probe equivalence between
-      source and target is pinned by test.
+      source and target is pinned by test. Crash recovery in this
+      mode: the writes use ``errorifexists``, so a crash between the
+      two target writes leaves a half-built target a re-run REFUSES
+      to overwrite — DROP both ``{target}_*`` tables and re-run (the
+      source is untouched throughout, nothing is lost); never swap a
+      target into service before its build completed.
 
     Returns row counts: ``{"bands_before", "bands_after",
     "sigs_before", "sigs_after"}``.

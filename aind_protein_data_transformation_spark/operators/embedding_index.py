@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.vector import spark_dot_sql
 from .similarity import (
     PAIR_COSINE_UDF_MIN_DIM,
     dispatch_by_dim,
@@ -273,7 +274,10 @@ def compact_srp_index(
     (in-place overwrite for quiesced maintenance — external tables are
     rewritten at their own catalog location so they stay external and
     no stale copy is stranded; ``target=`` for the
-    streaming compact-into-fresh-index production shape), the same
+    streaming compact-into-fresh-index production shape; a crash mid
+    target build leaves a half-built target a re-run refuses to
+    overwrite — drop both ``{target}_*`` tables and re-run, the source
+    is untouched throughout), the same
     stamped-geometry preservation, and the same
     ZERO-shuffle property: both dedup keys are supersets of their
     table's bucket columns, so Catalyst plans the dropDuplicates
@@ -455,10 +459,7 @@ def incremental_srp_pairs(
         scored = paired.select(
             "new_id",
             "index_id",
-            F.expr(
-                "aggregate(zip_with(en_new, en_idx, (x, y) -> x * y), "
-                "0.0D, (acc, v) -> acc + v)"
-            ).alias("cosine"),
+            F.expr(spark_dot_sql("en_new", "en_idx")).alias("cosine"),
         )
     return (
         scored.filter(F.col("cosine") >= threshold)

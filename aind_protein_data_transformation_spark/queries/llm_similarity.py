@@ -23,6 +23,8 @@ from ..functions.vector import (
 )
 from ..plans.scale import sorted_small
 from ..operators.similarity import (
+    SRP_W_MOD,
+    SRP_W_OFF,
     assign_buckets,
     centroid_update_exact,
     ivf_topk,
@@ -338,8 +340,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 SRP_N_BITS = 32
 SRP_N_BANDS = 4
 SRP_BAND_BITS = 8
-SRP_W_MOD = 2001  # weights in [-1000, 1000], integer-valued doubles
-SRP_W_OFF = 1000
+# SRP_W_MOD / SRP_W_OFF (weights in [-1000, 1000], integer-valued) are
+# imported from operators.similarity — ONE definition for the query's
+# oracle-replayed hyperplanes and the operator signers / persisted
+# indexes, so a retune cannot desynchronize them.
 SRP_THRESH = 0.9
 
 _SRP_SPARK_SQL = f"""

@@ -201,6 +201,9 @@ def index_lifecycle(sf_dir: str, out_dir: str) -> dict:
 
     from aind_protein_data_transformation_spark.catalog import load_table
     from aind_protein_data_transformation_spark.measure import interleaved_ab
+    from aind_protein_data_transformation_spark.functions.vector import (
+        spark_dot_sql,
+    )
     from aind_protein_data_transformation_spark.operators.embedding_index import (
         SRP_INDEX_THRESH,
         _en_expr,
@@ -283,8 +286,7 @@ def index_lifecycle(sf_dir: str, out_dir: str) -> dict:
                         "new_id",
                         "index_id",
                         F.expr(
-                            "aggregate(zip_with(en_new, en_idx, (x, y) -> x * y), "
-                            "0.0D, (acc, v) -> acc + v)"
+                            spark_dot_sql("en_new", "en_idx")
                         ).alias("cosine"),
                     )
                     .filter(f"cosine >= {THRESH}")

@@ -26,8 +26,13 @@ def test_crossover_bracketing_rule():
     assert _crossover((64, 512, 576, 1024), {
         64: "hof", 512: "hof", 576: "kernel", 1024: "kernel"
     }) == 544
-    # kernel never stably wins -> sentinel above the tested range
-    assert _crossover(DIMS, {d: "hof" for d in DIMS}) == 2048
+    # kernel never stably wins -> the never-dispatch sentinel, NOT a
+    # finite multiple of max(dims): a dim-4096 caller must not inherit
+    # an extrapolated kernel flip the calibration never observed
+    from aind_protein_data_transformation_spark.calibrate import KERNEL_NEVER
+
+    assert _crossover(DIMS, {d: "hof" for d in DIMS}) == KERNEL_NEVER
+    assert dispatch_by_dim(4096, KERNEL_NEVER) == "hof"
     # kernel wins everywhere -> dispatch kernel from the smallest dim
     assert _crossover(DIMS, {d: "kernel" for d in DIMS}) == 64
     # non-monotone noise below the stable run is ignored: the cut is
