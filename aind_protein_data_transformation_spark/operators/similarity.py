@@ -34,25 +34,30 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import dot, norm
 
-#: Measured crossover for exact cosine top-k (scripts/exp_topk_gemm.py,
-#: 20k corpus, 5 queries, interleaved protocol): parity at dim-256
-#: (0.632s vs 0.632s), GEMM 1.8x at dim-512, 2.3x at dim-768, 1.4x at
-#: dim-1024. Lower than the quantize crossover (QUANTIZE_KERNEL_MIN_DIM,
-#: 544): the top-k HOF pays three folds per query x corpus pair, so its
-#: interpreted cost crosses the Arrow cost sooner.
-TOPK_GEMM_MIN_DIM = 256
+#: Measured crossover for exact cosine top-k, re-anchored late round 8
+#: under the FAIR calibration protocol (calibrate_dispatch with every
+#: candidate in interleaved_ab's callable form, so the GEMM side's
+#: driver collect + matrix build is billed per run: 20k corpus, 5
+#: queries): hof wins dim-64/128, GEMM from dim-192 (1.33x) through
+#: dim-1024 (3.3x) -> bracket midpoint 160. (The earlier 256 came from
+#: exp_topk_gemm.py's prepared-frame protocol.) Lower than the
+#: quantize crossover: the top-k HOF pays three folds per query x
+#: corpus pair, so its interpreted cost crosses the Arrow cost sooner.
+TOPK_GEMM_MIN_DIM = 160
 
 
 #: Measured crossover for the PAIRWISE cosine projection (the IVF
 #: verify stage: one cosine per already-joined (qe, ce) row —
 #: scripts/exp_pair_cosine.py, 100k pairs, interleaved protocol). The
 #: fold pays three aggregates per row while the batch UDF ships two
-#: vectors per row for one fused einsum; measured: fold wins at
-#: dim-64 (1.9x) and dim-128 (1.4x), the UDF wins from dim-256 up
-#: (1.09x there, ~2x at dim-512). 192 splits the measured bracket —
-#: lower than the quantize crossover (544) because of the three folds,
-#: in line with the top-k crossover (256).
-PAIR_COSINE_UDF_MIN_DIM = 192
+#: vectors per row for one fused einsum. Re-anchored late round 8
+#: under the fair callable-billing protocol at the same 100k-pair
+#: volume: fold wins dim-64 (1.23x), the UDF from dim-128 (1.05x)
+#: through dim-1024 (2x) -> bracket midpoint 96. (The earlier 192 came
+#: from exp_pair_cosine.py's prepared-frame protocol.) Volume caveat
+#: unchanged: at 20k pairs the crossover sits ~900 (BENCH.md round 8)
+#: — callers off this volume should calibrate_dispatch their own.
+PAIR_COSINE_UDF_MIN_DIM = 96
 
 
 def dispatch_by_dim(dim: int | None, kernel_min_dim: int) -> str:
@@ -484,16 +489,18 @@ def quantize_int8_hof(
 #: higher-order projection wins at narrow dims (whole-stage codegen, no
 #: Arrow transfer), the batch kernel wins at wide ones (the interpreted
 #: fold's n*dim cost crosses the near-flat Arrow cost). The round-7
-#: sweep (20k vectors, 32-part layout, interleaved protocol) measured
-#: HOF winning through dim-512 (0.32s vs 0.40s) and the kernel winning
-#: from dim-576 up (parity there, 1.45x at dim-1024); 544 splits the
-#: measured bracket. The crossover is layout- and cluster-dependent
+#: sweep, re-anchored late round 8 under the fair callable-billing
+#: protocol (20k vectors, 32-part layout): HOF through dim-384, kernel
+#: from dim-512 (1.15x there, 1.6x at dim-1024) -> bracket midpoint
+#: 448 (round 7's prepared-frame sweep had said 544; the fair per-run
+#: billing and session moved the bracket one rung down).
+#: The crossover is layout- and cluster-dependent
 #: (round 6's 10-file layout measured a much larger kernel win at
 #: dim-1024) — callers who measured their own should override
 #: ``kernel_min_dim``; the dispatch errs toward the HOF, which is never
 #: catastrophically wrong, while the kernel pays Arrow transfer for
 #: nothing at narrow dims.
-QUANTIZE_KERNEL_MIN_DIM = 544
+QUANTIZE_KERNEL_MIN_DIM = 448
 
 
 def quantize_dispatch_dim(
