@@ -47,7 +47,12 @@ DRIVER_WINDOW = [
     # its family keeps q3_shipping_priority in-window plus the local
     # outer-join twins. In: pyramid_channel_stats (§2A A12) — the one
     # oracle-backed array-layer row never driver-confirmed in any round.
-    "q_theta_join_price_band",
+    # round-9 rotation (VERDICT round 8 #2): q_theta_join_price_band
+    # rotates to the tail after eight consecutive driver greens (r1–r8);
+    # the non-equi/range-join machinery keeps the in-window as-of join
+    # (time-range matching over the same events data). In:
+    # pack_sequences_fixed — the distributed-prefix-sum operator's first
+    # driver exposure in nine rounds.
     # set ops / grouping
     "q_set_ops_customer_segments",
     "q_rollup_region_nation_revenue",
@@ -73,7 +78,13 @@ DRIVER_WINDOW = [
     "q_date_functions",
     "q_math_functions",
     "q_conditional_price_bands",
-    "q_json_functions",
+    # round-9 rotation (VERDICT round 8 #2): q_json_functions rotates to
+    # the tail after seven consecutive driver greens (r2–r8); the
+    # nested-JSON/map scalar family keeps its local oracle suite and the
+    # scalar-pack projection-over-scan shape keeps date/math/conditional
+    # in window. In: embedding_quantize_int8 — the dim-dispatched
+    # HOF/kernel quantize family's first driver row in nine rounds.
+    "embedding_quantize_int8",
     # round-6 rotation (VERDICT round 5 #1): the two §2B rows never
     # driver-confirmed in any round get their first driver exposure —
     # the corr/covar/regr co-moment aggregates and the UNPIVOT half of
@@ -120,9 +131,18 @@ DRIVER_WINDOW = [
     # agg, keep 6+ in-window representatives)
     "decontaminate_ngram_overlap",
     "text_repetition_stats",
-    # multimodal (payload_stats rotated to the tail round 4 after two
-    # green driver rounds; frame_sample keeps the family's window slot)
-    "multimodal_frame_sample",
+    # multimodal: payload_stats rotated to the tail round 4 after two
+    # green driver rounds; frame_sample held the slot through r8
+    # (driver-green r2–r8, seven rounds) and rotates to the tail in
+    # round 9 (VERDICT round 8 #2) — the Arrow-batched mapInPandas
+    # kernel surface stays driver-exercised via the in-window GEMM paths
+    # (similarity_ivf_ann index build, dedup_embedding_srp signer). In:
+    # pack_sequences_fixed (slot reassigned above), and here
+    # streaming_stream_join takes the freed slot: watermarked
+    # stream-stream join state was never exercised by any in-window row
+    # in eight rounds.
+    "streaming_stream_join",
+    "pack_sequences_fixed",
     # as-of join (inner variant rotated to the tail round 4 after its
     # round-3 green; the last-click outer form keeps the slot)
     "asof_purchase_last_click",

@@ -13,10 +13,10 @@ WINDOW = 50
 # driver's window (VERDICT.md round 1, "Next round" #1).
 REQUIRED_IN_WINDOW = {
     # previously-red oracles, now fixed — need green driver rows
-    "q_json_functions",
+    # (q_json_functions earned seven greens r2–r8 and rotated to the
+    # tail in round 9; multimodal_frame_sample likewise r2–r8)
     "text_token_count_bpe",
     # families that had NO correctness rows in round 1
-    "multimodal_frame_sample",
     "asof_purchase_last_click",
     "pyramid_windowed_mean",
     "pyramid_cascade_l2",
@@ -63,6 +63,13 @@ REQUIRED_IN_WINDOW = {
     # green driver rounds each (r2–r5).
     "q_corr_regr_aggregates",
     "q_unpivot_flag_measures",
+    # promoted round 9 (VERDICT round 8 #2): first driver rows for the
+    # three components never driver-confirmed in eight rounds — the
+    # two-phase distributed prefix sum (sequence packing), watermarked
+    # stream-stream join state, and the dim-dispatched int8 quantize
+    "pack_sequences_fixed",
+    "streaming_stream_join",
+    "embedding_quantize_int8",
 }
 
 
@@ -129,7 +136,7 @@ def test_tail_components_are_covered_in_window():
         # the skew-resistant banded form, answer-identical by property
         # test and by shared oracle with the in-window plain form
         "asof_banded_last_click": "asof_purchase_last_click",
-        "multimodal_payload_stats": "multimodal_frame_sample",
+        "multimodal_payload_stats": "similarity_ivf_ann",
         "q20_excess_share_suppliers": "q_semi_join_customers_with_orders",
         "q21_sole_blame_suppliers": "q_semi_join_customers_with_orders",
         # deterministic hash-keyed sampling/sharding: the portable-hash
@@ -138,9 +145,15 @@ def test_tail_components_are_covered_in_window():
         # green driver rounds r4–r7; the hash-derived-decision shape is
         # the same xxhash64/pmod machinery dedup_exact drives)
         "sample_hash_split": "dedup_exact",
-        # element-wise vector projection family (fold-parity ops):
-        # represented by the in-window cosine/IVF queries
-        "embedding_quantize_int8": "similarity_cosine_topk",
+        # rotated to the tail round 9 after eight consecutive driver
+        # greens (r1–r8): the non-equi/range-join machinery keeps the
+        # in-window as-of join (time-range matching, same range-bucketed
+        # shape) plus the local theta-join twins
+        "q_theta_join_price_band": "asof_purchase_last_click",
+        # rotated to the tail round 9 after seven greens (r2–r8); the
+        # scalar projection-over-scan shape keeps date/math/conditional
+        # in window (nested-JSON parsing keeps its local oracle suite)
+        "q_json_functions": "q_date_functions",
         # SemDeDup-style cluster-bucketed representative keep: the
         # bucketed embedding near-dup family's in-window representative
         "dedup_semantic_keep": "dedup_embedding_cosine",
@@ -151,9 +164,6 @@ def test_tail_components_are_covered_in_window():
         # minhash query's shape (and SRP itself is the sign-projection
         # twin of the same construction)
         "dedup_simhash": "dedup_minhash_lsh",
-        # sequence packing = distributed prefix sum + explode + hash agg;
-        # the running-total family's in-window representative
-        "pack_sequences_fixed": "q_window_running_totals",
         "sample_stratified": "dedup_exact",
         # alpha=0.5 temperature resampling: the data-computed-rates
         # hash-Bernoulli family, driver-checked via sample_hash_split
@@ -206,7 +216,9 @@ def test_tail_components_are_covered_in_window():
         "doc_fingerprint_winnow": "text_quality_stats",
         "q_stddev_variance": "q1_pricing_summary",
         "q_minmax_by": "q1_pricing_summary",
-        "q_map_functions": "q_json_functions",
+        # json rotated out round 9; map/json scalar shapes share the
+        # projection-over-scan machinery with the in-window date pack
+        "q_map_functions": "q_date_functions",
         "text_lang_id": "text_quality_stats",
         # tf-idf top-k: stacked aggs + per-doc ranking window; text-stats
         # + topk family shapes
@@ -225,10 +237,16 @@ def test_tail_components_are_covered_in_window():
         "streaming_dedup": "streaming_dedup_watermark",
         # stream-stream interval join: the watermark/event-time-state
         # family is represented in-window by tumbling + stateful_totals
-        "streaming_stream_join": "streaming_stateful_totals",
-        "streaming_stream_left_join": "streaming_stateful_totals",
-        "multimodal_decode_stub": "multimodal_frame_sample",
-        "multimodal_feature_extract": "multimodal_frame_sample",
+        # the left-outer variant's watermark/join-state machinery is the
+        # in-window inner stream-stream join (promoted round 9)
+        "streaming_stream_left_join": "streaming_stream_join",
+        # multimodal family rotated fully to the tail round 9
+        # (frame_sample driver-green r2–r8): the Arrow-batched
+        # mapInPandas numpy-kernel surface is driven in-window by the
+        # GEMM index build (similarity_ivf_ann) and the SRP signer
+        "multimodal_frame_sample": "similarity_ivf_ann",
+        "multimodal_decode_stub": "similarity_ivf_ann",
+        "multimodal_feature_extract": "similarity_ivf_ann",
         # boilerplate mining/ratio: distinct-shingle explode + df
         # aggregation + broadcast-back — the shingle-df machinery the
         # in-window decontamination query drives end-to-end
@@ -275,85 +293,86 @@ def test_tail_components_are_covered_in_window():
 # (i.e. is scheduled for its first driver row this round).
 DRIVER_GREEN_ROUNDS = {
     "asof_inner_error_context": (3,),
-    "asof_purchase_last_click": (3, 4, 5, 6, 7,),
-    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7,),
-    "dedup_cluster_components": (4, 5, 6, 7,),
-    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7,),
-    "dedup_exact": (1, 2, 3, 4, 5, 6, 7,),
-    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7,),
-    "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6, 7,),
+    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8,),
+    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8,),
+    "dedup_cluster_components": (4, 5, 6, 7, 8,),
+    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "dedup_exact": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6, 7, 8,),
     "dedup_simhash": (1, 2, 3, 4, 5, 6, 7,),
     "doc_fingerprint_winnow": (1, 2, 3, 4),
-    "grid_block_slices": (2, 3, 4, 5, 6, 7,),
-    "multimodal_frame_sample": (2, 3, 4, 5, 6, 7,),
+    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8,),
+    "multimodal_frame_sample": (2, 3, 4, 5, 6, 7, 8,),
     "multimodal_payload_stats": (2, 3),
-    "ome_channel_windows": (2, 3, 4, 5, 6, 7,),
-    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7,),
-    "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6, 7,),
-    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7,),
-    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7,),
+    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8,),
+    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8,),
+    "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8,),
+    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8,),
     "q10_returned_items": (1,),
     "q12_shipmode_priority": (2,),
     "q14_promo_share": (1,),
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7,),
-    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7,),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8,),
     "q5_local_supplier_volume": (1,),
     "q7_nation_volume": (1,),
     "q8_market_share": (1,),
     "q_anti_join_customers_without_orders": (1, 2, 3),
     "q_approx_aggregates": (2, 3, 4, 5),
     "q_array_functions": (1, 2, 3, 4, 5, 6, 7,),
-    "q_conditional_price_bands": (1, 2, 3, 4),
+    "q_conditional_price_bands": (1, 2, 3, 4, 8,),
     "q_cube_status_priority": (1,),
-    "q_date_functions": (1, 2, 3, 4),
+    "q_date_functions": (1, 2, 3, 4, 8,),
     "q_distinct_agg": (1,),
     "q_exists_subquery": (1,),
     "q_explode_tokens": (1,),
     "q_grouping_sets": (1,),
-    "q_json_functions": (2, 3, 4, 5, 6, 7,),
-    "q_lead_lag_gaps": (1, 5, 6, 7,),
+    "q_json_functions": (2, 3, 4, 5, 6, 7, 8,),
+    "q_lead_lag_gaps": (1, 5, 6, 7, 8,),
     "q_map_functions": (1,),
-    "q_math_functions": (1, 2, 3, 4),
+    "q_math_functions": (1, 2, 3, 4, 8,),
     "q_minmax_by": (1,),
     "q_ntile_wealth_deciles": (1,),
     "q_outer_join_order_fill": (1, 2, 3, 4, 5, 6,),
     "q_percentiles_exact": (1,),
-    "q_percentiles_rank_select": (4, 5, 6, 7,),
-    "q_pivot_status_by_priority": (5, 6, 7,),
+    "q_percentiles_rank_select": (4, 5, 6, 7, 8,),
+    "q_pivot_status_by_priority": (5, 6, 7, 8,),
     "q_rank_variants": (1,),
-    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7,),
+    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8,),
     "q_scalar_subquery": (1, 2, 3),
-    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7,),
-    "q_sessionize_events": (5, 6, 7,),
-    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7,),
+    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "q_sessionize_events": (5, 6, 7, 8,),
+    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8,),
     "q_stddev_variance": (1,),
     "q_string_functions": (1, 2, 3, 4, 5, 6, 7,),
-    "q_theta_join_price_band": (1, 2, 3, 4, 5, 6, 7,),
+    "q_theta_join_price_band": (1, 2, 3, 4, 5, 6, 7, 8,),
     "q_topk_per_group": (1,),
-    "q_window_interval_range": (5, 6, 7,),
-    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7,),
+    "q_window_interval_range": (5, 6, 7, 8,),
+    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8,),
     "sample_hash_split": (4, 5, 6, 7,),
-    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7,),
-    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7,),
-    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7,),
-    "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7,),
-    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7,),
-    "stack_regex_rename": (2, 3, 4, 5, 6, 7,),
-    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7,),
+    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8,),
+    "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7, 8,),
+    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8,),
+    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8,),
+    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8,),
     "streaming_foreachbatch_sink": (2, 3, 4, 5),
-    "streaming_late_data_policy": (3, 4, 5, 6, 7,),
-    "streaming_session_window": (3, 4, 5, 6, 7,),
-    "streaming_sliding_window": (3, 4, 5, 6, 7,),
-    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7,),
-    "streaming_tumbling_window": (3, 4, 5, 6, 7,),
+    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8,),
+    "streaming_session_window": (3, 4, 5, 6, 7, 8,),
+    "streaming_sliding_window": (3, 4, 5, 6, 7, 8,),
+    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8,),
+    "streaming_tumbling_window": (3, 4, 5, 6, 7, 8,),
     "text_lang_id": (1,),
-    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7,),
-    "text_repetition_stats": (3, 4, 5, 6, 7,),
-    "text_token_count_bpe": (2, 3, 4, 5, 6, 7,),
-    "text_unigram_logprob": (4, 5, 6, 7,),
-    "q_corr_regr_aggregates": (6, 7,),
-    "q_unpivot_flag_measures": (6, 7,),
-    "pyramid_channel_stats": (7,),
+    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "text_repetition_stats": (3, 4, 5, 6, 7, 8,),
+    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8,),
+    "text_unigram_logprob": (4, 5, 6, 7, 8,),
+    "q_corr_regr_aggregates": (6, 7, 8,),
+    "q_unpivot_flag_measures": (6, 7, 8,),
+    "pyramid_channel_stats": (7, 8,),
+    "dedup_embedding_srp": (8,),
 }
 
 # SURVEY.md §2B component families -> the registry queries that exercise
