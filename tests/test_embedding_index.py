@@ -408,6 +408,65 @@ def test_dim_mismatch_raises_instead_of_silent_drop(spark, vecs, tmp_path):
             append_srp_shard(spark, half, "t_edim")
         with pytest.raises(ValueError, match="dim-64.*dim-32"):
             incremental_srp_pairs(spark, half, "t_edim")
+        # ADVICE r8: the guard is FULL-shard, not first-row — a ragged
+        # shard whose first row matches the index dim used to pass,
+        # after which the fold signer silently emitted all-zero bands
+        # for the mismatched rows while the GEMM signer raised (twin
+        # divergence on the same bad input). Both paths now fail the
+        # same way, before any signer runs.
+        ragged = vecs.selectExpr(
+            "vec_id",
+            "CASE WHEN vec_id % 7 = 3 THEN slice(embedding, 1, 32) "
+            "ELSE embedding END AS embedding",
+        )
+        assert ragged.limit(1).selectExpr(
+            "size(embedding) AS d"
+        ).collect()[0]["d"] == 64  # first row matches the index dim
+        for fn in (
+            lambda: append_srp_shard(spark, ragged, "t_edim", use_gemm=False),
+            lambda: incremental_srp_pairs(
+                spark, ragged, "t_edim", use_gemm=False
+            ),
+        ):
+            with pytest.raises(ValueError, match="RAGGED"):
+                fn()
     finally:
         for t in ("t_edim_bands", "t_edim_vecs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lost_stamp_detected_and_recoverable(spark, vecs):
+    """ADVICE r8: an in-place compaction that crashes after the bands
+    overwrite but before the re-stamp leaves a complete-looking index
+    whose geometry stamp is erased — _check_srp_params then passes it
+    UNVALIDATED, and a plain compaction re-run cannot restore the stamp
+    (it re-reads the now-unstamped table). verify_srp_index flags the
+    state; a re-run with the explicit geometry override restores it."""
+    from aind_protein_data_transformation_spark.operators.embedding_index import (
+        SRP_STAMP_KEYS,
+        compact_srp_index,
+    )
+
+    try:
+        write_srp_index(vecs, "t_estamp", n_buckets=4)
+        assert verify_srp_index(spark, "t_estamp")["missing_stamp_keys"] == 0
+        # simulate the crash window: stamp gone, tables complete
+        spark.sql(
+            f"ALTER TABLE t_estamp_bands UNSET TBLPROPERTIES "
+            f"('{SRP_STAMP_KEYS[0]}', '{SRP_STAMP_KEYS[1]}')"
+        )
+        assert verify_srp_index(spark, "t_estamp")["missing_stamp_keys"] == 2
+        # a plain re-run cannot restore what it can no longer read...
+        compact_srp_index(spark, "t_estamp")
+        assert verify_srp_index(spark, "t_estamp")["missing_stamp_keys"] == 2
+        # ...the explicit known-geometry override can
+        with pytest.raises(ValueError, match="BOTH n_bits and n_bands"):
+            compact_srp_index(spark, "t_estamp", n_bits=32)
+        compact_srp_index(spark, "t_estamp", n_bits=32, n_bands=4)
+        assert verify_srp_index(spark, "t_estamp")["missing_stamp_keys"] == 0
+        # and the restored stamp guards probes again
+        with pytest.raises(ValueError, match="n_bits=32"):
+            incremental_srp_pairs(spark, vecs, "t_estamp", n_bits=16)
+    finally:
+        for t in ("t_estamp_bands", "t_estamp_vecs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

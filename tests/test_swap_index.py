@@ -1,0 +1,223 @@
+"""Atomic rename-based index promotion (VERDICT r8 #3).
+
+Pins swap_index's contract for BOTH index families through their
+public wrappers (swap_minhash_index / swap_srp_index): the production
+maintenance path compact-into-target → verify → swap has no overwrite
+window at any step, and — crash-simulated at EVERY inter-rename point —
+a probe against the live name sees either the old index, the new
+index, or fails LOUDLY on a missing table; never a silent mixture of
+generations. Re-running the swap from any crash point completes the
+promotion, after which no target/retired residue remains and (SRP) the
+geometry stamp has travelled with its table.
+
+The crash simulator replays the exact operation sequence swap_index
+executes on a fresh run (retire both → promote both → drop both),
+stopping after k operations, so the simulated states are the
+implementation's real intermediate states, not a guess.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.errors import AnalysisException
+
+from aind_protein_data_transformation_spark.operators.dedup import (
+    compact_minhash_index,
+    incremental_minhash_pairs,
+    swap_minhash_index,
+    write_minhash_index,
+)
+from aind_protein_data_transformation_spark.operators.embedding_index import (
+    SRP_STAMP_KEYS,
+    compact_srp_index,
+    incremental_srp_pairs,
+    swap_srp_index,
+    write_srp_index,
+)
+
+
+class MinhashFamily:
+    sidecar = "sigs"
+    swap = staticmethod(swap_minhash_index)
+    compact = staticmethod(compact_minhash_index)
+
+    @staticmethod
+    def build(spark, sf_dir, name):
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .filter("pmod(hash(doc_id), 5) != 0")
+        )
+        shard = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .filter("pmod(hash(doc_id), 5) = 0")
+        )
+        write_minhash_index(docs, name, n_buckets=4)
+        return shard
+
+    @staticmethod
+    def probe(spark, shard, name):
+        return {
+            (r.new_id, r.index_id): round(r.jaccard, 6)
+            for r in incremental_minhash_pairs(
+                spark, shard, name, threshold=0.4
+            ).collect()
+        }
+
+
+class SrpFamily:
+    sidecar = "vecs"
+    swap = staticmethod(swap_srp_index)
+    compact = staticmethod(compact_srp_index)
+
+    @staticmethod
+    def build(spark, sf_dir, name):
+        vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        corpus = vecs.filter("vec_id % 5 != 0")
+        # mutate vectors that ARE in the corpus so the probe finds pairs
+        shard = vecs.filter("vec_id % 5 = 1").selectExpr(
+            "vec_id + 1000000 AS vec_id",
+            "transform(sequence(1, size(embedding)), i -> "
+            "CAST(CAST(element_at(embedding, i) AS DOUBLE) "
+            "+ 0.02 * ((i % 3) - 1) AS FLOAT)) AS embedding",
+        )
+        write_srp_index(corpus, name, n_buckets=4)
+        return shard
+
+    @staticmethod
+    def probe(spark, shard, name):
+        return {
+            (r.new_id, r.index_id): round(r.cosine, 6)
+            for r in incremental_srp_pairs(
+                spark, shard, name, threshold=0.9
+            ).collect()
+        }
+
+
+FAMILIES = [
+    pytest.param(MinhashFamily, id="minhash"),
+    pytest.param(SrpFamily, id="srp"),
+]
+
+
+def _drop_all(spark, prefix):
+    for r in spark.sql("SHOW TABLES").collect():
+        if r.tableName.startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
+    # the in-memory catalog dies with the session but managed-table
+    # dirs persist in the warehouse; a crashed earlier run's residue
+    # would fail table creation with LOCATION_ALREADY_EXISTS
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            if d.startswith(prefix):
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+
+
+def _swap_ops(name, target, sidecar):
+    """The exact fresh-run operation sequence swap_index executes."""
+    return [
+        f"ALTER TABLE {name}_bands RENAME TO {name}_bands__retired",
+        f"ALTER TABLE {name}_{sidecar} RENAME TO {name}_{sidecar}__retired",
+        f"ALTER TABLE {target}_bands RENAME TO {name}_bands",
+        f"ALTER TABLE {target}_{sidecar} RENAME TO {name}_{sidecar}",
+        f"DROP TABLE {name}_bands__retired",
+        f"DROP TABLE {name}_{sidecar}__retired",
+    ]
+
+
+@pytest.mark.parametrize("fam", FAMILIES)
+def test_swap_promotes_compacted_target(spark, sf_dir, fam):
+    name, target = "swp_a", "swp_a_v2"
+    _drop_all(spark, "swp_a")
+    shard = fam.build(spark, sf_dir, name)
+    before = fam.probe(spark, shard, name)
+    assert before  # the fixtures must produce near-dup pairs
+    fam.compact(spark, name, target=target)
+    out = fam.swap(spark, name, target)
+    assert out["status"] == "swapped"
+    # probes against the live name are unchanged by the promotion
+    assert fam.probe(spark, shard, name) == before
+    # no residue: target and retired tables are gone
+    for sfx in ("bands", fam.sidecar):
+        assert not spark.catalog.tableExists(f"{target}_{sfx}")
+        assert not spark.catalog.tableExists(f"{name}_{sfx}__retired")
+    if fam is SrpFamily:
+        # the geometry stamp travelled with the promoted bands table
+        props = {
+            r.key
+            for r in spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+        }
+        assert set(SRP_STAMP_KEYS) <= props
+
+
+@pytest.mark.parametrize("fam", FAMILIES)
+def test_swap_crash_recovery_at_every_inter_rename_point(spark, sf_dir, fam):
+    """At each crash point k: a probe sees the OLD index (k=0), the NEW
+    index (after both promotions), or raises on a missing table —
+    never a silent mixture — and re-running the swap completes the
+    promotion with probes equal to the pre-swap result."""
+    sidecar = fam.sidecar
+    for k in range(len(_swap_ops("x", "y", sidecar))):
+        name, target = f"swp_c{k}", f"swp_c{k}_v2"
+        _drop_all(spark, f"swp_c{k}")
+        shard = fam.build(spark, sf_dir, name)
+        before = fam.probe(spark, shard, name)
+        fam.compact(spark, name, target=target)
+        ops = _swap_ops(name, target, sidecar)
+        for op in ops[:k]:
+            spark.sql(op)
+        if k == 0:
+            assert fam.probe(spark, shard, name) == before  # old
+        elif k <= 3:
+            # at least one live table is missing: LOUD, not a mixture
+            with pytest.raises(AnalysisException):
+                fam.probe(spark, shard, name)
+        else:
+            assert fam.probe(spark, shard, name) == before  # new
+        out = fam.swap(spark, name, target)
+        assert out["status"] == ("swapped" if k == 0 else "resumed")
+        assert fam.probe(spark, shard, name) == before
+        for sfx in ("bands", sidecar):
+            assert not spark.catalog.tableExists(f"{target}_{sfx}")
+            assert not spark.catalog.tableExists(f"{name}_{sfx}__retired")
+        _drop_all(spark, f"swp_c{k}")
+
+
+def test_swap_refuses_missing_or_half_built_target(spark, sf_dir):
+    name = "swp_m"
+    _drop_all(spark, "swp_m")
+    MinhashFamily.build(spark, sf_dir, name)
+    # no target tables and no mid-swap evidence
+    with pytest.raises(ValueError, match="no mid-swap evidence"):
+        swap_minhash_index(spark, name, "swp_m_nope")
+    # half-built target (sidecar write crashed): refuse to promote
+    compact_minhash_index(spark, name, target="swp_m_v2")
+    spark.sql("DROP TABLE swp_m_v2_sigs")
+    with pytest.raises(ValueError, match="COMPLETE target"):
+        swap_minhash_index(spark, name, "swp_m_v2")
+    _drop_all(spark, "swp_m")
+
+
+def test_swap_srp_refuses_unstamped_target(spark, sf_dir):
+    """The stamp-loss crash signature (ADVICE r8) cannot be promoted:
+    an unstamped live index would silently bypass the geometry guard on
+    every future append/probe."""
+    name, target = "swp_u", "swp_u_v2"
+    _drop_all(spark, "swp_u")
+    SrpFamily.build(spark, sf_dir, name)
+    compact_srp_index(spark, name, target=target)
+    spark.sql(
+        f"ALTER TABLE {target}_bands UNSET TBLPROPERTIES "
+        f"('{SRP_STAMP_KEYS[0]}', '{SRP_STAMP_KEYS[1]}')"
+    )
+    with pytest.raises(ValueError, match="missing its geometry stamp"):
+        swap_srp_index(spark, name, target)
+    _drop_all(spark, "swp_u")
