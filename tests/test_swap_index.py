@@ -1,7 +1,8 @@
 """Atomic rename-based index promotion (VERDICT r8 #3).
 
-Pins swap_index's contract for BOTH index families through their
-public wrappers (swap_minhash_index / swap_srp_index): the production
+Pins swap_index's contract for all three index families through their
+public wrappers (swap_minhash_index / swap_srp_index /
+swap_simhash_index): the production
 maintenance path compact-into-target → verify → swap has no overwrite
 window at any step, and — crash-simulated at EVERY inter-rename point —
 a probe against the live name sees either the old index, the new
@@ -35,6 +36,12 @@ from aind_protein_data_transformation_spark.operators.embedding_index import (
     incremental_srp_pairs,
     swap_srp_index,
     write_srp_index,
+)
+from aind_protein_data_transformation_spark.operators.simhash_index import (
+    compact_simhash_index,
+    incremental_simhash_pairs,
+    swap_simhash_index,
+    write_simhash_index,
 )
 
 
@@ -99,9 +106,35 @@ class SrpFamily:
         }
 
 
+class SimhashFamily:
+    sidecar = "sigs"
+    swap = staticmethod(swap_simhash_index)
+    compact = staticmethod(compact_simhash_index)
+
+    @staticmethod
+    def build(spark, sf_dir, name):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        shard = docs.filter("doc_id % 10 = 0").selectExpr(
+            "doc_id + 1000000 AS doc_id",
+            r"regexp_replace(text, '^\\S+\\s+', '') AS text",
+        )
+        write_simhash_index(docs, name, n_buckets=4)
+        return shard
+
+    @staticmethod
+    def probe(spark, shard, name):
+        return {
+            (r.new_id, r.index_id): r.hamming
+            for r in incremental_simhash_pairs(spark, shard, name).collect()
+        }
+
+
 FAMILIES = [
     pytest.param(MinhashFamily, id="minhash"),
     pytest.param(SrpFamily, id="srp"),
+    pytest.param(SimhashFamily, id="simhash"),
 ]
 
 
