@@ -377,6 +377,23 @@ def swap_index(spark, name: str, target: str, spec: IndexSpec, verify_fn=None) -
         live, tgt = f"{name}_{s}", f"{target}_{s}"
         if exists(tgt):
             spark.sql(f"ALTER TABLE {tgt} RENAME TO {live}")
+    # phase 3 gate: every live table must exist before ANY retired copy
+    # is dropped — without this, RESUMING with a wrong target name
+    # (retired evidence present, target tables absent) would fall
+    # through phases 1-2 as no-ops and then delete the retired tables,
+    # destroying the only remaining copy of the index.
+    not_live = [
+        f"{name}_{s}" for s in spec.suffixes if not exists(f"{name}_{s}")
+    ]
+    if not_live:
+        raise ValueError(
+            f"swap_index: promotion incomplete — live tables {not_live} "
+            f"missing and nothing left to promote from {target!r} (wrong "
+            f"target name on a resume?). The retired tables are kept; "
+            f"re-run with the correct target, or recover the old index "
+            f"by renaming {[_retired(name, s) for s in spec.suffixes]} "
+            f"back."
+        )
     # phase 3: drop the retired pair (old index fully out of service)
     for s in spec.suffixes:
         spark.sql(f"DROP TABLE IF EXISTS {_retired(name, s)}")

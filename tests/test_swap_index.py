@@ -224,6 +224,31 @@ def test_swap_crash_recovery_at_every_inter_rename_point(spark, sf_dir, fam):
         _drop_all(spark, f"swp_c{k}")
 
 
+def test_resume_with_wrong_target_never_drops_the_only_copy(spark, sf_dir):
+    """Round-9 review find: a resume (retired evidence present) with a
+    WRONG target name used to fall through the rename phases as no-ops
+    and then drop the retired tables — deleting the only remaining
+    copy. The phase-3 gate now raises, keeps the retired pair, and a
+    re-run with the CORRECT target completes the promotion."""
+    name, target = "swp_w", "swp_w_v2"
+    _drop_all(spark, "swp_w")
+    shard = MinhashFamily.build(spark, sf_dir, name)
+    before = MinhashFamily.probe(spark, shard, name)
+    compact_minhash_index(spark, name, target=target)
+    # crash after the first retire
+    spark.sql(f"ALTER TABLE {name}_bands RENAME TO {name}_bands__retired")
+    with pytest.raises(ValueError, match="wrong\\s+target name on a resume"):
+        swap_minhash_index(spark, name, "swp_w_nope")
+    # nothing was dropped: retired copy and the real target are intact,
+    # and the correct-target resume completes the promotion
+    assert spark.catalog.tableExists(f"{name}_bands__retired")
+    assert spark.catalog.tableExists(f"{target}_bands")
+    out = swap_minhash_index(spark, name, target)
+    assert out["status"] == "resumed"
+    assert MinhashFamily.probe(spark, shard, name) == before
+    _drop_all(spark, "swp_w")
+
+
 def test_swap_refuses_missing_or_half_built_target(spark, sf_dir):
     name = "swp_m"
     _drop_all(spark, "swp_m")
