@@ -443,7 +443,21 @@ def simhash_near_pairs(sims: DataFrame, max_hamming: int = 3, id_col: str = "doc
     row). The output row set is identical by construction and already
     unique, so no dedup stage exists at all (measured 4.9s -> 3.4s on
     the registered query at sf0.1, where hamming-0 mutant pairs match
-    all four chunks)."""
+    all four chunks).
+
+    ``max_hamming`` is capped at SIMHASH_CHUNKS - 1: the pigeonhole
+    guarantee (hamming <= chunks-1 implies at least one equal chunk)
+    is the ONLY reason chunk blocking finds every pair — a larger
+    threshold would silently under-recall pairs whose differing bits
+    straddle all four chunks, so it raises instead (round-9 review)."""
+    if max_hamming > SIMHASH_CHUNKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the chunk-blocking "
+            f"recall guarantee (pigeonhole over {SIMHASH_CHUNKS} chunks "
+            f"covers hamming <= {SIMHASH_CHUNKS - 1}); pairs beyond it "
+            f"would be silently MISSING, not slower to find. Use more/"
+            f"smaller chunks or a different blocking for wider radii."
+        )
     chunked = sims.select(
         id_col,
         "simhash",
@@ -523,30 +537,37 @@ def write_minhash_index(
     id_col: str = "doc_id",
 ) -> None:
     """Index ``docs`` for incremental near-dup probes: shingle, sign,
-    and persist the band + signature tables described above."""
+    and persist the band + signature tables described above. The
+    signature frame (the expensive shingle+min-agg pass) feeds BOTH
+    writes, so it is persisted for the duration of the build and
+    released before return (round-9 review — each saveAsTable used to
+    recompute it from the raw text)."""
     sig = minhash_signatures(
         shingle_set(docs, k=k, text_col=text_col, id_col=id_col),
         id_col=id_col,
         with_hashes=True,
-    )
-    key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
-    bw = (
-        band_rows(sig, id_col)
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, *key_cols)
-        .sortBy(*key_cols)
-    )
-    if path:
-        bw = bw.option("path", f"{path}/bands")
-    bw.saveAsTable(f"{name}_bands")
-    sw = (
-        sig.select(id_col, "n", "hs")
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, id_col)
-    )
-    if path:
-        sw = sw.option("path", f"{path}/sigs")
-    sw.saveAsTable(f"{name}_sigs")
+    ).persist()
+    try:
+        key_cols = ["band"] + [f"k{j}" for j in range(LSH_BAND_SIZE)]
+        bw = (
+            band_rows(sig, id_col)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *key_cols)
+            .sortBy(*key_cols)
+        )
+        if path:
+            bw = bw.option("path", f"{path}/bands")
+        bw.saveAsTable(f"{name}_bands")
+        sw = (
+            sig.select(id_col, "n", "hs")
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, id_col)
+        )
+        if path:
+            sw = sw.option("path", f"{path}/sigs")
+        sw.saveAsTable(f"{name}_sigs")
+    finally:
+        sig.unpersist()
 
 
 # Shared two-table lifecycle core (VERDICT r8 #5): bucket-metadata

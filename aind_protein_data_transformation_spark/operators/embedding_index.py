@@ -192,12 +192,27 @@ def _check_dim(spark, name: str, vectors: DataFrame, vec_col: str) -> None:
     cosines — silent candidate drop — while the GEMM signer raised a
     contract error, so the twins diverged on the same bad input. The
     aggregate is shard-sized (cheap next to signing) and makes the fold
-    path fail as loudly as the GEMM path."""
+    path fail as loudly as the GEMM path. NULL vectors are part of the
+    same hole (round-9 review): min/max over size() skip NULLs, but a
+    NULL embedding would be stored with NULL normalized form and
+    all-zero fold bands — an indexed row no probe can ever match, plus
+    permanent zero-band bucket inflation — so they raise here too."""
     agg = vectors.select(F.size(vec_col).alias("d")).agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
+        F.min("d").alias("lo"),
+        F.max("d").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("d").alias("n_dims"),
     ).collect()[0]
-    if agg["lo"] is None:
+    if agg["n_rows"] == 0:
         return  # empty shard: nothing to append/probe, nothing to check
+    if agg["n_dims"] != agg["n_rows"]:
+        raise ValueError(
+            f"shard holds {agg['n_rows'] - agg['n_dims']} NULL "
+            f"{vec_col!r} rows — a NULL embedding cannot be signed or "
+            f"matched; it would be indexed as an unreachable row with "
+            f"all-zero fold bands (silent, permanent). Filter NULLs "
+            f"out before append/probe."
+        )
     if agg["lo"] != agg["hi"]:
         raise ValueError(
             f"shard is RAGGED: vector dimensions range {agg['lo']}–"

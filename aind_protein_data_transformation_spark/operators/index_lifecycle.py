@@ -241,13 +241,25 @@ def compact_index(
         )
     stamp = read_stamp(spark, f"{name}_bands", spec.stamp_keys)
     if stamp_override is not None:
-        unknown = set(stamp_override) - set(spec.stamp_keys)
-        if unknown:
+        if set(stamp_override) != set(spec.stamp_keys):
             raise ValueError(
-                f"{spec.compact_fn}: stamp_override keys {sorted(unknown)} "
-                f"are not index-identity properties ({spec.stamp_keys})"
+                f"{spec.compact_fn}: stamp_override must supply exactly "
+                f"the index-identity properties {spec.stamp_keys} (the "
+                f"stamp is one identity, not overridable piecemeal); "
+                f"got {sorted(stamp_override)}"
             )
         stamp = dict(stamp_override)
+    elif 0 < len(stamp) < len(spec.stamp_keys):
+        # a PARTIAL stamp (tampering / partial UNSET) must not silently
+        # degrade to a fully-unstamped rewrite — that would make the
+        # geometry guard pass every mismatched probe unvalidated
+        raise ValueError(
+            f"{spec.compact_fn}: {name}_bands carries a PARTIAL "
+            f"identity stamp ({sorted(stamp)} of {spec.stamp_keys}) — "
+            f"compacting would erase the remainder and un-guard the "
+            f"index. Re-run with the explicit geometry override (the "
+            f"known full stamp), or repair the properties first."
+        )
     bands_before = bands.count()
     side_before = sidecar.count()
     comp_bands = bands.dropDuplicates([*spec.band_keys, id_col])
@@ -270,6 +282,29 @@ def compact_index(
         side_path = table_external_location(spark, f"{name}_{spec.sidecar_suffix}")
     else:
         out, mode = target, "errorifexists"
+        if path is None:
+            external = [
+                t
+                for t in (f"{name}_bands", f"{name}_{spec.sidecar_suffix}")
+                if table_external_location(spark, t) is not None
+            ]
+            if external:
+                # round-9 review: without this, compacting an EXTERNAL
+                # (object-store) index into a pathless target writes
+                # the target MANAGED in the warehouse — the subsequent
+                # swap's renames then RELOCATE data (a copy on s3a,
+                # not metadata-only) and the dropped retired EXTERNAL
+                # tables strand every stale file at the old path
+                # forever. Relocation must be explicit.
+                raise ValueError(
+                    f"{spec.compact_fn}: source tables {external} are "
+                    f"EXTERNAL but target mode got no path= — the "
+                    f"target would be created MANAGED in the warehouse, "
+                    f"making the follow-up swap relocate data instead "
+                    f"of renaming metadata and stranding the stale "
+                    f"files at the external location. Pass path= (the "
+                    f"compacted index's new external location)."
+                )
         band_path = f"{path}/bands" if path else None
         side_path = f"{path}/{spec.sidecar_suffix}" if path else None
     # bands first, stamp immediately after: a target-mode crash before
@@ -331,9 +366,22 @@ def swap_index(spark, name: str, target: str, spec: IndexSpec, verify_fn=None) -
     Returns ``{"status": "swapped" | "resumed"}``. Raises if there is
     nothing to do (no target and no mid-swap evidence — either the
     target name is wrong or a previous swap already completed and
-    dropped its evidence) or if the catalog holds an ambiguous state
-    (three generations of one table)."""
+    dropped its evidence), if ``target == name`` (the typo would retire
+    the live pair with nothing to promote), or — on resume — if any
+    table is in a state this swap's own crash points cannot produce
+    (round-9 review find: stale ``__retired`` evidence combined with a
+    LATER half-built target used to promote a MIXED-generation index;
+    the per-suffix state machine below rejects every such composition,
+    and a resumed promotion is re-verified on the live name before any
+    retired copy is dropped)."""
     exists = spark.catalog.tableExists
+    if target == name:
+        raise ValueError(
+            f"swap_index: target == name ({name!r}) — this typo would "
+            f"retire the live tables with nothing left to promote, "
+            f"taking the index offline. Pass the compact-into-target "
+            f"build's name."
+        )
     resuming = any(exists(_retired(name, s)) for s in spec.suffixes)
     any_target = any(exists(f"{target}_{s}") for s in spec.suffixes)
     if not resuming and not any_target:
@@ -359,6 +407,53 @@ def swap_index(spark, name: str, target: str, spec: IndexSpec, verify_fn=None) -
             )
         if verify_fn is not None:
             verify_fn(spark, target)
+    else:
+        # Per-suffix progression through this tool's phases:
+        #   0 = not started (live + target), 1 = retired not promoted,
+        #   2 = promoted not cleaned, 3 = complete. Phases process
+        # suffixes in spec order, so a genuine crash state is monotone
+        # NON-INCREASING across suffixes with a gap of at most one
+        # phase. Anything else — a (live, target, retired) combination
+        # outside the table, or a later suffix AHEAD of an earlier one
+        # — is stale evidence composed with unrelated tables (e.g. an
+        # old crashed swap's __retired next to a new half-built
+        # target); promoting through it would mix generations, so
+        # refuse before touching anything.
+        states = []
+        for s in spec.suffixes:
+            key = (
+                exists(f"{name}_{s}"),
+                exists(f"{target}_{s}"),
+                exists(_retired(name, s)),
+            )
+            st = {
+                (True, True, False): 0,
+                (False, True, True): 1,
+                (True, False, True): 2,
+                (True, False, False): 3,
+            }.get(key)
+            if st is None:
+                raise ValueError(
+                    f"swap_index: {name}_{s} is in a state this swap's "
+                    f"crash points cannot produce (live={key[0]}, "
+                    f"target={key[1]}, retired={key[2]}) — wrong "
+                    f"target name on a resume, or external interference. "
+                    f"Nothing was changed; resolve the stray tables "
+                    f"manually (a stale __retired from an abandoned swap "
+                    f"must be dropped or renamed back) and re-run."
+                )
+            states.append(st)
+        if any(
+            a < b or a - b > 1 for a, b in zip(states, states[1:])
+        ):
+            raise ValueError(
+                f"swap_index: inconsistent resume state across "
+                f"{name!r}'s tables (phase progression "
+                f"{dict(zip(spec.suffixes, states))}) — completing it "
+                f"would promote a MIXED-generation index. Nothing was "
+                f"changed; this is stale mid-swap evidence composed "
+                f"with an unrelated build — resolve manually."
+            )
     # phase 1: retire the live pair
     for s in spec.suffixes:
         live, tgt, ret = f"{name}_{s}", f"{target}_{s}", _retired(name, s)
@@ -377,11 +472,9 @@ def swap_index(spark, name: str, target: str, spec: IndexSpec, verify_fn=None) -
         live, tgt = f"{name}_{s}", f"{target}_{s}"
         if exists(tgt):
             spark.sql(f"ALTER TABLE {tgt} RENAME TO {live}")
-    # phase 3 gate: every live table must exist before ANY retired copy
-    # is dropped — without this, RESUMING with a wrong target name
-    # (retired evidence present, target tables absent) would fall
-    # through phases 1-2 as no-ops and then delete the retired tables,
-    # destroying the only remaining copy of the index.
+    # phase 3 gate (defense in depth behind the resume state machine):
+    # every live table must exist before ANY retired copy is dropped —
+    # never delete what might be the only remaining copy.
     not_live = [
         f"{name}_{s}" for s in spec.suffixes if not exists(f"{name}_{s}")
     ]
@@ -394,6 +487,11 @@ def swap_index(spark, name: str, target: str, spec: IndexSpec, verify_fn=None) -
             f"by renaming {[_retired(name, s) for s in spec.suffixes]} "
             f"back."
         )
+    # a RESUMED promotion skipped the fresh-path target verify; never
+    # drop the old copy behind an unverified promotion — verify the
+    # live name now, while the retired pair still allows rename-back
+    if resuming and verify_fn is not None:
+        verify_fn(spark, name)
     # phase 3: drop the retired pair (old index fully out of service)
     for s in spec.suffixes:
         spark.sql(f"DROP TABLE IF EXISTS {_retired(name, s)}")

@@ -105,20 +105,26 @@ def write_simhash_index(
     Build order bands -> sigs: a fresh build that crashes before the
     LAST write leaves the sigs table missing, so every partial state
     fails loudly (probes cannot read ``{name}_sigs``)."""
-    sims = simhash(docs, text_col=text_col, id_col=id_col)
-    bw = (
-        _chunk_rows(sims, id_col)
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, "chunk", "val")
-        .sortBy("chunk", "val")
-    )
-    if path:
-        bw = bw.option("path", f"{path}/bands")
-    bw.saveAsTable(f"{name}_bands")
-    sw = sims.write.mode("overwrite").bucketBy(n_buckets, id_col)
-    if path:
-        sw = sw.option("path", f"{path}/sigs")
-    sw.saveAsTable(f"{name}_sigs")
+    # persist: the vote aggregate (the expensive pass) feeds BOTH
+    # writes; without it each saveAsTable recomputes it from the raw
+    # text (round-9 review). Bounded lifetime: released before return.
+    sims = simhash(docs, text_col=text_col, id_col=id_col).persist()
+    try:
+        bw = (
+            _chunk_rows(sims, id_col)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "chunk", "val")
+            .sortBy("chunk", "val")
+        )
+        if path:
+            bw = bw.option("path", f"{path}/bands")
+        bw.saveAsTable(f"{name}_bands")
+        sw = sims.write.mode("overwrite").bucketBy(n_buckets, id_col)
+        if path:
+            sw = sw.option("path", f"{path}/sigs")
+        sw.saveAsTable(f"{name}_sigs")
+    finally:
+        sims.unpersist()
 
 
 def append_simhash_shard(
@@ -218,7 +224,19 @@ def incremental_simhash_pairs(
     identical hash, hence the identical hamming), and the
     deterministic LOWER bound under an out-of-band contract violation
     — the same adjudication as the other two probes' max(score), with
-    the inequality flipped because smaller hamming = nearer."""
+    the inequality flipped because smaller hamming = nearer.
+
+    ``max_hamming`` is capped at SIMHASH_CHUNKS - 1, like the batch
+    twin: beyond the pigeonhole guarantee the chunk blocking silently
+    under-recalls, so the API raises instead."""
+    if max_hamming > SIMHASH_CHUNKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the chunk-blocking "
+            f"recall guarantee (pigeonhole over {SIMHASH_CHUNKS} chunks "
+            f"covers hamming <= {SIMHASH_CHUNKS - 1}); pairs beyond it "
+            f"would be silently MISSING from the probe, not slower to "
+            f"find."
+        )
     if verify:
         verify_simhash_index(spark, name, id_col=id_col)
     sims = simhash(new_docs, text_col=text_col, id_col=id_col).localCheckpoint()

@@ -19,6 +19,11 @@ cache. Compare 'full' against the r4/r5 same-session recordings
 documented adjudication); the stage split shows WHERE time went if it
 is not.
 
+The default is rounds=6 — a MULTIPLE of the candidate count, stated
+explicitly because interleaved_ab silently rounds odd requests UP to
+equalize slot occupancy (a rounds=4 request actually runs 6; the
+printed protocol must match what ran — round-9 review).
+
 Usage: python scripts/exp_minhash_profile.py [sf_dir] [rounds]
 """
 
@@ -42,7 +47,10 @@ from aind_protein_data_transformation_spark.session import get_spark  # noqa: E4
 
 def main(argv: list[str]) -> int:
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
-    rounds = int(argv[2]) if len(argv) > 2 else 4
+    rounds = int(argv[2]) if len(argv) > 2 else 6
+    n_candidates = 3
+    if rounds % n_candidates:
+        rounds += n_candidates - rounds % n_candidates  # what actually runs
     spark = get_spark("exp-minhash-profile")
     try:
         ensure_views(spark, sf_dir, "documents")

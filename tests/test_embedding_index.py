@@ -430,6 +430,18 @@ def test_dim_mismatch_raises_instead_of_silent_drop(spark, vecs, tmp_path):
         ):
             with pytest.raises(ValueError, match="RAGGED"):
                 fn()
+        # round-9 review: NULL vectors are the same hole (size() of
+        # NULL is skipped by min/max) — they would be indexed as
+        # unreachable all-zero-band rows; the guard raises instead
+        nullish = vecs.selectExpr(
+            "vec_id",
+            "CASE WHEN vec_id % 7 = 3 THEN CAST(NULL AS array<float>) "
+            "ELSE embedding END AS embedding",
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            append_srp_shard(spark, nullish, "t_edim", use_gemm=False)
+        with pytest.raises(ValueError, match="NULL"):
+            incremental_srp_pairs(spark, nullish, "t_edim", use_gemm=False)
     finally:
         for t in ("t_edim_bands", "t_edim_vecs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -467,6 +479,18 @@ def test_lost_stamp_detected_and_recoverable(spark, vecs):
         # and the restored stamp guards probes again
         with pytest.raises(ValueError, match="n_bits=32"):
             incremental_srp_pairs(spark, vecs, "t_estamp", n_bits=16)
+        # round-9 review: a PARTIAL stamp (one key unset) must not
+        # silently degrade to fully-unstamped on compaction
+        spark.sql(
+            f"ALTER TABLE t_estamp_bands UNSET TBLPROPERTIES "
+            f"('{SRP_STAMP_KEYS[0]}')"
+        )
+        assert verify_srp_index(spark, "t_estamp")["missing_stamp_keys"] == 1
+        with pytest.raises(ValueError, match="PARTIAL identity stamp"):
+            compact_srp_index(spark, "t_estamp")
+        # the full explicit override repairs it
+        compact_srp_index(spark, "t_estamp", n_bits=32, n_bands=4)
+        assert verify_srp_index(spark, "t_estamp")["missing_stamp_keys"] == 0
     finally:
         for t in ("t_estamp_bands", "t_estamp_vecs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

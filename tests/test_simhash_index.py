@@ -77,6 +77,17 @@ def _drop(spark, *tables):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_max_hamming_beyond_pigeonhole_guarantee_raises(spark, split_docs):
+    """Round-9 review: hamming > chunks-1 would silently UNDER-RECALL
+    (pairs whose flips straddle all four chunks never share a blocking
+    key) — both the batch and incremental APIs raise instead."""
+    corpus, shard = split_docs
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(simhash(corpus.limit(10)), max_hamming=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        incremental_simhash_pairs(spark, shard, "t_whatever", max_hamming=4)
+
+
 def test_incremental_probe_equals_batch_pipeline(spark, split_docs, tmp_path):
     corpus, shard = split_docs
     expected = _batch_cross_pairs(corpus, shard)

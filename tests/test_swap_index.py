@@ -249,6 +249,67 @@ def test_resume_with_wrong_target_never_drops_the_only_copy(spark, sf_dir):
     _drop_all(spark, "swp_w")
 
 
+def test_resume_never_promotes_mixed_generations(spark, sf_dir):
+    """Round-9 review find #1: stale __retired evidence from an old
+    swap composed with a LATER half-built target used to pass the
+    resume path, promote the target's bands over the live old-geometry
+    sidecar, and drop the retired copies — a silently MIXED index. The
+    per-suffix state machine now rejects the composition up front,
+    changing nothing."""
+    name = "swp_g"
+    _drop_all(spark, "swp_g")
+    shard = MinhashFamily.build(spark, sf_dir, name)
+    before = MinhashFamily.probe(spark, shard, name)
+    # stale retired sidecar (an abandoned swap's leftover) + a NEW
+    # half-built target holding only bands
+    spark.sql(f"CREATE TABLE {name}_sigs__retired AS SELECT * FROM {name}_sigs")
+    spark.sql(f"CREATE TABLE {name}_v2_bands AS SELECT * FROM {name}_bands")
+    with pytest.raises(ValueError, match="MIXED-generation"):
+        swap_minhash_index(spark, name, f"{name}_v2")
+    # nothing changed: live pair, stale retired, and the half-built
+    # target are all still exactly where they were
+    for t in (f"{name}_bands", f"{name}_sigs", f"{name}_sigs__retired",
+              f"{name}_v2_bands"):
+        assert spark.catalog.tableExists(t)
+    assert MinhashFamily.probe(spark, shard, name) == before
+    _drop_all(spark, "swp_g")
+
+
+def test_swap_rejects_target_equal_to_name(spark, sf_dir):
+    """Round-9 review find #3: swap(name, name) used to retire both
+    live tables and then fail with nothing to promote — an outage from
+    a copy-paste typo. Now rejected before touching anything."""
+    name = "swp_t"
+    _drop_all(spark, "swp_t")
+    MinhashFamily.build(spark, sf_dir, name)
+    with pytest.raises(ValueError, match="target == name"):
+        swap_minhash_index(spark, name, name)
+    assert spark.catalog.tableExists(f"{name}_bands")
+    assert spark.catalog.tableExists(f"{name}_sigs")
+    _drop_all(spark, "swp_t")
+
+
+def test_external_source_target_compact_requires_path(spark, sf_dir, tmp_path):
+    """Round-9 review find #6: compacting an EXTERNAL index into a
+    pathless target would create the target MANAGED — the follow-up
+    swap would then relocate data instead of renaming metadata and
+    strand the stale files at the external location forever."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    try:
+        write_minhash_index(docs, "swp_e", n_buckets=4,
+                            path=str(tmp_path / "ext"))
+        with pytest.raises(ValueError, match="EXTERNAL but target mode"):
+            compact_minhash_index(spark, "swp_e", target="swp_e_v2")
+        # explicit relocation works
+        compact_minhash_index(
+            spark, "swp_e", target="swp_e_v2", path=str(tmp_path / "ext2")
+        )
+    finally:
+        _drop_all(spark, "swp_e")
+
+
 def test_swap_refuses_missing_or_half_built_target(spark, sf_dir):
     name = "swp_m"
     _drop_all(spark, "swp_m")
