@@ -27,6 +27,15 @@ aggregate per (new_id, index_id)) and are dropped from storage by
 with :func:`swap_simhash_index` (metadata-only renames, no overwrite
 window — see index_lifecycle's runbook).
 
+Scale envelope (measured round 9, BENCH.md): chunk blocking over
+SIMHASH_CHUNKS fixed 8-bit values yields ~n/256 candidates per chunk
+per probe doc — linear in the corpus, unlike minhash's banded keys.
+At corpus sizes where the candidate join dominates probes, widen the
+chunks (e.g. 16-bit chunks over a 64-bit hash: pigeonhole still covers
+hamming <= chunks-1, buckets shrink 256x) — a constants change here,
+not a structural one. The probe fans its chunk rows to the session
+width before the candidate join for exactly this reason.
+
 The first-match-chunk trick the BATCH pair join uses
 (simhash_near_pairs — emit each pair only from its first agreeing
 chunk, skipping the DISTINCT) does not carry over: against an index
@@ -240,7 +249,20 @@ def incremental_simhash_pairs(
     if verify:
         verify_simhash_index(spark, name, id_col=id_col)
     sims = simhash(new_docs, text_col=text_col, id_col=id_col).localCheckpoint()
-    probe = _chunk_rows(sims, id_col)
+    # Fan the shard's chunk rows out to the session's width BEFORE the
+    # candidate join (measured round 9 at the 10x text layout): AQE
+    # coalesces the tiny checkpointed shard to ONE partition, and when
+    # the bands table fits a broadcast the collision join runs on the
+    # STREAM side's partitioning — one task dragging every collision
+    # row (7.9M for a 250-doc shard there: 8-bit chunk buckets hold
+    # ~n/256 docs each, so candidates grow with the corpus). The
+    # 1000-row exchange is free; the join's output work spreads across
+    # the cluster. At index sizes past the broadcast threshold the
+    # bucketed SMJ repartitions the probe side anyway — this makes the
+    # small/medium regime behave the same way.
+    from ..plans.scale import fanout_width
+
+    probe = _chunk_rows(sims, id_col).repartition(fanout_width(spark))
     idx = spark.table(f"{name}_bands")
     cand = (
         probe.join(

@@ -87,6 +87,133 @@ def scale_documents(sf_dir: str, out_dir: str) -> None:
     )
 
 
+def index_lifecycle(sf_dir: str, out_dir: str) -> dict:
+    """Round-9: the incremental SimHash index's scale argument — the
+    third lifecycle family measured the same way as the SRP twin
+    (bench_embed10.index_lifecycle): probe cost tracks the SHARD, the
+    batch re-run tracks the CORPUS. One session; at each scale the
+    corpus is indexed once (build timed separately — it amortizes
+    across every future shard), then a FIXED copy-0 mutant shard
+    (first word dropped, the registered query's construction) is
+    (a) probed against the index vs (b) answered by re-running the
+    chunk-blocked batch join over corpus+shard. Pair sets are asserted
+    EQUAL on the straddling direction before timing.
+
+    max_hamming=1 here, not the default 3: this vocab-shared synthetic
+    corpus is simhash-degenerate at hamming<=3 (~6,600 neighbors PER
+    SHARD DOC at x10 — 1.65M output pairs from a 250-doc shard,
+    measured; the same output-bound wall BENCH.md round 4 recorded for
+    the batch query). At radius 1 the output is the intended bounded
+    mutant-clique structure and the timing measures the LIFECYCLE
+    (sign shard, join bucketed bands, verify collisions) rather than
+    materializing a degenerate result both sides share."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+    from aind_protein_data_transformation_spark.operators.dedup import simhash
+    from aind_protein_data_transformation_spark.operators.simhash_index import (
+        _chunk_rows,
+        incremental_simhash_pairs,
+        write_simhash_index,
+    )
+    from aind_protein_data_transformation_spark.session import get_spark
+
+    MUT_OFFSET = 1_000_000_000  # above every scaled doc_id
+    RADIUS = 1  # see docstring: hamming<=3 is output-degenerate here
+    spark = get_spark("bench-text10-index")
+    out: dict[str, dict] = {}
+    try:
+        for tag, d in (("x1", sf_dir), ("x10", out_dir)):
+            docs = load_table(spark, d, "documents").select("doc_id", "text")
+            # fixed shard at both scales: copy-0 mutants (first word
+            # dropped — at x10 that strips the copy prefix, so each
+            # mutant is near its source AND the 9 sibling copies: the
+            # bounded clique structure the scaled corpus documents)
+            shard = (
+                docs.filter(f"doc_id % 20 = 0 AND doc_id < {OFFSET}")
+                .selectExpr(
+                    f"doc_id + {MUT_OFFSET} AS doc_id",
+                    r"regexp_replace(text, '^\\S+\\s+', '') AS text",
+                )
+                .localCheckpoint()
+            )
+            name = f"bench_simhash_idx_{tag}"
+            t0 = time.perf_counter()
+            write_simhash_index(docs, name, path=f"/tmp/sparkgraft-shidx-{tag}")
+            build_s = round(time.perf_counter() - t0, 4)
+
+            def batch_pairs():
+                sims = simhash(docs.unionByName(shard))
+                ch = _chunk_rows(sims, "doc_id")
+                a, b = ch.alias("a"), ch.alias("b")
+                cand = (
+                    a.join(
+                        b,
+                        (F.col("a.chunk") == F.col("b.chunk"))
+                        & (F.col("a.val") == F.col("b.val"))
+                        & (F.col("a.doc_id") >= MUT_OFFSET)
+                        & (F.col("b.doc_id") < MUT_OFFSET),
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("new_id"),
+                        F.col("b.doc_id").alias("index_id"),
+                    )
+                    .distinct()
+                )
+                sig = sims.select("doc_id", "simhash")
+                return (
+                    cand.join(
+                        sig.selectExpr("doc_id AS new_id", "simhash AS sh_new"),
+                        "new_id",
+                    )
+                    .join(
+                        sig.selectExpr(
+                            "doc_id AS index_id", "simhash AS sh_idx"
+                        ),
+                        "index_id",
+                    )
+                    .select(
+                        "new_id",
+                        "index_id",
+                        F.bit_count(
+                            F.col("sh_new").bitwiseXOR(F.col("sh_idx"))
+                        ).alias("hamming"),
+                    )
+                    .filter(f"hamming <= {RADIUS}")
+                    .groupBy("new_id", "index_id")
+                    .agg(F.min("hamming").alias("hamming"))
+                )
+
+            def probe_pairs():
+                return incremental_simhash_pairs(
+                    spark, shard, name, max_hamming=RADIUS
+                )
+
+            p = {(r.new_id, r.index_id) for r in probe_pairs().collect()}
+            bset = {(r.new_id, r.index_id) for r in batch_pairs().collect()}
+            assert p == bset and p, (tag, len(p), len(bset))
+            ab = interleaved_ab(
+                {"probe": probe_pairs, "batch": batch_pairs}, rounds=4
+            )
+            out[tag] = {
+                "corpus_rows": docs.count(),
+                "shard_rows": shard.count(),
+                "pairs": len(p),
+                "index_build_s": build_s,
+                "probe_s": ab["probe"]["best"],
+                "batch_s": ab["batch"]["best"],
+            }
+            for t in (f"{name}_bands", f"{name}_sigs"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.catalog.clearCache()
+    finally:
+        spark.stop()
+    return out
+
+
 def main(argv: list[str]) -> int:
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     out_dir = argv[2] if len(argv) > 2 else "/tmp/sparkgraft-text10"
@@ -138,6 +265,18 @@ def main(argv: list[str]) -> int:
         "layout": out_dir,
     }
     print(json.dumps(summary), flush=True)
+
+    life = index_lifecycle(sf_dir, out_dir)
+    lsum: dict = {"metric": "text10_simhash_index_lifecycle", **life}
+    for key in ("probe_s", "batch_s"):
+        a, b = life["x1"][key], life["x10"][key]
+        lsum[f"{key}_x10_over_x1"] = round(b / a, 2) if a > 0 else None
+    lsum["batch_over_probe_x10"] = (
+        round(life["x10"]["batch_s"] / life["x10"]["probe_s"], 2)
+        if life["x10"]["probe_s"] > 0
+        else None
+    )
+    print(json.dumps(lsum), flush=True)
     return 0
 
 
