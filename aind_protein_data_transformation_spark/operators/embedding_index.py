@@ -179,52 +179,78 @@ def _table_dim(spark, name: str) -> int | None:
     return first[0]["d"] if first else None
 
 
-def _check_dim(spark, name: str, vectors: DataFrame, vec_col: str) -> None:
-    """Raise on a shard whose dimension disagrees with the index:
-    zip_with over mismatched lengths pads with NULL, so a mismatched
-    fold-path probe would SILENTLY emit no pairs instead of failing.
+def _check_vectors(vectors: DataFrame, vec_col: str) -> int | None:
+    """Validate a vector relation in ONE shard-sized aggregate and
+    return its (single) dimension, or None if empty. Raises on the
+    three inputs the signers degrade on SILENTLY instead of loudly
+    (ADVICE r8 + round-9 review):
 
-    FULL-shard check (ADVICE r8): one aggregate over the incoming shard
-    (min/max of ``size(vec_col)``) rather than a first-row probe — a
-    RAGGED shard whose first row happens to match the index used to
-    pass, after which the fold signer silently emitted all-zero bands
-    for the mismatched rows (zip_with NULL-pads) and NULL verify
-    cosines — silent candidate drop — while the GEMM signer raised a
-    contract error, so the twins diverged on the same bad input. The
-    aggregate is shard-sized (cheap next to signing) and makes the fold
-    path fail as loudly as the GEMM path. NULL vectors are part of the
-    same hole (round-9 review): min/max over size() skip NULLs, but a
-    NULL embedding would be stored with NULL normalized form and
-    all-zero fold bands — an indexed row no probe can ever match, plus
-    permanent zero-band bucket inflation — so they raise here too."""
-    agg = vectors.select(F.size(vec_col).alias("d")).agg(
+    - NULL vectors: min/max over size() skip NULLs, but a NULL
+      embedding would be stored with NULL normalized form and all-zero
+      fold bands — an indexed row no probe can ever match, plus
+      permanent zero-band bucket inflation;
+    - NULL ELEMENTS inside a vector: size() counts them, but the norm
+      fold goes NULL over them, so the row is signed/stored as NULLs
+      and silently dropped from every probe;
+    - RAGGED dimensions: a shard whose first row happens to match the
+      index used to pass the old first-row probe, after which the fold
+      signer silently emitted all-zero bands for the mismatched rows
+      (zip_with NULL-pads) and NULL verify cosines, while the GEMM
+      signer raised — twin divergence on the same bad input.
+
+    The aggregate is one pass over the input (cheap next to signing)
+    and makes the fold path fail as loudly as the GEMM path. Called on
+    every write/append/probe entry."""
+    agg = vectors.select(
+        F.size(vec_col).alias("d"),
+        F.expr(f"exists({vec_col}, x -> x IS NULL)").alias("has_null_elem"),
+    ).agg(
         F.min("d").alias("lo"),
         F.max("d").alias("hi"),
         F.count(F.lit(1)).alias("n_rows"),
         F.count("d").alias("n_dims"),
+        F.max("has_null_elem").alias("null_elems"),
     ).collect()[0]
     if agg["n_rows"] == 0:
-        return  # empty shard: nothing to append/probe, nothing to check
+        return None  # empty input: nothing to index/probe, nothing to check
     if agg["n_dims"] != agg["n_rows"]:
         raise ValueError(
-            f"shard holds {agg['n_rows'] - agg['n_dims']} NULL "
+            f"input holds {agg['n_rows'] - agg['n_dims']} NULL "
             f"{vec_col!r} rows — a NULL embedding cannot be signed or "
             f"matched; it would be indexed as an unreachable row with "
             f"all-zero fold bands (silent, permanent). Filter NULLs "
-            f"out before append/probe."
+            f"out before indexing or probing."
+        )
+    if agg["null_elems"]:
+        raise ValueError(
+            f"input holds vectors with NULL ELEMENTS in {vec_col!r} — "
+            f"the norm fold goes NULL over them, so the row would be "
+            f"signed and stored as NULLs and silently dropped from "
+            f"every probe. Clean or filter those rows first."
         )
     if agg["lo"] != agg["hi"]:
         raise ValueError(
-            f"shard is RAGGED: vector dimensions range {agg['lo']}–"
+            f"input is RAGGED: vector dimensions range {agg['lo']}–"
             f"{agg['hi']} — the fixed-dimension contract requires one "
             f"dimension per index; the fold signer would silently emit "
             f"all-zero bands for the mismatched rows (zip_with NULL-pads)"
         )
+    return agg["lo"]
+
+
+def _check_dim(spark, name: str, vectors: DataFrame, vec_col: str) -> None:
+    """Full-shard validation (:func:`_check_vectors`) plus the
+    index-dimension comparison: zip_with over mismatched lengths pads
+    with NULL, so a mismatched fold-path probe would SILENTLY emit no
+    pairs instead of failing."""
+    shard_dim = _check_vectors(vectors, vec_col)
+    if shard_dim is None:
+        return
     idx_dim = _table_dim(spark, name)
-    if idx_dim is not None and idx_dim != agg["lo"]:
+    if idx_dim is not None and idx_dim != shard_dim:
         raise ValueError(
             f"srp index {name!r} holds dim-{idx_dim} vectors but the "
-            f"shard is dim-{agg['lo']} — a mismatched probe/append would "
+            f"shard is dim-{shard_dim} — a mismatched probe/append would "
             f"silently drop every candidate at the verify join "
             f"(embeddings-table fixed-dimension contract)"
         )
@@ -247,7 +273,11 @@ def write_srp_index(
     collisions across different signer geometries are meaningless), so
     they are STAMPED into the bands table's properties and validated
     by every append and probe — a mismatch raises instead of silently
-    losing pairs, exactly like the dimension guard."""
+    losing pairs, exactly like the dimension guard. The corpus passes
+    the same full validation the append/probe paths run
+    (:func:`_check_vectors` — round-9 review: a NULL embedding in the
+    FRESH build used to be stored silently as an unreachable row)."""
+    _check_vectors(vectors, vec_col)
     bands = _sig_bands(vectors, vec_id, vec_col, n_bits, n_bands, use_gemm)
     vecs = vectors.select(F.col(vec_id), F.expr(_en_expr(vec_col)).alias("en"))
     # build order: bands -> stamp -> vecs. A fresh build that crashes

@@ -220,50 +220,11 @@ def compact_index(
       untouched throughout); never swap a target into service before
       its build completed.
     """
+    # ---- metadata-only validation FIRST (round-9 review: a pure
+    # configuration error must fail in milliseconds, not after the
+    # corpus-sized conflict/count scans below)
     band_buckets = table_num_buckets(spark, f"{name}_bands")
     side_buckets = table_num_buckets(spark, f"{name}_{spec.sidecar_suffix}")
-    bands = spark.table(f"{name}_bands")
-    sidecar = spark.table(f"{name}_{spec.sidecar_suffix}")
-    n_conflicts = (
-        sidecar.groupBy(id_col)
-        .agg(F.count_distinct(F.struct(*spec.payload_cols)).alias("n_versions"))
-        .filter(F.col("n_versions") > 1)
-        .count()
-    )
-    if n_conflicts:
-        raise ValueError(
-            f"{spec.kind} index {name!r} holds conflicting "
-            f"{spec.payload_noun} for {n_conflicts} {id_col}s — the "
-            f"append-only/immutable-{id_col} contract was violated (a "
-            f"{spec.entity} was re-signed under a reused id); compaction "
-            f"cannot pick a version. Rebuild with {spec.write_fn} or "
-            f"remove the stale shard's rows."
-        )
-    stamp = read_stamp(spark, f"{name}_bands", spec.stamp_keys)
-    if stamp_override is not None:
-        if set(stamp_override) != set(spec.stamp_keys):
-            raise ValueError(
-                f"{spec.compact_fn}: stamp_override must supply exactly "
-                f"the index-identity properties {spec.stamp_keys} (the "
-                f"stamp is one identity, not overridable piecemeal); "
-                f"got {sorted(stamp_override)}"
-            )
-        stamp = dict(stamp_override)
-    elif 0 < len(stamp) < len(spec.stamp_keys):
-        # a PARTIAL stamp (tampering / partial UNSET) must not silently
-        # degrade to a fully-unstamped rewrite — that would make the
-        # geometry guard pass every mismatched probe unvalidated
-        raise ValueError(
-            f"{spec.compact_fn}: {name}_bands carries a PARTIAL "
-            f"identity stamp ({sorted(stamp)} of {spec.stamp_keys}) — "
-            f"compacting would erase the remainder and un-guard the "
-            f"index. Re-run with the explicit geometry override (the "
-            f"known full stamp), or repair the properties first."
-        )
-    bands_before = bands.count()
-    side_before = sidecar.count()
-    comp_bands = bands.dropDuplicates([*spec.band_keys, id_col])
-    comp_side = sidecar.dropDuplicates([id_col])
     if target is None:
         if path is not None:
             raise ValueError(
@@ -275,8 +236,6 @@ def compact_index(
                 f"pre-compaction files at the old location for any "
                 f"direct reader. Compact into a target to relocate."
             )
-        comp_bands = comp_bands.localCheckpoint()
-        comp_side = comp_side.localCheckpoint()
         out, mode = name, "overwrite"
         band_path = table_external_location(spark, f"{name}_bands")
         side_path = table_external_location(spark, f"{name}_{spec.sidecar_suffix}")
@@ -307,6 +266,53 @@ def compact_index(
                 )
         band_path = f"{path}/bands" if path else None
         side_path = f"{path}/{spec.sidecar_suffix}" if path else None
+    stamp = read_stamp(spark, f"{name}_bands", spec.stamp_keys)
+    if stamp_override is not None:
+        if set(stamp_override) != set(spec.stamp_keys):
+            raise ValueError(
+                f"{spec.compact_fn}: stamp_override must supply exactly "
+                f"the index-identity properties {spec.stamp_keys} (the "
+                f"stamp is one identity, not overridable piecemeal); "
+                f"got {sorted(stamp_override)}"
+            )
+        stamp = dict(stamp_override)
+    elif 0 < len(stamp) < len(spec.stamp_keys):
+        # a PARTIAL stamp (tampering / partial UNSET) must not silently
+        # degrade to a fully-unstamped rewrite — that would make the
+        # geometry guard pass every mismatched probe unvalidated
+        raise ValueError(
+            f"{spec.compact_fn}: {name}_bands carries a PARTIAL "
+            f"identity stamp ({sorted(stamp)} of {spec.stamp_keys}) — "
+            f"compacting would erase the remainder and un-guard the "
+            f"index. Re-run with the explicit geometry override (the "
+            f"known full stamp), or repair the properties first."
+        )
+    # ---- data scans (conflict contract check, before/after counts)
+    bands = spark.table(f"{name}_bands")
+    sidecar = spark.table(f"{name}_{spec.sidecar_suffix}")
+    n_conflicts = (
+        sidecar.groupBy(id_col)
+        .agg(F.count_distinct(F.struct(*spec.payload_cols)).alias("n_versions"))
+        .filter(F.col("n_versions") > 1)
+        .count()
+    )
+    if n_conflicts:
+        raise ValueError(
+            f"{spec.kind} index {name!r} holds conflicting "
+            f"{spec.payload_noun} for {n_conflicts} {id_col}s — the "
+            f"append-only/immutable-{id_col} contract was violated (a "
+            f"{spec.entity} was re-signed under a reused id); compaction "
+            f"cannot pick a version. Rebuild with {spec.write_fn} or "
+            f"remove the stale shard's rows."
+        )
+    bands_before = bands.count()
+    side_before = sidecar.count()
+    comp_bands = bands.dropDuplicates([*spec.band_keys, id_col])
+    comp_side = sidecar.dropDuplicates([id_col])
+    if target is None:
+        # in place: materialize before overwriting the source tables
+        comp_bands = comp_bands.localCheckpoint()
+        comp_side = comp_side.localCheckpoint()
     # bands first, stamp immediately after: a target-mode crash before
     # the LAST write leaves the target's sidecar table missing, so every
     # partial target is LOUD (probes cannot read it) — never a

@@ -48,9 +48,6 @@ from aind_protein_data_transformation_spark.session import get_spark  # noqa: E4
 def main(argv: list[str]) -> int:
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     rounds = int(argv[2]) if len(argv) > 2 else 6
-    n_candidates = 3
-    if rounds % n_candidates:
-        rounds += n_candidates - rounds % n_candidates  # what actually runs
     spark = get_spark("exp-minhash-profile")
     try:
         ensure_views(spark, sf_dir, "documents")
@@ -66,8 +63,14 @@ def main(argv: list[str]) -> int:
         def full():
             return dedup_minhash_lsh(spark, sf_dir)
 
+        frames = {"shingles": shingles, "sig": sig, "full": full}
+        # mirror interleaved_ab's equalization from the ACTUAL candidate
+        # count so the printed protocol always matches what runs (a
+        # hardcoded count would drift the moment a stage is added)
+        if rounds % len(frames):
+            rounds += len(frames) - rounds % len(frames)
         res = interleaved_ab(
-            {"shingles": shingles, "sig": sig, "full": full},
+            frames,
             rounds=rounds,
             post_run=spark.catalog.clearCache,
         )

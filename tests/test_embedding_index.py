@@ -442,6 +442,22 @@ def test_dim_mismatch_raises_instead_of_silent_drop(spark, vecs, tmp_path):
             append_srp_shard(spark, nullish, "t_edim", use_gemm=False)
         with pytest.raises(ValueError, match="NULL"):
             incremental_srp_pairs(spark, nullish, "t_edim", use_gemm=False)
+        # the FRESH build runs the same validation (second-pass review:
+        # a NULL embedding in the corpus used to be stored silently as
+        # an unreachable row), and NULL ELEMENTS inside a vector — which
+        # size() counts but the norm fold goes NULL over — raise too
+        with pytest.raises(ValueError, match="NULL"):
+            write_srp_index(nullish, "t_edim_never")
+        elemnull = vecs.selectExpr(
+            "vec_id",
+            "CASE WHEN vec_id % 7 = 3 THEN "
+            "transform(embedding, (x, i) -> "
+            "IF(i = 0, CAST(NULL AS FLOAT), x)) "
+            "ELSE embedding END AS embedding",
+        )
+        with pytest.raises(ValueError, match="NULL ELEMENT"):
+            incremental_srp_pairs(spark, elemnull, "t_edim", use_gemm=False)
+        assert not spark.catalog.tableExists("t_edim_never_bands")
     finally:
         for t in ("t_edim_bands", "t_edim_vecs"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
