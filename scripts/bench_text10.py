@@ -31,6 +31,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# running as `python scripts/bench_text10.py` puts scripts/ (not the
+# repo root) on sys.path[0]; the in-process lifecycle stage imports the
+# package, so the root must be added explicitly (same as bench_embed10
+# — without it the stage died with ModuleNotFoundError that the
+# `| tail` invocation pattern silently swallowed, round-9 find)
+sys.path.insert(0, REPO)
 
 COPIES = 10
 OFFSET = 10_000_000
