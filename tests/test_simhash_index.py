@@ -95,6 +95,19 @@ def test_incremental_probe_equals_batch_pipeline(spark, split_docs, tmp_path):
     try:
         write_simhash_index(corpus, "t_shi", path=str(tmp_path / "shi"))
         assert _probe(spark, shard, "t_shi") == expected
+        # plan pin for the round-9 fan-out fix: the probe's chunk rows
+        # repartition to the session width before the candidate join
+        # (AQE coalesces the tiny checkpointed shard to one partition;
+        # with the bands table broadcast the collision join would run
+        # single-task and drag every collision row through one core —
+        # measured 3.3x at the 10x text layout, BENCH.md round 9)
+        plan = (
+            incremental_simhash_pairs(spark, shard, "t_shi")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "RoundRobinPartitioning" in plan, plan[:2000]
     finally:
         _drop(spark, "t_shi_bands", "t_shi_sigs")
 
