@@ -235,6 +235,18 @@ def _check_vectors(vectors: DataFrame, vec_col: str) -> int | None:
             f"dimension per index; the fold signer would silently emit "
             f"all-zero bands for the mismatched rows (zip_with NULL-pads)"
         )
+    if agg["lo"] == 0:
+        # ADVICE r9: uniformly EMPTY vectors pass the lo==hi check but a
+        # zero-dimensional vector cannot be signed or matched — it gets
+        # all-zero fold bands and a zero norm (try_divide-degenerate en),
+        # exactly the silent unreachable-indexed-row class this guard
+        # closes for NULLs and ragged dims.
+        raise ValueError(
+            f"input holds zero-dimensional (empty) {vec_col!r} vectors — "
+            f"a size-0 embedding cannot be signed or matched; it would "
+            f"be indexed with all-zero bands and a NULL normalized form "
+            f"(silent, unreachable). Filter empty vectors out first."
+        )
     return agg["lo"]
 
 

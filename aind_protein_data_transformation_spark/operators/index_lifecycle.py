@@ -369,7 +369,14 @@ def swap_index(spark, name: str, target: str, spec: IndexSpec, verify_fn=None) -
     survives) and keep an EXTERNAL table's location unchanged — build
     production indexes with ``path=`` so the swap is metadata-only.
 
-    Returns ``{"status": "swapped" | "resumed"}``. Raises if there is
+    Returns ``{"status": "swapped" | "resumed", "dropped": [...]}``,
+    where ``dropped`` lists the retired tables phase 3 actually deleted
+    (ADVICE r9): a resume whose only evidence is a stale ``__retired``
+    sidecar next to a complete live pair (per-suffix phase 2/3 mix) is
+    indistinguishable from a genuine phase-3 crash, so the cleanup drops
+    it — if it was the last copy of an older generation an operator
+    meant to keep, the returned list is the audit trail naming exactly
+    what a resume deleted. Raises if there is
     nothing to do (no target and no mid-swap evidence — either the
     target name is wrong or a previous swap already completed and
     dropped its evidence), if ``target == name`` (the typo would retire
@@ -498,7 +505,15 @@ def swap_index(spark, name: str, target: str, spec: IndexSpec, verify_fn=None) -
     # live name now, while the retired pair still allows rename-back
     if resuming and verify_fn is not None:
         verify_fn(spark, name)
-    # phase 3: drop the retired pair (old index fully out of service)
+    # phase 3: drop the retired pair (old index fully out of service);
+    # record what was actually deleted — on a resume this is the audit
+    # trail for the inherently-ambiguous stale-__retired case (ADVICE
+    # r9: a [3,2]-state resume drops a sidecar that MIGHT have been an
+    # older generation's last copy; the list makes that visible)
+    dropped = []
     for s in spec.suffixes:
-        spark.sql(f"DROP TABLE IF EXISTS {_retired(name, s)}")
-    return {"status": "resumed" if resuming else "swapped"}
+        ret = _retired(name, s)
+        if exists(ret):
+            spark.sql(f"DROP TABLE {ret}")
+            dropped.append(ret)
+    return {"status": "resumed" if resuming else "swapped", "dropped": dropped}

@@ -457,6 +457,17 @@ def test_dim_mismatch_raises_instead_of_silent_drop(spark, vecs, tmp_path):
         )
         with pytest.raises(ValueError, match="NULL ELEMENT"):
             incremental_srp_pairs(spark, elemnull, "t_edim", use_gemm=False)
+        # ADVICE r9: uniformly EMPTY vectors pass lo==hi but a size-0
+        # embedding gets all-zero fold bands and a zero norm
+        # (try_divide-degenerate en) — the same silent
+        # unreachable-indexed-row class; raise on write AND probe
+        empty = vecs.selectExpr(
+            "vec_id", "CAST(array() AS array<float>) AS embedding"
+        )
+        with pytest.raises(ValueError, match="zero-dimensional"):
+            write_srp_index(empty, "t_edim_never")
+        with pytest.raises(ValueError, match="zero-dimensional"):
+            incremental_srp_pairs(spark, empty, "t_edim", use_gemm=False)
         assert not spark.catalog.tableExists("t_edim_never_bands")
     finally:
         for t in ("t_edim_bands", "t_edim_vecs"):

@@ -176,6 +176,11 @@ def test_swap_promotes_compacted_target(spark, sf_dir, fam):
     fam.compact(spark, name, target=target)
     out = fam.swap(spark, name, target)
     assert out["status"] == "swapped"
+    # ADVICE r9: the returned dict audits exactly which retired tables
+    # the cleanup phase deleted — a fresh swap retires and drops both
+    assert sorted(out["dropped"]) == sorted(
+        [f"{name}_bands__retired", f"{name}_{fam.sidecar}__retired"]
+    )
     # probes against the live name are unchanged by the promotion
     assert fam.probe(spark, shard, name) == before
     # no residue: target and retired tables are gone
@@ -273,6 +278,29 @@ def test_resume_never_promotes_mixed_generations(spark, sf_dir):
         assert spark.catalog.tableExists(t)
     assert MinhashFamily.probe(spark, shard, name) == before
     _drop_all(spark, "swp_g")
+
+
+def test_resume_drop_of_stale_retired_sidecar_is_audited(spark, sf_dir):
+    """ADVICE r9: a resume whose only evidence is a stale __retired
+    sidecar next to a complete live pair and no target (per-suffix
+    states [3, 2]) is indistinguishable from a genuine phase-3 crash,
+    so swap_index completes the cleanup and drops it. The ambiguity is
+    inherent and kept; the returned ``dropped`` list is the audit trail
+    naming exactly what the resume deleted, so an operator who meant to
+    keep an older generation's copy can see it went."""
+    name = "swp_d"
+    _drop_all(spark, "swp_d")
+    shard = MinhashFamily.build(spark, sf_dir, name)
+    before = MinhashFamily.probe(spark, shard, name)
+    # stale evidence: an abandoned swap's retired sidecar, live pair
+    # complete, no target — byte-identical to a genuine phase-3 crash
+    spark.sql(f"CREATE TABLE {name}_sigs__retired AS SELECT * FROM {name}_sigs")
+    out = swap_minhash_index(spark, name, f"{name}_v_gone")
+    assert out["status"] == "resumed"
+    assert out["dropped"] == [f"{name}_sigs__retired"]
+    assert not spark.catalog.tableExists(f"{name}_sigs__retired")
+    assert MinhashFamily.probe(spark, shard, name) == before
+    _drop_all(spark, "swp_d")
 
 
 def test_swap_rejects_target_equal_to_name(spark, sf_dir):
