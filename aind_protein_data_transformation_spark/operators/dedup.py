@@ -63,6 +63,7 @@ from ..functions.text import hash64, normalize_text, tokens
 from .index_lifecycle import (
     IndexSpec,
     compact_index,
+    read_stamp,
     swap_index,
     table_external_location,
     table_num_buckets,
@@ -74,6 +75,26 @@ from .index_lifecycle import (
 MINHASH_PERMS = 32
 LSH_BAND_SIZE = 4
 MINHASH_PRIME = 2147483647  # 2^31 - 1; (a*h + b) stays under 2^62
+
+# Version tag for everything about the signature derivation that is NOT
+# captured by the perm/band counts: the LCG closed form in
+# minhash_coeffs, the MINHASH_PRIME modulus, and the portable
+# md5-conv-mod-prime shingle hash (functions/text.py). Bump it if any of
+# those change — signatures across versions never collide meaningfully,
+# exactly like a perm-count change.
+MINHASH_HASH_VERSION = "1"
+
+# Index-identity properties stamped on every {name}_bands table by
+# write_minhash_index and validated by every append/probe (VERDICT r9
+# #2 — the SRP family's geometry guard, generalized): a probe signed
+# under different constants emits band keys that never collide with the
+# stored ones, so near-dup pairs silently go MISSING instead of failing.
+MINHASH_STAMP_KEYS = (
+    "sparkgraft.minhash.perms",
+    "sparkgraft.minhash.band_size",
+    "sparkgraft.minhash.shingle_k",
+    "sparkgraft.minhash.hash_version",
+)
 
 
 def minhash_coeffs(i: int) -> tuple[int, int]:
@@ -398,21 +419,41 @@ SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4  # 8-bit chunks; pigeonhole covers hamming <= 3
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash per document from distinct-token votes.
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """``n_bits``-wide SimHash per document from distinct-token votes
+    (default 32 — the batch queries' and oracles' fixed width).
 
-    The per-bit votes are 32 conditional SUM columns in ONE aggregation
-    over the token relation — the same shape as minhash_signatures, and
-    for the same reason: the earlier tokens×bits row expansion (explode
-    to 32 rows per token, groupBy (doc, bit), then a second groupBy)
-    pushed a 32×-inflated relation through the partial aggregate and
-    needed two shuffles; as 32 agg columns the relation is never
-    inflated, partials combine map-side, and ONE shuffle carries one
-    row per document (measured 8.6s → ~1s on the registered query at
-    sf0.1 together with the corpus fan-out). The final bigint assembles
-    in a projection: bit j is set iff vote_j > 0 — identical values to
-    the row-expanded form.
-    """
+    The per-bit votes are ``n_bits`` conditional SUM columns in ONE
+    aggregation over the token relation — the same shape as
+    minhash_signatures, and for the same reason: the earlier tokens×bits
+    row expansion (explode to 32 rows per token, groupBy (doc, bit),
+    then a second groupBy) pushed a 32×-inflated relation through the
+    partial aggregate and needed two shuffles; as agg columns the
+    relation is never inflated, partials combine map-side, and ONE
+    shuffle carries one row per document (measured 8.6s → ~1s on the
+    registered query at sf0.1 together with the corpus fan-out). The
+    final bigint assembles in a projection: bit j is set iff
+    vote_j > 0 — identical values to the row-expanded form.
+
+    ``n_bits`` is capped at 60: the portable token hash
+    (functions/text.py hash64) is 60 bits — md5's first 15 hex digits
+    on both engines — so higher bit positions carry no entropy (their
+    votes would be the constant -1 tally, setting the same dead bit on
+    every document). The widened widths exist for the simhash index
+    family's widen-the-chunks scale path (operators/simhash_index.py,
+    VERDICT r9 #3); the registered batch query stays at 32."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError(
+            f"simhash n_bits={n_bits} out of range [1, 60]: the portable "
+            f"token hash is 60 bits (md5 first 15 hex digits on both "
+            f"engines), so bits above 60 carry no entropy — every "
+            f"document would share the same dead bit values there."
+        )
     tok = docs.select(
         id_col, F.explode(F.array_distinct(tokens(text_col))).alias("token")
     ).withColumn("h", hash64("token"))
@@ -421,12 +462,12 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             F.sum(
                 F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)
             ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
+            for j in range(n_bits)
         ]
     )
     assemble = " + ".join(
         f"IF(s{j} > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
-        for j in range(SIMHASH_BITS)
+        for j in range(n_bits)
     )
     return votes.selectExpr(f"`{id_col}`", f"{assemble} AS simhash")
 
@@ -541,7 +582,17 @@ def write_minhash_index(
     signature frame (the expensive shingle+min-agg pass) feeds BOTH
     writes, so it is persisted for the duration of the build and
     released before return (round-9 review — each saveAsTable used to
-    recompute it from the raw text)."""
+    recompute it from the raw text).
+
+    The signature geometry (perm count, band size, shingle ``k``, hash
+    derivation version) is part of the index identity, so it is STAMPED
+    into the bands table's properties and validated by every append and
+    probe — a mismatch raises instead of silently losing pairs (VERDICT
+    r9 #2; the SRP family's guard, generalized). Build order bands →
+    stamp → sigs: a crash anywhere before the LAST write leaves the
+    sigs table missing, so every partial state fails loudly — a
+    complete-LOOKING index with a missing stamp cannot be produced by a
+    crash here."""
     sig = minhash_signatures(
         shingle_set(docs, k=k, text_col=text_col, id_col=id_col),
         id_col=id_col,
@@ -558,6 +609,7 @@ def write_minhash_index(
         if path:
             bw = bw.option("path", f"{path}/bands")
         bw.saveAsTable(f"{name}_bands")
+        _stamp_minhash_params(docs.sparkSession, name, k)
         sw = (
             sig.select(id_col, "n", "hs")
             .write.mode("overwrite")
@@ -588,7 +640,74 @@ MINHASH_SPEC = IndexSpec(
     append_fn="append_minhash_shard",
     write_fn="write_minhash_index",
     compact_fn="compact_minhash_index",
+    stamp_keys=MINHASH_STAMP_KEYS,
 )
+
+
+def _stamp_minhash_params(spark, name: str, k: int) -> None:
+    """Record the signature geometry on the bands table — it is part of
+    the index identity (band keys across different perm counts, band
+    sizes, shingle widths, or hash derivations never collide
+    meaningfully), so appends and probes validate against it.
+
+    Also the RECOVERY tool for a lost stamp, exactly like the SRP twin
+    (_stamp_srp_params): an in-place compaction that crashed after the
+    bands overwrite but before the re-stamp leaves a complete-looking
+    UNSTAMPED index; :func:`verify_minhash_index` flags it
+    (``missing_stamp_keys`` > 0), and this call with the KNOWN shingle
+    width restores the guard."""
+    from .index_lifecycle import apply_stamp
+
+    apply_stamp(spark, f"{name}_bands", _minhash_stamp(k))
+
+
+def _minhash_stamp(k: int) -> dict[str, str]:
+    return {
+        "sparkgraft.minhash.perms": str(MINHASH_PERMS),
+        "sparkgraft.minhash.band_size": str(LSH_BAND_SIZE),
+        "sparkgraft.minhash.shingle_k": str(k),
+        "sparkgraft.minhash.hash_version": MINHASH_HASH_VERSION,
+    }
+
+
+def _check_minhash_params(spark, name: str, k: int) -> None:
+    """Raise when the session's signing constants (module constants +
+    the caller's shingle ``k``) disagree with the index's stamped ones:
+    a mismatched probe shingles/signs the shard under a different
+    derivation, so its band keys never meaningfully collide with the
+    stored ones and near-dup pairs silently go MISSING instead of
+    failing — the silent-recall-collapse class the SRP dimension and
+    geometry guards close (VERDICT r9 #2). Unstamped tables (hand-built,
+    or pre-stamp legacy indexes) pass unvalidated — the same policy as
+    the SRP twin; :func:`verify_minhash_index` reports those via
+    ``missing_stamp_keys``. A PARTIAL stamp is tampering/corruption, not
+    legacy, and raises rather than half-validating."""
+    props = read_stamp(spark, f"{name}_bands", MINHASH_STAMP_KEYS)
+    if not props:
+        return
+    if len(props) < len(MINHASH_STAMP_KEYS):
+        raise ValueError(
+            f"minhash index {name!r} carries a PARTIAL identity stamp "
+            f"({sorted(props)} of {MINHASH_STAMP_KEYS}) — the stamp is "
+            f"one identity; repair it with the known geometry "
+            f"(_stamp_minhash_params) before probing or appending."
+        )
+    expected = _minhash_stamp(k)
+    bad = {p: (props[p], expected[p]) for p in expected if props[p] != expected[p]}
+    if bad:
+        detail = "; ".join(
+            f"{p.rsplit('.', 1)[1]}: index={st!r} vs session={se!r}"
+            for p, (st, se) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"minhash index {name!r} was built under different signature "
+            f"constants than this session's ({detail}) — band keys "
+            f"across different derivations never collide meaningfully, "
+            f"so the probe/append would silently lose near-dup pairs "
+            f"instead of failing. Probe with the index's own geometry "
+            f"(stamped in the bands table's properties) or rebuild the "
+            f"index under the session's constants."
+        )
 
 _table_num_buckets = table_num_buckets
 _table_external_location = table_external_location
@@ -636,6 +755,7 @@ def append_minhash_shard(
     """
     n_buckets = _table_num_buckets(spark, f"{name}_bands")
     sig_buckets = _table_num_buckets(spark, f"{name}_sigs")
+    _check_minhash_params(spark, name, k)
     # one materialization feeds both writes (localCheckpoint, not
     # persist — same lifecycle reasoning as incremental_minhash_pairs)
     sig = minhash_signatures(
@@ -674,7 +794,15 @@ def verify_minhash_index(
     leave) do not raise: they affect no probe; the count is returned so
     an operator can decide to finish the interrupted append. Cost: two
     distinct-aggregates + one anti-join over the index tables — an
-    offline audit, not a per-probe tax. Shared machinery:
+    offline audit, not a per-probe tax. The result also carries
+    ``missing_stamp_keys`` (VERDICT r9 #2): 4 means the bands table
+    holds NO ``sparkgraft.minhash.*`` geometry stamp — on an index
+    built by :func:`write_minhash_index` that is the in-place
+    compaction crash signature (crash after the bands overwrite,
+    before the re-stamp); recover with :func:`_stamp_minhash_params`
+    and the known shingle width, or re-run the compaction with its
+    explicit ``shingle_k=`` override. Hand-built or pre-stamp legacy
+    indexes can ignore the count. Shared machinery:
     :func:`index_lifecycle.verify_index` with :data:`MINHASH_SPEC`."""
     return verify_index(spark, name, MINHASH_SPEC, id_col)
 
@@ -685,6 +813,7 @@ def compact_minhash_index(
     id_col: str = "doc_id",
     target: str | None = None,
     path: str | None = None,
+    shingle_k: int | None = None,
 ) -> dict[str, int]:
     """Rewrite both index tables without duplicate rows (VERDICT r7 #3).
 
@@ -744,12 +873,26 @@ def compact_minhash_index(
       re-run (the source is untouched throughout, nothing is lost);
       never swap a target into service before its build completed.
 
+    ``shingle_k=`` overrides the geometry stamp written to the output —
+    the RECOVERY path for an in-place compaction that crashed between
+    the bands overwrite and the re-stamp (the crash erases the source
+    stamp, so a plain re-run cannot restore what it can no longer read;
+    a re-run with the known shingle width can — the remaining stamp
+    fields are the session's module constants).
+
     Returns row counts: ``{"bands_before", "bands_after",
     "sigs_before", "sigs_after"}``. Shared machinery:
     :func:`index_lifecycle.compact_index` with :data:`MINHASH_SPEC`.
     """
+    override = _minhash_stamp(shingle_k) if shingle_k is not None else None
     return compact_index(
-        spark, name, MINHASH_SPEC, id_col, target=target, path=path
+        spark,
+        name,
+        MINHASH_SPEC,
+        id_col,
+        target=target,
+        path=path,
+        stamp_override=override,
     )
 
 
@@ -760,15 +903,26 @@ def swap_minhash_index(spark, name: str, target: str) -> dict:
     step). Verifies the target first; crash-recoverable by re-running
     (every intermediate catalog state is either the old index, the new
     index, or loudly missing a table — crash-simulated at each
-    inter-rename point in tests/test_incremental.py). See
-    :func:`index_lifecycle.swap_index` for the full contract."""
-    return swap_index(
-        spark,
-        name,
-        target,
-        MINHASH_SPEC,
-        verify_fn=lambda s, n: verify_minhash_index(s, n),
-    )
+    inter-rename point in tests/test_incremental.py). Verification
+    includes the geometry stamp (``missing_stamp_keys``): a build that
+    lost its stamp cannot be promoted — an unstamped live index would
+    bypass the geometry guard on every future append/probe; re-stamp
+    with :func:`_stamp_minhash_params` and the known shingle width
+    first. See :func:`index_lifecycle.swap_index` for the full
+    contract."""
+
+    def _verify(s, n):
+        health = verify_minhash_index(s, n)
+        if health.get("missing_stamp_keys"):
+            raise ValueError(
+                f"swap_minhash_index: target {n!r} is missing its "
+                f"geometry stamp ({MINHASH_STAMP_KEYS}) — re-stamp with "
+                f"_stamp_minhash_params (known shingle width) before "
+                f"promoting; an unstamped live index would bypass the "
+                f"geometry guard on every future append/probe."
+            )
+
+    return swap_index(spark, name, target, MINHASH_SPEC, verify_fn=_verify)
 
 
 def incremental_minhash_pairs(
@@ -823,9 +977,18 @@ def incremental_minhash_pairs(
     instead of a nondeterministic one of the two values;
     :func:`compact_minhash_index` detects such conflicting signature
     payloads and raises.
+
+    Probing DURING a swap (index_lifecycle runbook): between
+    :func:`swap_minhash_index`'s retire and promote phases the live
+    name is missing at least one table, so a concurrent probe FAILS
+    LOUDLY on a missing table — by design, never a silent mixture of
+    generations. The probe is read-only and idempotent: re-run it
+    after the swap completes (or re-run the crashed swap first; it
+    resumes from any point).
     """
     if verify:
         verify_minhash_index(spark, name, id_col=id_col)
+    _check_minhash_params(spark, name, k)
     # localCheckpoint, not persist(): the shard signatures feed two
     # branches (band probe + verify join), but a persist() here would
     # outlive the returned DataFrame in the session's cache manager —

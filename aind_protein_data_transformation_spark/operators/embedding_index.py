@@ -151,12 +151,21 @@ def _check_srp_params(spark, name: str, n_bits: int, n_bands: int) -> None:
     wrong band set / bit width, so candidate pairs silently go MISSING
     instead of failing — the same silent-drop class the dimension
     guard closes. Unstamped tables (not built by write_srp_index) pass
-    unvalidated."""
+    unvalidated; a PARTIAL stamp is tampering/corruption, not legacy,
+    and raises rather than half-validating (round-10 hardening — the
+    compact path already treated partial stamps as an error)."""
     props = read_stamp(spark, f"{name}_bands", SRP_STAMP_KEYS)
+    if not props:
+        return
     bits = props.get("sparkgraft.srp.n_bits")
     bands = props.get("sparkgraft.srp.n_bands")
     if bits is None or bands is None:
-        return
+        raise ValueError(
+            f"srp index {name!r} carries a PARTIAL identity stamp "
+            f"({sorted(props)} of {SRP_STAMP_KEYS}) — the stamp is one "
+            f"identity; repair it with the known geometry "
+            f"(_stamp_srp_params) before probing or appending."
+        )
     if (int(bits), int(bands)) != (n_bits, n_bands):
         raise ValueError(
             f"srp index {name!r} was built with n_bits={bits}/"
@@ -499,7 +508,15 @@ def incremental_srp_pairs(
     Output aggregates ``max(cosine)`` per (new_id, index_id) — row
     dedup under the append-only contract, and the deterministic upper
     bound under an out-of-band contract violation (the ADVICE-r7
-    adjudication, unchanged from the minhash probe)."""
+    adjudication, unchanged from the minhash probe).
+
+    Probing DURING a swap (index_lifecycle runbook): between
+    :func:`swap_srp_index`'s retire and promote phases the live name
+    is missing at least one table, so a concurrent probe FAILS LOUDLY
+    on a missing table — by design, never a silent mixture of
+    generations. The probe is read-only and idempotent: re-run it
+    after the swap completes (or re-run the crashed swap first; it
+    resumes from any point)."""
     if verify:
         verify_srp_index(spark, name, vec_id=vec_id)
     _check_dim(spark, name, new_vectors, vec_col)

@@ -30,6 +30,12 @@ SRP geometry stamp travels with its table) and keep an EXTERNAL table's
 location — at object-store scale build indexes with ``path=`` so the
 swap is metadata-only (a MANAGED-table rename relocates the warehouse
 directory: a cheap filesystem rename locally/HDFS, a copy on s3a).
+Probe-side contract during a swap: between retire and promote the live
+name is missing at least one table, so a concurrent probe fails LOUDLY
+on a missing table (by design — never a silent mixture); the retry
+rule — idempotent re-run after the swap completes — is documented on
+each family's probe (``incremental_minhash_pairs``,
+``incremental_srp_pairs``, ``incremental_simhash_pairs``).
 
 No counterpart exists in the reference (its array layer is
 conversion-only, reference czi_to_zarr.py); the lifecycle extends the

@@ -2,17 +2,18 @@
 family, and the payoff of the shared lifecycle core (VERDICT r8 #5):
 verify / compact / swap are one :class:`~.index_lifecycle.IndexSpec`
 config plus thin wrappers; only the family-specific signing (the
-32-bit SimHash vote aggregate, operators/dedup.py:401) and the probe
-join live here.
+SimHash vote aggregate, operators/dedup.py) and the probe join live
+here.
 
 Two plain bucketed parquet tables per index, same trade-offs and
 non-transactional caveats as the minhash/SRP twins:
 
-- ``{name}_bands``: (doc_id, chunk, val) — each document's four 8-bit
-  hash chunks, bucketed AND sorted by (chunk, val): the pigeonhole
-  blocking key (hamming <= 3 over 32 bits guarantees at least one
-  equal chunk), so a probe's candidate join exchanges only the shard's
-  chunk rows while the corpus side reads co-located and pre-sorted.
+- ``{name}_bands``: (doc_id, chunk, val) — each document's hash chunks
+  (``n_chunks`` fields of ``bits / n_chunks`` bits each), bucketed AND
+  sorted by (chunk, val): the pigeonhole blocking key (hamming <=
+  n_chunks - 1 guarantees at least one equal chunk), so a probe's
+  candidate join exchanges only the shard's chunk rows while the
+  corpus side reads co-located and pre-sorted.
 - ``{name}_sigs``: (doc_id, simhash) bucketed by doc_id — the full
   hash the verify stage recomputes hamming distance from (bit_count of
   XOR; no text is re-read).
@@ -28,13 +29,22 @@ with :func:`swap_simhash_index` (metadata-only renames, no overwrite
 window — see index_lifecycle's runbook).
 
 Scale envelope (measured round 9, BENCH.md): chunk blocking over
-SIMHASH_CHUNKS fixed 8-bit values yields ~n/256 candidates per chunk
-per probe doc — linear in the corpus, unlike minhash's banded keys.
-At corpus sizes where the candidate join dominates probes, widen the
-chunks (e.g. 16-bit chunks over a 64-bit hash: pigeonhole still covers
-hamming <= chunks-1, buckets shrink 256x) — a constants change here,
-not a structural one. The probe fans its chunk rows to the session
-width before the candidate join for exactly this reason.
+``n_chunks`` fixed w-bit values yields ~n/2^w candidates per chunk per
+probe doc — linear in the corpus, unlike minhash's banded keys. At
+corpus sizes where the candidate join dominates probes, WIDEN the
+chunks: since round 10 the geometry is a **constructor parameter**, not
+a constants edit — e.g. ``write_simhash_index(docs, name, bits=48,
+n_chunks=3)`` builds 16-bit chunks (buckets shrink 256x vs the 8-bit
+default; pigeonhole still covers hamming <= n_chunks - 1 = 2). The
+geometry is STAMPED into the bands table's properties
+(``sparkgraft.simhash.*``, VERDICT r9 #2/#3) and every append and
+probe derives its chunk layout and pigeonhole cap FROM the stamp — so
+a probe can never join new-geometry chunk rows against old-geometry
+bands (the silent recall collapse the round-9 audit flagged when this
+was a module-constants edit). ``bits`` is capped at 60: the portable
+token hash is 60 bits (functions/text.py), so wider hashes would carry
+dead bits. The probe also fans its chunk rows to the session width
+before the candidate join (the round-9 AQE one-partition fix).
 
 The first-match-chunk trick the BATCH pair join uses
 (simhash_near_pairs — emit each pair only from its first agreeing
@@ -52,16 +62,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import SIMHASH_CHUNKS, simhash
+from .dedup import SIMHASH_BITS, SIMHASH_CHUNKS, simhash
 from .index_lifecycle import (
     IndexSpec,
+    apply_stamp,
     compact_index,
+    read_stamp,
     swap_index,
     table_num_buckets,
     verify_index,
 )
 
 SIMHASH_MAX_HAMMING = 3
+
+SIMHASH_STAMP_KEYS = ("sparkgraft.simhash.bits", "sparkgraft.simhash.chunks")
 
 SIMHASH_SPEC = IndexSpec(
     kind="simhash",
@@ -77,11 +91,125 @@ SIMHASH_SPEC = IndexSpec(
     append_fn="append_simhash_shard",
     write_fn="write_simhash_index",
     compact_fn="compact_simhash_index",
+    stamp_keys=SIMHASH_STAMP_KEYS,
 )
 
 
-def _chunk_rows(sims: DataFrame, id_col: str) -> DataFrame:
-    """(id, chunk, val) blocking rows — each document's 8-bit chunks."""
+def _validate_geometry(bits: int, n_chunks: int) -> None:
+    """Reject geometries the blocking cannot honor: chunks must tile
+    the hash uniformly (the pigeonhole guarantee counts EVERY bit as
+    belonging to exactly one chunk), at least two chunks must exist
+    (one chunk degenerates to exact-hash match), and the hash width is
+    bounded by the portable token hash's 60 bits (dedup.simhash)."""
+    if n_chunks < 2:
+        raise ValueError(
+            f"simhash geometry n_chunks={n_chunks} is degenerate — one "
+            f"chunk blocks only exact-hash matches (pigeonhole covers "
+            f"hamming <= n_chunks - 1 = 0); use >= 2 chunks."
+        )
+    if not n_chunks <= bits <= 60:
+        raise ValueError(
+            f"simhash geometry bits={bits} out of range "
+            f"[{n_chunks}, 60]: the portable token hash is 60 bits, so "
+            f"wider hashes would carry dead bits (every document agrees "
+            f"there), and each chunk needs at least one bit."
+        )
+    if bits % n_chunks:
+        raise ValueError(
+            f"simhash geometry bits={bits} is not divisible by "
+            f"n_chunks={n_chunks} — the pigeonhole recall guarantee "
+            f"needs every bit to belong to exactly one chunk of uniform "
+            f"width; pick a chunk count that tiles the hash."
+        )
+
+
+def _stamp_simhash_params(spark, name: str, bits: int, n_chunks: int) -> None:
+    """Record the chunk geometry on the bands table — it is part of the
+    index identity (chunk values across different widths never collide
+    meaningfully), so appends and probes derive their layout from it.
+    Also the RECOVERY tool for a lost stamp (the in-place-compaction
+    crash window flagged by ``missing_stamp_keys`` in
+    :func:`verify_simhash_index`): re-apply with the KNOWN geometry, or
+    re-run the compaction with its explicit ``bits=``/``n_chunks=``
+    override."""
+    apply_stamp(spark, f"{name}_bands", _simhash_stamp(bits, n_chunks))
+
+
+def _simhash_stamp(bits: int, n_chunks: int) -> dict[str, str]:
+    return {
+        "sparkgraft.simhash.bits": str(bits),
+        "sparkgraft.simhash.chunks": str(n_chunks),
+    }
+
+
+def _read_geometry(spark, name: str) -> tuple[int, int] | None:
+    """The index's stamped (bits, n_chunks), or None when unstamped
+    (hand-built or pre-stamp legacy — :func:`verify_simhash_index`
+    reports those via ``missing_stamp_keys``). A PARTIAL stamp is
+    tampering/corruption, not legacy, and raises."""
+    props = read_stamp(spark, f"{name}_bands", SIMHASH_STAMP_KEYS)
+    if not props:
+        return None
+    if len(props) < len(SIMHASH_STAMP_KEYS):
+        raise ValueError(
+            f"simhash index {name!r} carries a PARTIAL identity stamp "
+            f"({sorted(props)} of {SIMHASH_STAMP_KEYS}) — the stamp is "
+            f"one identity; repair it with the known geometry "
+            f"(_stamp_simhash_params) before probing or appending."
+        )
+    return (
+        int(props["sparkgraft.simhash.bits"]),
+        int(props["sparkgraft.simhash.chunks"]),
+    )
+
+
+def _resolve_geometry(
+    spark, name: str, bits: int | None, n_chunks: int | None, caller: str
+) -> tuple[int, int]:
+    """The geometry an append/probe must sign and chunk under: the
+    index's STAMP when present (the probe can then never join
+    new-geometry chunk rows against old-geometry bands — the silent
+    recall collapse VERDICT r9 flagged); explicit caller values must
+    AGREE with the stamp or this raises. Unstamped legacy indexes fall
+    back to the caller's values, else the module defaults (32/4 — the
+    pre-stamp constants every legacy index was built under)."""
+    stamped = _read_geometry(spark, name)
+    if stamped is not None:
+        sb, sc = stamped
+        eb = bits if bits is not None else sb
+        ec = n_chunks if n_chunks is not None else sc
+        if (eb, ec) != (sb, sc):
+            raise ValueError(
+                f"{caller}: simhash index {name!r} was built with "
+                f"bits={sb}/n_chunks={sc} but the caller passed "
+                f"bits={eb}/n_chunks={ec} — chunk values across "
+                f"different geometries never collide meaningfully, so "
+                f"the probe/append would silently lose near-dup pairs. "
+                f"Omit the geometry arguments (they derive from the "
+                f"stamp) or pass the index's own."
+            )
+        # a corrupted stamp carrying an impossible geometry must not
+        # silently drive a nonsense chunk layout
+        _validate_geometry(sb, sc)
+        return sb, sc
+    out = (
+        bits if bits is not None else SIMHASH_BITS,
+        n_chunks if n_chunks is not None else SIMHASH_CHUNKS,
+    )
+    _validate_geometry(*out)
+    return out
+
+
+def _chunk_rows(
+    sims: DataFrame,
+    id_col: str,
+    bits: int = SIMHASH_BITS,
+    n_chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """(id, chunk, val) blocking rows — each document's w-bit chunks,
+    w = bits / n_chunks (validated by the callers)."""
+    w = bits // n_chunks
+    mask = (1 << w) - 1
     return sims.select(
         id_col,
         F.explode(
@@ -89,11 +217,11 @@ def _chunk_rows(sims: DataFrame, id_col: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), 8 * c)
-                        .bitwiseAND(255)
+                        F.shiftright(F.col("simhash"), w * c)
+                        .bitwiseAND(mask)
                         .alias("val"),
                     )
-                    for c in range(SIMHASH_CHUNKS)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ck"),
@@ -107,20 +235,31 @@ def write_simhash_index(
     path: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    n_chunks: int = SIMHASH_CHUNKS,
 ) -> None:
     """Index ``docs`` for incremental hamming-distance probes: one
     SimHash vote aggregate over the corpus, persisted as the chunk
     blocking table + full-hash sidecar described in the module notes.
-    Build order bands -> sigs: a fresh build that crashes before the
-    LAST write leaves the sigs table missing, so every partial state
-    fails loudly (probes cannot read ``{name}_sigs``)."""
+
+    ``bits``/``n_chunks`` are the widen-the-chunks scale dial (module
+    notes): they are part of the index identity, STAMPED into the
+    bands table's properties, and every subsequent append/probe derives
+    its chunk layout and pigeonhole cap from the stamp — so the 100-TB
+    geometry is a constructor argument here, never an edit against an
+    existing index. Build order bands -> stamp -> sigs: a fresh build
+    that crashes before the LAST write leaves the sigs table missing,
+    so every partial state fails loudly (probes cannot read
+    ``{name}_sigs``) — in particular a complete-LOOKING index with a
+    missing stamp cannot be produced by a crash here."""
+    _validate_geometry(bits, n_chunks)
     # persist: the vote aggregate (the expensive pass) feeds BOTH
     # writes; without it each saveAsTable recomputes it from the raw
     # text (round-9 review). Bounded lifetime: released before return.
-    sims = simhash(docs, text_col=text_col, id_col=id_col).persist()
+    sims = simhash(docs, text_col=text_col, id_col=id_col, n_bits=bits).persist()
     try:
         bw = (
-            _chunk_rows(sims, id_col)
+            _chunk_rows(sims, id_col, bits, n_chunks)
             .write.mode("overwrite")
             .bucketBy(n_buckets, "chunk", "val")
             .sortBy("chunk", "val")
@@ -128,6 +267,7 @@ def write_simhash_index(
         if path:
             bw = bw.option("path", f"{path}/bands")
         bw.saveAsTable(f"{name}_bands")
+        _stamp_simhash_params(docs.sparkSession, name, bits, n_chunks)
         sw = sims.write.mode("overwrite").bucketBy(n_buckets, id_col)
         if path:
             sw = sw.option("path", f"{path}/sigs")
@@ -142,23 +282,33 @@ def append_simhash_shard(
     name: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int | None = None,
+    n_chunks: int | None = None,
 ) -> None:
     """Fold an (already-deduplicated) shard into the persisted index —
     a bucketed APPEND of the shard's own chunk/sig rows; the history is
-    never read or re-signed. Sigs FIRST, bands second (the minhash
-    ordering contract): a crash between the writes leaves orphan sig
-    rows, which no probe can reach; re-running completes the index and
-    duplicate rows change no probe result."""
+    never read or re-signed. The shard is signed and chunked under the
+    index's STAMPED geometry (explicit ``bits``/``n_chunks`` must agree
+    with the stamp or this raises — see :func:`_resolve_geometry`).
+    Sigs FIRST, bands second (the minhash ordering contract): a crash
+    between the writes leaves orphan sig rows, which no probe can
+    reach; re-running completes the index and duplicate rows change no
+    probe result."""
     band_buckets = table_num_buckets(spark, f"{name}_bands")
     sig_buckets = table_num_buckets(spark, f"{name}_sigs")
-    sims = simhash(docs, text_col=text_col, id_col=id_col).localCheckpoint()
+    bits, n_chunks = _resolve_geometry(
+        spark, name, bits, n_chunks, "append_simhash_shard"
+    )
+    sims = simhash(
+        docs, text_col=text_col, id_col=id_col, n_bits=bits
+    ).localCheckpoint()
     (
         sims.write.mode("append")
         .bucketBy(sig_buckets, id_col)
         .saveAsTable(f"{name}_sigs")
     )
     (
-        _chunk_rows(sims, id_col)
+        _chunk_rows(sims, id_col, bits, n_chunks)
         .write.mode("append")
         .bucketBy(band_buckets, "chunk", "val")
         .sortBy("chunk", "val")
@@ -171,7 +321,14 @@ def verify_simhash_index(spark, name: str, id_col: str = "doc_id") -> dict[str, 
     :data:`SIMHASH_SPEC`: banded docs without a signature row raise
     (probes would silently drop their candidates at the hamming
     verify); orphan sig rows (the benign sigs-first partial state) are
-    counted, not raised."""
+    counted, not raised. The result also carries ``missing_stamp_keys``
+    (VERDICT r9 #2): 2 means the bands table holds NO
+    ``sparkgraft.simhash.*`` geometry stamp — on an index built by
+    :func:`write_simhash_index` that is the in-place compaction crash
+    signature; recover with :func:`_stamp_simhash_params` and the known
+    geometry, or re-run the compaction with its explicit
+    ``bits=``/``n_chunks=`` override. Hand-built or pre-stamp legacy
+    indexes can ignore the count."""
     return verify_index(spark, name, SIMHASH_SPEC, id_col)
 
 
@@ -181,40 +338,78 @@ def compact_simhash_index(
     id_col: str = "doc_id",
     target: str | None = None,
     path: str | None = None,
+    bits: int | None = None,
+    n_chunks: int | None = None,
 ) -> dict[str, int]:
     """Drop duplicate rows from both tables — shared
     :func:`index_lifecycle.compact_index` (zero-shuffle off the
     bucketed reads, conflict check on the simhash payload, in-place or
     compact-into-target modes; promote a verified target with
-    :func:`swap_simhash_index`)."""
-    return compact_index(spark, name, SIMHASH_SPEC, id_col, target=target, path=path)
+    :func:`swap_simhash_index`). The geometry stamp travels to the
+    output; ``bits=``/``n_chunks=`` (both or neither) override it —
+    the RECOVERY path for an in-place compaction that crashed between
+    the bands overwrite and the re-stamp (the crash erases the source
+    stamp, so a plain re-run cannot restore what it can no longer
+    read; a re-run with the known geometry can)."""
+    if (bits is None) != (n_chunks is None):
+        raise ValueError(
+            "compact_simhash_index: pass BOTH bits and n_chunks (the "
+            "geometry stamp is one identity) or neither"
+        )
+    override = _simhash_stamp(bits, n_chunks) if bits is not None else None
+    return compact_index(
+        spark,
+        name,
+        SIMHASH_SPEC,
+        id_col,
+        target=target,
+        path=path,
+        stamp_override=override,
+    )
 
 
 def swap_simhash_index(spark, name: str, target: str) -> dict:
     """Promote a verified compact-into-``target`` build via
     metadata-only rename pairs — :func:`index_lifecycle.swap_index`
-    with :data:`SIMHASH_SPEC`; verifies the target first."""
-    return swap_index(
-        spark,
-        name,
-        target,
-        SIMHASH_SPEC,
-        verify_fn=lambda s, n: verify_simhash_index(s, n),
-    )
+    with :data:`SIMHASH_SPEC`; verifies the target first, INCLUDING
+    that its geometry stamp is present (``missing_stamp_keys``) — an
+    unstamped live index would make every future append/probe fall
+    back to the legacy default geometry, silently collapsing recall on
+    a widened-chunk index."""
+
+    def _verify(s, n):
+        health = verify_simhash_index(s, n)
+        if health.get("missing_stamp_keys"):
+            raise ValueError(
+                f"swap_simhash_index: target {n!r} is missing its "
+                f"geometry stamp ({SIMHASH_STAMP_KEYS}) — re-stamp with "
+                f"_stamp_simhash_params (known geometry) before "
+                f"promoting; an unstamped live index would derive the "
+                f"legacy default geometry on every future append/probe."
+            )
+
+    return swap_index(spark, name, target, SIMHASH_SPEC, verify_fn=_verify)
 
 
 def incremental_simhash_pairs(
     spark,
     new_docs: DataFrame,
     name: str,
-    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_hamming: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     verify: bool = False,
+    bits: int | None = None,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``new_docs`` and the indexed corpus:
     (new_id, index_id, hamming), hamming <= ``max_hamming`` over the
-    chunk-collision candidates.
+    chunk-collision candidates. The shard is signed and chunked under
+    the index's STAMPED geometry (module notes; explicit
+    ``bits``/``n_chunks`` must agree with the stamp or this raises),
+    and ``max_hamming`` defaults to — and is capped at — the stamped
+    geometry's pigeonhole guarantee, ``n_chunks - 1``: beyond it the
+    chunk blocking silently under-recalls, so the API raises instead.
 
     Scale shape, identical to the minhash/SRP probes: the shard is
     signed in one vote-aggregate pass (localCheckpoint — it feeds the
@@ -225,6 +420,14 @@ def incremental_simhash_pairs(
     re-scanned. Batch equivalence against simhash_near_pairs over
     corpus+shard is pinned by tests/test_simhash_index.py.
 
+    Probing DURING a swap (index_lifecycle runbook): between
+    :func:`swap_simhash_index`'s retire and promote phases the live
+    name is missing at least one table, so a concurrent probe FAILS
+    LOUDLY on a missing table — by design, never a silent mixture of
+    generations. The probe is read-only and idempotent: re-run it
+    after the swap completes (or re-run the crashed swap first; it
+    resumes from any point).
+
     ``verify=True`` runs :func:`verify_simhash_index` first — the one
     offline audit before probing a possibly-interrupted index.
 
@@ -233,22 +436,25 @@ def incremental_simhash_pairs(
     identical hash, hence the identical hamming), and the
     deterministic LOWER bound under an out-of-band contract violation
     — the same adjudication as the other two probes' max(score), with
-    the inequality flipped because smaller hamming = nearer.
-
-    ``max_hamming`` is capped at SIMHASH_CHUNKS - 1, like the batch
-    twin: beyond the pigeonhole guarantee the chunk blocking silently
-    under-recalls, so the API raises instead."""
-    if max_hamming > SIMHASH_CHUNKS - 1:
+    the inequality flipped because smaller hamming = nearer."""
+    bits, n_chunks = _resolve_geometry(
+        spark, name, bits, n_chunks, "incremental_simhash_pairs"
+    )
+    if max_hamming is None:
+        max_hamming = n_chunks - 1
+    if max_hamming > n_chunks - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the chunk-blocking "
-            f"recall guarantee (pigeonhole over {SIMHASH_CHUNKS} chunks "
-            f"covers hamming <= {SIMHASH_CHUNKS - 1}); pairs beyond it "
+            f"recall guarantee (pigeonhole over {n_chunks} chunks "
+            f"covers hamming <= {n_chunks - 1}); pairs beyond it "
             f"would be silently MISSING from the probe, not slower to "
-            f"find."
+            f"find. Rebuild the index with more chunks for wider radii."
         )
     if verify:
         verify_simhash_index(spark, name, id_col=id_col)
-    sims = simhash(new_docs, text_col=text_col, id_col=id_col).localCheckpoint()
+    sims = simhash(
+        new_docs, text_col=text_col, id_col=id_col, n_bits=bits
+    ).localCheckpoint()
     # Fan the shard's chunk rows out to the session's width BEFORE the
     # candidate join (measured round 9 at the 10x text layout): AQE
     # coalesces the tiny checkpointed shard to ONE partition, and when
@@ -262,7 +468,9 @@ def incremental_simhash_pairs(
     # small/medium regime behave the same way.
     from ..plans.scale import fanout_width
 
-    probe = _chunk_rows(sims, id_col).repartition(fanout_width(spark))
+    probe = _chunk_rows(sims, id_col, bits, n_chunks).repartition(
+        fanout_width(spark)
+    )
     idx = spark.table(f"{name}_bands")
     cand = (
         probe.join(

@@ -481,3 +481,78 @@ def test_probe_leaves_cache_manager_empty(spark, split_docs, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}_bands")
         spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
+
+
+# ------------------------------------------------- geometry stamp (r10)
+
+
+def test_minhash_stamp_guards_probe_and_append(spark, split_docs, tmp_path):
+    """VERDICT r9 #2: the signature geometry (perm count, band size,
+    shingle k, hash derivation version) is stamped at build and
+    validated on every append/probe — a session whose constants
+    disagree with the stamp would sign the shard under a different
+    derivation, so its band keys never meaningfully collide with the
+    stored ones and pairs silently go MISSING; the guard raises
+    instead."""
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        MINHASH_STAMP_KEYS,
+        _stamp_minhash_params,
+        compact_minhash_index,
+        verify_minhash_index,
+    )
+
+    corpus, shard = split_docs
+    name = "t_mstamp"
+    try:
+        write_minhash_index(corpus, name, n_buckets=4, k=3,
+                            path=str(tmp_path / "mstamp"))
+        assert verify_minhash_index(spark, name)["missing_stamp_keys"] == 0
+        # a different shingle width is a different derivation
+        with pytest.raises(ValueError, match="shingle_k: index='3' vs session='4'"):
+            incremental_minhash_pairs(spark, shard, name, k=4)
+        with pytest.raises(ValueError, match="different signature constants"):
+            append_minhash_shard(spark, shard, name, k=4)
+        # a stamp recording different module constants (a code upgrade
+        # probing an old index) raises the same way
+        spark.sql(
+            f"ALTER TABLE {name}_bands SET TBLPROPERTIES "
+            f"('sparkgraft.minhash.perms' = '64')"
+        )
+        with pytest.raises(ValueError, match="perms: index='64' vs session='32'"):
+            incremental_minhash_pairs(spark, shard, name)
+        spark.sql(
+            f"ALTER TABLE {name}_bands SET TBLPROPERTIES "
+            f"('sparkgraft.minhash.perms' = '32')"
+        )
+        # PARTIAL stamp = corruption, not legacy: raises
+        spark.sql(
+            f"ALTER TABLE {name}_bands UNSET TBLPROPERTIES "
+            f"('sparkgraft.minhash.hash_version')"
+        )
+        with pytest.raises(ValueError, match="PARTIAL identity stamp"):
+            incremental_minhash_pairs(spark, shard, name)
+        # fully-unstamped legacy passes unvalidated; verify flags it,
+        # and the known-geometry re-stamp (or the compaction override)
+        # restores the guard
+        spark.sql(
+            f"ALTER TABLE {name}_bands UNSET TBLPROPERTIES "
+            + "(" + ", ".join(f"'{k}'" for k in MINHASH_STAMP_KEYS) + ")"
+        )
+        assert verify_minhash_index(spark, name)["missing_stamp_keys"] == 4
+        incremental_minhash_pairs(spark, shard, name).count()  # legacy pass
+        compact_minhash_index(spark, name)  # cannot restore what it can't read
+        assert verify_minhash_index(spark, name)["missing_stamp_keys"] == 4
+        compact_minhash_index(spark, name, shingle_k=3)
+        assert verify_minhash_index(spark, name)["missing_stamp_keys"] == 0
+        with pytest.raises(ValueError, match="shingle_k"):
+            incremental_minhash_pairs(spark, shard, name, k=4)
+        # the direct re-stamp tool works too
+        spark.sql(
+            f"ALTER TABLE {name}_bands UNSET TBLPROPERTIES "
+            + "(" + ", ".join(f"'{k}'" for k in MINHASH_STAMP_KEYS) + ")"
+        )
+        _stamp_minhash_params(spark, name, 3)
+        assert verify_minhash_index(spark, name)["missing_stamp_keys"] == 0
+    finally:
+        for t in (f"{name}_bands", f"{name}_sigs"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -80,12 +80,19 @@ def _drop(spark, *tables):
 def test_max_hamming_beyond_pigeonhole_guarantee_raises(spark, split_docs):
     """Round-9 review: hamming > chunks-1 would silently UNDER-RECALL
     (pairs whose flips straddle all four chunks never share a blocking
-    key) — both the batch and incremental APIs raise instead."""
+    key) — both the batch and incremental APIs raise instead. Since
+    round 10 the probe derives the cap from the index's STAMPED
+    geometry, so the check needs a real index (a probe against a
+    missing table fails loudly on the table, by the swap contract)."""
     corpus, shard = split_docs
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_pairs(simhash(corpus.limit(10)), max_hamming=4)
-    with pytest.raises(ValueError, match="pigeonhole"):
-        incremental_simhash_pairs(spark, shard, "t_whatever", max_hamming=4)
+    try:
+        write_simhash_index(corpus.limit(10), "t_shp", n_buckets=2)
+        with pytest.raises(ValueError, match="pigeonhole"):
+            incremental_simhash_pairs(spark, shard, "t_shp", max_hamming=4)
+    finally:
+        _drop(spark, "t_shp_bands", "t_shp_sigs")
 
 
 def test_incremental_probe_equals_batch_pipeline(spark, split_docs, tmp_path):
@@ -190,3 +197,191 @@ def test_append_crash_states_and_compaction(spark, split_docs, tmp_path):
             "t_shc_full_bands",
             "t_shc_full_sigs",
         )
+
+
+# ------------------------------------------------- geometry stamp (r10)
+
+
+def test_geometry_stamp_guards_probe_and_append(spark, split_docs, tmp_path):
+    """VERDICT r9 #2: the chunk geometry is part of the index identity.
+    A probe or append whose explicit geometry disagrees with the stamp
+    RAISES instead of silently joining new-geometry chunk rows against
+    old-geometry bands (near-zero collisions, silent recall collapse);
+    geometry-less calls derive the stamped layout and keep working."""
+    corpus, shard = split_docs
+    try:
+        write_simhash_index(
+            corpus.limit(50), "t_shg", n_buckets=2, path=str(tmp_path / "shg")
+        )
+        # derives (32, 4) from the stamp — works
+        incremental_simhash_pairs(spark, shard, "t_shg").collect()
+        for fn in (
+            lambda: incremental_simhash_pairs(
+                spark, shard, "t_shg", bits=48, n_chunks=3
+            ),
+            lambda: append_simhash_shard(
+                spark, shard, "t_shg", bits=48, n_chunks=3
+            ),
+        ):
+            with pytest.raises(ValueError, match="built with bits=32/n_chunks=4"):
+                fn()
+        # a PARTIAL stamp is corruption, not legacy — raises
+        spark.sql(
+            "ALTER TABLE t_shg_bands UNSET TBLPROPERTIES "
+            "('sparkgraft.simhash.chunks')"
+        )
+        with pytest.raises(ValueError, match="PARTIAL identity stamp"):
+            incremental_simhash_pairs(spark, shard, "t_shg")
+    finally:
+        _drop(spark, "t_shg_bands", "t_shg_sigs")
+
+
+def test_invalid_geometries_rejected_at_build(spark, split_docs):
+    corpus, _ = split_docs
+    ten = corpus.limit(10)
+    for bits, n_chunks, msg in [
+        (32, 1, "degenerate"),
+        (64, 4, "60 bits"),
+        (33, 4, "not divisible"),
+        (3, 4, "out of range"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            write_simhash_index(ten, "t_never", bits=bits, n_chunks=n_chunks)
+    assert not spark.catalog.tableExists("t_never_bands")
+
+
+def test_widened_chunk_index_matches_duckdb_oracle(spark, sf_dir, tmp_path):
+    """VERDICT r9 #3 done-criterion: the widen-the-chunks 100-TB path is
+    CONSTRUCTIBLE — a 16-bit-chunk index (bits=48, n_chunks=3;
+    pigeonhole covers hamming <= 2) built through the parametrized
+    write → stamp → probe chain, checked green against a DuckDB replay
+    of the same geometry (the portable md5 token hash makes the vote
+    aggregate bit-identical on both engines)."""
+    import duckdb
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    corpus = spark.read.parquet(docs_path).select("doc_id", "text")
+    mutants = corpus.filter("doc_id % 10 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    copies = corpus.filter("doc_id % 10 = 5").select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    shard = mutants.unionByName(copies)
+    bits, n_chunks, w = 48, 3, 16
+    oracle = duckdb.connect().execute(
+        f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM read_parquet('{docs_path}')
+        ),
+        shard AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   regexp_replace(text, '^\\S+\\s+', '') AS text
+            FROM corpus WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text FROM corpus WHERE doc_id % 10 = 5
+        ),
+        docs AS (SELECT * FROM corpus UNION ALL SELECT * FROM shard),
+        toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                      t -> t <> '')) AS token
+            FROM docs
+        ),
+        th AS (
+            SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+            FROM toks
+        ),
+        votes AS (
+            SELECT doc_id, bit,
+                   SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            FROM th CROSS JOIN
+                 (SELECT unnest(generate_series(0, {bits - 1})) AS bit) bits
+            GROUP BY doc_id, bit
+        ),
+        sims AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                       AS simhash
+            FROM votes GROUP BY doc_id
+        ),
+        chunks AS (
+            SELECT doc_id, simhash, c,
+                   (simhash >> ({w} * c)) & {(1 << w) - 1} AS val
+            FROM sims CROSS JOIN
+                 (SELECT unnest(generate_series(0, {n_chunks - 1})) AS c) cs
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM chunks a JOIN chunks b ON a.c = b.c AND a.val = b.val
+            WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+        )
+        SELECT new_id, index_id, hamming FROM pairs
+        WHERE hamming <= {n_chunks - 1}
+        """
+    ).fetchall()
+    expected = {(r[0], r[1]): r[2] for r in oracle}
+    # non-degenerate on both fronts: the exact copies guarantee
+    # hamming-0 pairs at ANY geometry, and at 16-bit chunks at least
+    # those must surface
+    assert any(h == 0 for h in expected.values())
+    try:
+        write_simhash_index(
+            corpus,
+            "t_shw",
+            n_buckets=4,
+            path=str(tmp_path / "shw"),
+            bits=bits,
+            n_chunks=n_chunks,
+        )
+        # max_hamming defaults to the stamped pigeonhole cap (2 here)
+        got = _probe_raw(spark, shard, "t_shw")
+        assert got == expected
+        # the stamp drives the cap: the legacy default radius (3) now
+        # exceeds the 3-chunk guarantee and raises
+        with pytest.raises(ValueError, match="pigeonhole over 3 chunks"):
+            incremental_simhash_pairs(spark, shard, "t_shw", max_hamming=3)
+        # lifecycle keeps the widened geometry: in-place compaction
+        # re-stamps, and the probe still matches the oracle
+        compact_simhash_index(spark, "t_shw")
+        assert verify_simhash_index(spark, "t_shw")["missing_stamp_keys"] == 0
+        assert _probe_raw(spark, shard, "t_shw") == expected
+    finally:
+        _drop(spark, "t_shw_bands", "t_shw_sigs")
+
+
+def _probe_raw(spark, shard, name):
+    return {
+        (r.new_id, r.index_id): r.hamming
+        for r in incremental_simhash_pairs(spark, shard, name).collect()
+    }
+
+
+def test_lost_simhash_stamp_detected_and_recoverable(spark, split_docs):
+    """The in-place-compaction crash window (crash after the bands
+    overwrite, before the re-stamp) leaves a complete-looking UNSTAMPED
+    index; verify flags it, and the compaction's explicit geometry
+    override restores the stamp (a plain re-run cannot — it re-reads
+    the now-unstamped table)."""
+    corpus, shard = split_docs
+    try:
+        write_simhash_index(corpus.limit(60), "t_shl", n_buckets=2)
+        assert verify_simhash_index(spark, "t_shl")["missing_stamp_keys"] == 0
+        spark.sql(
+            "ALTER TABLE t_shl_bands UNSET TBLPROPERTIES "
+            "('sparkgraft.simhash.bits', 'sparkgraft.simhash.chunks')"
+        )
+        assert verify_simhash_index(spark, "t_shl")["missing_stamp_keys"] == 2
+        compact_simhash_index(spark, "t_shl")  # cannot restore what it can't read
+        assert verify_simhash_index(spark, "t_shl")["missing_stamp_keys"] == 2
+        with pytest.raises(ValueError, match="BOTH bits and n_chunks"):
+            compact_simhash_index(spark, "t_shl", bits=32)
+        compact_simhash_index(spark, "t_shl", bits=32, n_chunks=4)
+        assert verify_simhash_index(spark, "t_shl")["missing_stamp_keys"] == 0
+        # the restored stamp guards probes again
+        with pytest.raises(ValueError, match="built with bits=32"):
+            incremental_simhash_pairs(spark, shard, "t_shl", bits=48, n_chunks=3)
+    finally:
+        _drop(spark, "t_shl_bands", "t_shl_sigs")

@@ -8,8 +8,9 @@ window at any step, and — crash-simulated at EVERY inter-rename point —
 a probe against the live name sees either the old index, the new
 index, or fails LOUDLY on a missing table; never a silent mixture of
 generations. Re-running the swap from any crash point completes the
-promotion, after which no target/retired residue remains and (SRP) the
-geometry stamp has travelled with its table.
+promotion, after which no target/retired residue remains and the
+geometry stamp (all three families since round 10) has travelled with
+its table.
 
 The crash simulator replays the exact operation sequence swap_index
 executes on a fresh run (retire both → promote both → drop both),
@@ -25,6 +26,7 @@ import pytest
 from pyspark.errors import AnalysisException
 
 from aind_protein_data_transformation_spark.operators.dedup import (
+    MINHASH_STAMP_KEYS,
     compact_minhash_index,
     incremental_minhash_pairs,
     swap_minhash_index,
@@ -38,6 +40,7 @@ from aind_protein_data_transformation_spark.operators.embedding_index import (
     write_srp_index,
 )
 from aind_protein_data_transformation_spark.operators.simhash_index import (
+    SIMHASH_STAMP_KEYS,
     compact_simhash_index,
     incremental_simhash_pairs,
     swap_simhash_index,
@@ -47,6 +50,7 @@ from aind_protein_data_transformation_spark.operators.simhash_index import (
 
 class MinhashFamily:
     sidecar = "sigs"
+    stamp_keys = MINHASH_STAMP_KEYS
     swap = staticmethod(swap_minhash_index)
     compact = staticmethod(compact_minhash_index)
 
@@ -77,6 +81,7 @@ class MinhashFamily:
 
 class SrpFamily:
     sidecar = "vecs"
+    stamp_keys = SRP_STAMP_KEYS
     swap = staticmethod(swap_srp_index)
     compact = staticmethod(compact_srp_index)
 
@@ -108,6 +113,7 @@ class SrpFamily:
 
 class SimhashFamily:
     sidecar = "sigs"
+    stamp_keys = SIMHASH_STAMP_KEYS
     swap = staticmethod(swap_simhash_index)
     compact = staticmethod(compact_simhash_index)
 
@@ -187,13 +193,13 @@ def test_swap_promotes_compacted_target(spark, sf_dir, fam):
     for sfx in ("bands", fam.sidecar):
         assert not spark.catalog.tableExists(f"{target}_{sfx}")
         assert not spark.catalog.tableExists(f"{name}_{sfx}__retired")
-    if fam is SrpFamily:
-        # the geometry stamp travelled with the promoted bands table
-        props = {
-            r.key
-            for r in spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
-        }
-        assert set(SRP_STAMP_KEYS) <= props
+    # the geometry stamp travelled with the promoted bands table
+    # (all three families since round 10 — VERDICT r9 #2)
+    props = {
+        r.key
+        for r in spark.sql(f"SHOW TBLPROPERTIES {name}_bands").collect()
+    }
+    assert set(fam.stamp_keys) <= props
 
 
 @pytest.mark.parametrize("fam", FAMILIES)
@@ -353,18 +359,18 @@ def test_swap_refuses_missing_or_half_built_target(spark, sf_dir):
     _drop_all(spark, "swp_m")
 
 
-def test_swap_srp_refuses_unstamped_target(spark, sf_dir):
-    """The stamp-loss crash signature (ADVICE r8) cannot be promoted:
-    an unstamped live index would silently bypass the geometry guard on
-    every future append/probe."""
+@pytest.mark.parametrize("fam", FAMILIES)
+def test_swap_refuses_unstamped_target(spark, sf_dir, fam):
+    """The stamp-loss crash signature (ADVICE r8, generalized to all
+    three families in round 10) cannot be promoted: an unstamped live
+    index would bypass the geometry guard on every future
+    append/probe."""
     name, target = "swp_u", "swp_u_v2"
     _drop_all(spark, "swp_u")
-    SrpFamily.build(spark, sf_dir, name)
-    compact_srp_index(spark, name, target=target)
-    spark.sql(
-        f"ALTER TABLE {target}_bands UNSET TBLPROPERTIES "
-        f"('{SRP_STAMP_KEYS[0]}', '{SRP_STAMP_KEYS[1]}')"
-    )
+    fam.build(spark, sf_dir, name)
+    fam.compact(spark, name, target=target)
+    keys = ", ".join(f"'{k}'" for k in fam.stamp_keys)
+    spark.sql(f"ALTER TABLE {target}_bands UNSET TBLPROPERTIES ({keys})")
     with pytest.raises(ValueError, match="missing its geometry stamp"):
-        swap_srp_index(spark, name, target)
+        fam.swap(spark, name, target)
     _drop_all(spark, "swp_u")
