@@ -100,10 +100,17 @@ DRIVER_WINDOW = [
     # confirm; q_scalar_subquery rotated out, its rewrite family is
     # covered by the semi join + the q2/q11/q15/q17 local twins)
     "q_percentiles_rank_select",
-    # LLM dedup family
+    # LLM dedup family — round-10 rotation (VERDICT round 9 #4):
+    # dedup_ngram_jaccard rotates to the tail after nine consecutive
+    # driver greens (r1–r9); the shingle-hash machinery keeps
+    # dedup_minhash_lsh (same shingle_set + hash-join shape) plus
+    # exact/SRP/cosine/cluster in window. In: sample_weighted_reservoir
+    # — the A-ES weighted-reservoir algorithm (exp-draw keys + rank
+    # window) is distinct from the hash-split family that covered
+    # sampling so far and has never had a driver row.
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    "sample_weighted_reservoir",
     # round-8 intra-round rotation: dedup_simhash rotates to the tail
     # after seven consecutive driver greens (r1–r7) to give the new
     # SRP-LSH embedding near-dup its first driver row; the
@@ -124,7 +131,13 @@ DRIVER_WINDOW = [
     "text_token_count_bpe",
     # unigram log-probability quality scoring (promoted round 4)
     "text_unigram_logprob",
-    "pipeline_clean_corpus",
+    # round-10 rotation (VERDICT round 9 #4): pipeline_clean_corpus
+    # rotates to the tail after nine consecutive driver greens (r1–r9);
+    # it composes the in-window quality/token machinery
+    # (text_quality_stats keeps the slot for the family). In:
+    # pii_redact_scan — the curation family's regex redaction scan,
+    # never driver-confirmed in any round.
+    "pii_redact_scan",
     # curation: benchmark decontamination (corpus x broadcast eval set),
     # Gopher-style repetition stats (promoted round 3 — q12_shipmode_priority
     # moved to the tail; its components, hash agg + equi-join + conditional
@@ -157,9 +170,15 @@ DRIVER_WINDOW = [
     "grid_block_slices",
     # parquet sink round-trip
     "sink_parquet_roundtrip",
-    # streaming
+    # streaming — round-10 rotation (VERDICT round 9 #4):
+    # streaming_sliding_window rotates to the tail after seven
+    # consecutive driver greens (r3–r9); overlapping windows are the
+    # same watermarked window-agg machinery as the in-window tumbling
+    # query. In: streaming_stream_left_join — outer stream-stream join
+    # state (null-padding on watermark expiry) is semantically distinct
+    # from the round-9-confirmed inner join and never driver-confirmed.
     "streaming_tumbling_window",
-    "streaming_sliding_window",
+    "streaming_stream_left_join",
     "streaming_session_window",
     "streaming_stateful_totals",
     "streaming_dedup_watermark",

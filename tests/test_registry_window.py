@@ -26,7 +26,8 @@ REQUIRED_IN_WINDOW = {
     "ome_scale_recurrence",
     "grid_block_slices",
     "streaming_tumbling_window",
-    "streaming_sliding_window",
+    # (streaming_sliding_window earned seven greens r3–r9 and rotated
+    # to the tail in round 10; tumbling keeps the windowed-agg slot)
     "streaming_session_window",
     "streaming_stateful_totals",
     "streaming_dedup_watermark",
@@ -70,6 +71,13 @@ REQUIRED_IN_WINDOW = {
     "pack_sequences_fixed",
     "streaming_stream_join",
     "embedding_quantize_int8",
+    # promoted round 10 (VERDICT round 9 #4): first driver rows for the
+    # outer stream-join state semantics, the PII regex scan, and the
+    # A-ES weighted reservoir — the highest-value never-confirmed
+    # variants left after round 9 closed the component tail
+    "streaming_stream_left_join",
+    "pii_redact_scan",
+    "sample_weighted_reservoir",
 }
 
 
@@ -223,11 +231,6 @@ def test_tail_components_are_covered_in_window():
         # tf-idf top-k: stacked aggs + per-doc ranking window; text-stats
         # + topk family shapes
         "text_tfidf_keywords": "text_quality_stats",
-        # curation family: PII scan is a regex projection-over-scan
-        # shape — the in-window text-quality query drives the same
-        # regexp_extract/ratio machinery; the cross-corpus join
-        # (decontaminate) and repetition stats hold window slots
-        "pii_redact_scan": "text_quality_stats",
         # rotated to the tail round 7 after six green driver rounds
         # (r1–r6), freeing the slot for pyramid_channel_stats' first
         # driver row (§2A A12): the left-outer join + COALESCE fill
@@ -237,9 +240,15 @@ def test_tail_components_are_covered_in_window():
         "streaming_dedup": "streaming_dedup_watermark",
         # stream-stream interval join: the watermark/event-time-state
         # family is represented in-window by tumbling + stateful_totals
-        # the left-outer variant's watermark/join-state machinery is the
-        # in-window inner stream-stream join (promoted round 9)
-        "streaming_stream_left_join": "streaming_stream_join",
+        # rotated to the tail round 10 (VERDICT round 9 #4) after nine,
+        # nine, and seven consecutive driver greens respectively:
+        # ngram-jaccard shares the shingle-hash join machinery with the
+        # in-window minhash query; the clean-corpus pipeline composes
+        # the in-window quality/token machinery; sliding windows are
+        # the in-window tumbling query's watermarked window-agg shape
+        "dedup_ngram_jaccard": "dedup_minhash_lsh",
+        "pipeline_clean_corpus": "text_quality_stats",
+        "streaming_sliding_window": "streaming_tumbling_window",
         # multimodal family rotated fully to the tail round 9
         # (frame_sample driver-green r2–r8): the Arrow-batched
         # mapInPandas numpy-kernel surface is driven in-window by the
@@ -252,9 +261,6 @@ def test_tail_components_are_covered_in_window():
         # in-window decontamination query drives end-to-end
         "text_frequent_ngrams": "decontaminate_ngram_overlap",
         "curate_boilerplate_ratio": "decontaminate_ngram_overlap",
-        # A-ES weighted reservoir = hash-derived-decision family
-        # (driver-checked via the hash split, r4–r7) + rank-window trim
-        "sample_weighted_reservoir": "dedup_exact",
         # round-4 reshape/stats additions: pivot/unpivot and the
         # co-moment aggregates are conditional/hash aggregates (q1's
         # family); batch sessionization is window frames + running sum
@@ -293,86 +299,91 @@ def test_tail_components_are_covered_in_window():
 # (i.e. is scheduled for its first driver row this round).
 DRIVER_GREEN_ROUNDS = {
     "asof_inner_error_context": (3,),
-    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8,),
-    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8,),
-    "dedup_cluster_components": (4, 5, 6, 7, 8,),
-    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8,),
-    "dedup_exact": (1, 2, 3, 4, 5, 6, 7, 8,),
-    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8,),
-    "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8, 9,),
+    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "dedup_cluster_components": (4, 5, 6, 7, 8, 9,),
+    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "dedup_exact": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
     "dedup_simhash": (1, 2, 3, 4, 5, 6, 7,),
     "doc_fingerprint_winnow": (1, 2, 3, 4),
-    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8,),
+    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8, 9,),
     "multimodal_frame_sample": (2, 3, 4, 5, 6, 7, 8,),
     "multimodal_payload_stats": (2, 3),
-    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8,),
-    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8,),
-    "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6, 7, 8,),
-    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8,),
-    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8,),
+    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8, 9,),
     "q10_returned_items": (1,),
     "q12_shipmode_priority": (2,),
     "q14_promo_share": (1,),
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8,),
-    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
     "q5_local_supplier_volume": (1,),
     "q7_nation_volume": (1,),
     "q8_market_share": (1,),
     "q_anti_join_customers_without_orders": (1, 2, 3),
     "q_approx_aggregates": (2, 3, 4, 5),
     "q_array_functions": (1, 2, 3, 4, 5, 6, 7,),
-    "q_conditional_price_bands": (1, 2, 3, 4, 8,),
+    "q_conditional_price_bands": (1, 2, 3, 4, 8, 9,),
     "q_cube_status_priority": (1,),
-    "q_date_functions": (1, 2, 3, 4, 8,),
+    "q_date_functions": (1, 2, 3, 4, 8, 9,),
     "q_distinct_agg": (1,),
     "q_exists_subquery": (1,),
     "q_explode_tokens": (1,),
     "q_grouping_sets": (1,),
     "q_json_functions": (2, 3, 4, 5, 6, 7, 8,),
-    "q_lead_lag_gaps": (1, 5, 6, 7, 8,),
+    "q_lead_lag_gaps": (1, 5, 6, 7, 8, 9,),
     "q_map_functions": (1,),
-    "q_math_functions": (1, 2, 3, 4, 8,),
+    "q_math_functions": (1, 2, 3, 4, 8, 9,),
     "q_minmax_by": (1,),
     "q_ntile_wealth_deciles": (1,),
     "q_outer_join_order_fill": (1, 2, 3, 4, 5, 6,),
     "q_percentiles_exact": (1,),
-    "q_percentiles_rank_select": (4, 5, 6, 7, 8,),
-    "q_pivot_status_by_priority": (5, 6, 7, 8,),
+    "q_percentiles_rank_select": (4, 5, 6, 7, 8, 9,),
+    "q_pivot_status_by_priority": (5, 6, 7, 8, 9,),
     "q_rank_variants": (1,),
-    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
     "q_scalar_subquery": (1, 2, 3),
-    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7, 8,),
-    "q_sessionize_events": (5, 6, 7, 8,),
-    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "q_sessionize_events": (5, 6, 7, 8, 9,),
+    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
     "q_stddev_variance": (1,),
     "q_string_functions": (1, 2, 3, 4, 5, 6, 7,),
     "q_theta_join_price_band": (1, 2, 3, 4, 5, 6, 7, 8,),
     "q_topk_per_group": (1,),
-    "q_window_interval_range": (5, 6, 7, 8,),
-    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8,),
+    "q_window_interval_range": (5, 6, 7, 8, 9,),
+    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
     "sample_hash_split": (4, 5, 6, 7,),
-    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8,),
-    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8,),
-    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8,),
-    "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7, 8,),
-    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8,),
-    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8,),
-    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8,),
+    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8, 9,),
     "streaming_foreachbatch_sink": (2, 3, 4, 5),
-    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8,),
-    "streaming_session_window": (3, 4, 5, 6, 7, 8,),
-    "streaming_sliding_window": (3, 4, 5, 6, 7, 8,),
-    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8,),
-    "streaming_tumbling_window": (3, 4, 5, 6, 7, 8,),
+    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8, 9,),
+    "streaming_session_window": (3, 4, 5, 6, 7, 8, 9,),
+    "streaming_sliding_window": (3, 4, 5, 6, 7, 8, 9,),
+    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "streaming_tumbling_window": (3, 4, 5, 6, 7, 8, 9,),
     "text_lang_id": (1,),
-    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8,),
-    "text_repetition_stats": (3, 4, 5, 6, 7, 8,),
-    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8,),
-    "text_unigram_logprob": (4, 5, 6, 7, 8,),
-    "q_corr_regr_aggregates": (6, 7, 8,),
-    "q_unpivot_flag_measures": (6, 7, 8,),
-    "pyramid_channel_stats": (7, 8,),
-    "dedup_embedding_srp": (8,),
+    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "text_repetition_stats": (3, 4, 5, 6, 7, 8, 9,),
+    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "text_unigram_logprob": (4, 5, 6, 7, 8, 9,),
+    "q_corr_regr_aggregates": (6, 7, 8, 9,),
+    "q_unpivot_flag_measures": (6, 7, 8, 9,),
+    "pyramid_channel_stats": (7, 8, 9,),
+    "dedup_embedding_srp": (8, 9,),
+    # first driver rows round 9 (the last three never-confirmed
+    # components, VERDICT round 8 #2)
+    "embedding_quantize_int8": (9,),
+    "streaming_stream_join": (9,),
+    "pack_sequences_fixed": (9,),
 }
 
 # SURVEY.md §2B component families -> the registry queries that exercise
