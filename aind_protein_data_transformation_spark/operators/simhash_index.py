@@ -30,12 +30,23 @@ window — see index_lifecycle's runbook).
 
 Scale envelope (measured round 9, BENCH.md): chunk blocking over
 ``n_chunks`` fixed w-bit values yields ~n/2^w candidates per chunk per
-probe doc — linear in the corpus, unlike minhash's banded keys. At
-corpus sizes where the candidate join dominates probes, WIDEN the
-chunks: since round 10 the geometry is a **constructor parameter**, not
-a constants edit — e.g. ``write_simhash_index(docs, name, bits=48,
-n_chunks=3)`` builds 16-bit chunks (buckets shrink 256x vs the 8-bit
-default; pigeonhole still covers hamming <= n_chunks - 1 = 2). The
+probe doc on a UNIFORM hash — linear in the corpus, unlike minhash's
+banded keys. At corpus sizes where the candidate join dominates
+probes, WIDEN the chunks: since round 10 the geometry is a
+**constructor parameter**, not a constants edit — e.g.
+``write_simhash_index(docs, name, bits=48, n_chunks=3)`` builds 16-bit
+chunks (pigeonhole still covers hamming <= n_chunks - 1 = 2). Honest
+sizing note (measured round 10, scripts/exp_simhash_widen.py at the
+10x text layout): SimHash chunk values are NOT uniform — documents
+sharing vocabulary cluster on the same chunk values — so the realized
+reduction is governed by the value distribution's skew, not the width
+alone: 8-bit -> 16-bit chunks cut the probe's collision rows 5.4x
+(7.87M -> 1.47M for a 250-doc shard over 50k docs; probe 1.5x faster),
+far under the uniform-hash 2^8. Widening helps and its cost is one
+rebuild, but for corpora with heavy shared boilerplate the minhash
+index's banded keys (which compose several hash values per bucket)
+remain the stronger blocking; measure with the experiment script
+before committing a fleet-wide rebuild. The
 geometry is STAMPED into the bands table's properties
 (``sparkgraft.simhash.*``, VERDICT r9 #2/#3) and every append and
 probe derives its chunk layout and pigeonhole cap FROM the stamp — so
