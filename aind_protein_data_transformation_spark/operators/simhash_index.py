@@ -402,6 +402,26 @@ def swap_simhash_index(spark, name: str, target: str) -> dict:
     return swap_index(spark, name, target, SIMHASH_SPEC, verify_fn=_verify)
 
 
+def chunk_bucket_sizes(spark, name: str) -> DataFrame:
+    """Occupancy of every (chunk, val) blocking bucket of the persisted
+    index, descending: the observability companion to
+    ``incremental_simhash_pairs(max_bucket=...)`` — size the cap (or
+    audit what a cap drops) from this instead of re-deriving the chunk
+    relation. Round-10 motivation (BENCH.md): simhash chunk values
+    CLUSTER on shared-vocab text — the 10x-layout measurement found the
+    hottest values holding thousands of docs each (7.9M collision rows
+    for a 250-doc shard over 50k docs), and widening the chunks
+    recovered only 5.4x of the uniform-hash 256x because the skew, not
+    the width, governs. One aggregate on the table's own bucket+sort
+    key, so it plans WITHOUT an Exchange off the bucketed read."""
+    return (
+        spark.table(f"{name}_bands")
+        .groupBy("chunk", "val")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "chunk", "val")
+    )
+
+
 def incremental_simhash_pairs(
     spark,
     new_docs: DataFrame,
@@ -412,6 +432,7 @@ def incremental_simhash_pairs(
     verify: bool = False,
     bits: int | None = None,
     n_chunks: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``new_docs`` and the indexed corpus:
     (new_id, index_id, hamming), hamming <= ``max_hamming`` over the
@@ -441,6 +462,30 @@ def incremental_simhash_pairs(
 
     ``verify=True`` runs :func:`verify_simhash_index` first — the one
     offline audit before probing a possibly-interrupted index.
+
+    ``max_bucket`` is the per-bucket skew cap, the probe-side twin of
+    ``lsh_candidate_pairs(max_bucket=...)`` (round 10 — the 10x
+    measurement showed chunk values clustering on shared-vocab text, a
+    hot bucket of m index docs contributing m collision rows per
+    matching probe chunk): index buckets holding more than
+    ``max_bucket`` documents are dropped BEFORE the candidate join —
+    one exchange-free aggregate + a left-semi join on the SAME
+    (chunk, val) key the candidate join uses, so the cap adds no extra
+    partitioning. Honest recall statement — STRONGER than
+    lsh_candidate_pairs' (measured round 10,
+    scripts/exp_simhash_widen.py): a pair survives iff the two hashes
+    agree on at least one SUB-CAP chunk value, and unlike minhash's
+    composed band keys, a single w-bit chunk value is exactly the kind
+    of signature corpus-hot boilerplate shares — on the 10x
+    vocab-shared fixture a cap of 1000 (5x the uniform-hash bucket
+    expectation) kept only 0.4% of the radius-1 pairs, because
+    near-dups cluster WITH their boilerplate neighbors on the very
+    values the cap drops. Treat the cap as an emergency backstop
+    against a melting probe (it bounded the candidate join and ran the
+    probe 2x faster there), not a recall-preserving optimization:
+    prefer widening the chunks (rebuild) or the minhash index for
+    skewed corpora, and ALWAYS audit the drop with
+    :func:`chunk_bucket_sizes` before enabling it.
 
     Output aggregates ``min(hamming)`` per (new_id, index_id): pure
     row dedup under the append-only contract (duplicates carry the
@@ -483,6 +528,14 @@ def incremental_simhash_pairs(
         fanout_width(spark)
     )
     idx = spark.table(f"{name}_bands")
+    if max_bucket is not None:
+        keep = (
+            idx.groupBy("chunk", "val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("chunk", "val")
+        )
+        idx = idx.join(keep, ["chunk", "val"], "left_semi")
     cand = (
         probe.join(
             idx,

@@ -385,3 +385,74 @@ def test_lost_simhash_stamp_detected_and_recoverable(spark, split_docs):
             incremental_simhash_pairs(spark, shard, "t_shl", bits=48, n_chunks=3)
     finally:
         _drop(spark, "t_shl_bands", "t_shl_sigs")
+
+
+def test_chunk_bucket_occupancy_and_skew_cap(spark, split_docs, tmp_path):
+    """Round 10: the probe-side skew cap (the 10x measurement found
+    chunk values clustering on shared-vocab text — hot buckets, not
+    chunk width, govern collision volume). chunk_bucket_sizes audits
+    occupancy off the bucketed read without an Exchange; a cap at or
+    above the max occupancy changes nothing; a tight cap equals an
+    INDEPENDENTLY computed expectation (pure-Python over collected
+    hashes): a pair survives iff the two hashes agree on at least one
+    sub-cap chunk value and hamming <= radius."""
+    from aind_protein_data_transformation_spark.operators.simhash_index import (
+        chunk_bucket_sizes,
+    )
+
+    corpus, shard = split_docs
+    try:
+        write_simhash_index(corpus, "t_shcap", n_buckets=2,
+                            path=str(tmp_path / "shcap"))
+        occ = chunk_bucket_sizes(spark, "t_shcap").collect()
+        n_bands = spark.table("t_shcap_bands").count()
+        assert sum(r.n_docs for r in occ) == n_bands
+        assert [r.n_docs for r in occ] == sorted(
+            (r.n_docs for r in occ), reverse=True
+        )
+        # the occupancy aggregate plans without an Exchange off the
+        # bucketed read (it groups by the table's own bucket key)
+        plan = (
+            spark.table("t_shcap_bands")
+            .groupBy("chunk", "val")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        uncapped = _probe(spark, shard, "t_shcap")
+        max_occ = occ[0].n_docs
+        assert _probe(spark, shard, "t_shcap", max_bucket=max_occ) == uncapped
+        # tight cap: independent expectation from collected hashes
+        cap = max(1, occ[len(occ) // 2].n_docs)  # median occupancy
+        corpus_sims = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+        shard_sims = {r.doc_id: r.simhash for r in simhash(shard).collect()}
+        from collections import Counter
+
+        occ_py = Counter()
+        for h in corpus_sims.values():
+            for c in range(4):
+                occ_py[(c, (h >> (8 * c)) & 255)] += 1
+        hot = {k for k, n in occ_py.items() if n > cap}
+        assert hot, "fixture degenerate: no bucket exceeds the median cap"
+        expected = {}
+        for nid, nh in shard_sims.items():
+            for iid, ih in corpus_sims.items():
+                ham = bin(nh ^ ih).count("1")
+                if ham > MAX_HAMMING:
+                    continue
+                agree_subcap = any(
+                    ((nh >> (8 * c)) & 255) == ((ih >> (8 * c)) & 255)
+                    and (c, (ih >> (8 * c)) & 255) not in hot
+                    for c in range(4)
+                )
+                if agree_subcap:
+                    expected[(nid, iid)] = ham
+        got = _probe(spark, shard, "t_shcap", max_bucket=cap)
+        assert got == expected
+        # the cap's recall trade is real on this vocab-shared fixture:
+        # some pair's every agreeing chunk value is hot
+        assert set(expected) < set(uncapped)
+    finally:
+        _drop(spark, "t_shcap_bands", "t_shcap_sigs")
