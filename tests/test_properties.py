@@ -482,3 +482,43 @@ def test_srp_band_vals_gemm_matches_fold_property(spark, vecs):
     # zero vectors really do come out all-zero bands on both paths
     for i in np.where(~nz)[0]:
         assert fold[int(i)] == [0, 0, 0, 0], fold[int(i)]
+
+
+# -------------------------------------------- simhash chunk geometry (r10)
+
+@given(data=st.data())
+@settings(max_examples=300)
+def test_simhash_pigeonhole_guarantee_for_any_valid_geometry(data):
+    """The blocking's entire recall argument, for EVERY geometry the
+    round-10 parametrization admits: two hashes within hamming
+    n_chunks - 1 of each other MUST agree on at least one w-bit chunk
+    (w = bits / n_chunks), because n_chunks - 1 flipped bits cannot
+    touch all n_chunks disjoint chunks. Pure-Python replay of the
+    probe's chunk extraction (operators/simhash_index.py _chunk_rows):
+    a violation here would mean a probe silently misses a within-radius
+    pair no matter what the tables hold."""
+    n_chunks = data.draw(st.integers(min_value=2, max_value=12))
+    w = data.draw(st.integers(min_value=1, max_value=60 // n_chunks))
+    bits = w * n_chunks
+    h = data.draw(st.integers(min_value=0, max_value=(1 << bits) - 1))
+    n_flips = data.draw(st.integers(min_value=0, max_value=n_chunks - 1))
+    flip_positions = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=bits - 1),
+            min_size=n_flips,
+            max_size=n_flips,
+            unique=True,
+        )
+    )
+    g = h
+    for p in flip_positions:
+        g ^= 1 << p
+    assert bin(h ^ g).count("1") <= n_chunks - 1
+    mask = (1 << w) - 1
+    agreeing = [
+        c for c in range(n_chunks) if ((h >> (w * c)) & mask) == ((g >> (w * c)) & mask)
+    ]
+    assert agreeing, (
+        f"pigeonhole violated: bits={bits} n_chunks={n_chunks} "
+        f"h={h:#x} g={g:#x}"
+    )

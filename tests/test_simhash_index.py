@@ -348,8 +348,23 @@ def test_widened_chunk_index_matches_duckdb_oracle(spark, sf_dir, tmp_path):
         compact_simhash_index(spark, "t_shw")
         assert verify_simhash_index(spark, "t_shw")["missing_stamp_keys"] == 0
         assert _probe_raw(spark, shard, "t_shw") == expected
+        # APPENDS derive the widened geometry from the stamp: building
+        # half the corpus at (48, 3) and appending the rest must equal
+        # the full build above — an append that silently signed at the
+        # legacy default would collapse this probe's pairs instead
+        _drop(spark, "t_shw2_bands", "t_shw2_sigs")
+        write_simhash_index(
+            corpus.filter("doc_id % 2 = 0"),
+            "t_shw2",
+            n_buckets=4,
+            path=str(tmp_path / "shw2"),
+            bits=bits,
+            n_chunks=n_chunks,
+        )
+        append_simhash_shard(spark, corpus.filter("doc_id % 2 = 1"), "t_shw2")
+        assert _probe_raw(spark, shard, "t_shw2") == expected
     finally:
-        _drop(spark, "t_shw_bands", "t_shw_sigs")
+        _drop(spark, "t_shw_bands", "t_shw_sigs", "t_shw2_bands", "t_shw2_sigs")
 
 
 def _probe_raw(spark, shard, name):
