@@ -106,6 +106,60 @@ def table_external_location(spark, table: str) -> str | None:
     return loc if typ == "EXTERNAL" else None
 
 
+#: Cap on the collected key list for :func:`prune_probe_scan` — kept in
+#: lockstep with session.py's spark.sql.parquet.pushdown.inFilterThreshold
+#: (1024): past the threshold parquet sees only min(keys)..max(keys), and
+#: for hash-valued blocking keys that range covers every row group, so a
+#: longer list would SILENTLY stop skipping anything. Raising the cap
+#: means raising both numbers together.
+PRUNE_SCAN_MAX_KEYS = 1024
+
+
+def prune_probe_scan(idx, probe, key: str, max_keys: int):
+    """Restrict a probe's bands-table scan to the shard's own blocking
+    keys — the point-lookup regime's complement to the bucketed
+    candidate join, shared by all three families.
+
+    The default probe shape streams the ENTIRE bands table through the
+    candidate join once per shard (no shuffle of history — the index
+    side is bucketed — but full scan I/O). That is the right shape when
+    the shard is a production ingest batch (millions of docs: its keys
+    touch essentially every bucket, so there is nothing to skip). For a
+    SMALL shard — an ad-hoc "is this handful of documents already in
+    the corpus?" lookup — scanning a 100-TB index to answer for 20
+    documents is the scale failure, and the fix is storage-level:
+    collect the shard's distinct ``key`` values (bounded: raises past
+    ``max_keys``; see :data:`PRUNE_SCAN_MAX_KEYS`) and push them as an
+    IN filter into the bands scan. Because every family's write path
+    ``sortBy``-s the bands files on (prefix, ``key``) inside each
+    bucket, parquet row-group min/max stats on ``key`` are tight, so
+    the pushed per-value predicates skip the row groups — and with
+    them most of the index's bytes — at scan time, before any join.
+
+    Correctness is unconditional: the filter is on the very column the
+    candidate join equates, and each family's bucket-key group shares
+    one ``key`` value, so pruning removes only whole buckets the shard
+    cannot collide with — the pair set is IDENTICAL to the unpruned
+    probe (test-pinned per family), and per-bucket occupancy counts
+    (the ``max_bucket`` cap's input) are unchanged for every surviving
+    bucket. Only the I/O profile changes. The collect is one job over
+    the already-checkpointed shard rows; an empty shard short-circuits
+    to an empty scan."""
+    rows = probe.select(key).distinct().limit(max_keys + 1).collect()
+    if len(rows) > max_keys:
+        raise ValueError(
+            f"prune_scan: the shard carries more than {max_keys} distinct "
+            f"{key!r} blocking keys — past the session's parquet IN-pushdown "
+            f"threshold the scan would silently degrade to a min/max range "
+            f"(useless for hash-valued keys) while still paying the collect. "
+            f"A shard this wide is the full-scan regime: drop prune_scan and "
+            f"let the bucketed candidate join stream the index once."
+        )
+    if not rows:
+        return idx.where(F.lit(False))
+    return idx.where(F.col(key).isin([r[0] for r in rows]))
+
+
 def read_stamp(spark, table: str, keys: tuple[str, ...]) -> dict[str, str]:
     """The subset of ``table``'s TBLPROPERTIES under ``keys``."""
     if not keys:

@@ -78,6 +78,7 @@ from .index_lifecycle import (
     IndexSpec,
     apply_stamp,
     compact_index,
+    prune_probe_scan,
     read_stamp,
     swap_index,
     table_num_buckets,
@@ -433,6 +434,7 @@ def incremental_simhash_pairs(
     bits: int | None = None,
     n_chunks: int | None = None,
     max_bucket: int | None = None,
+    prune_scan: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``new_docs`` and the indexed corpus:
     (new_id, index_id, hamming), hamming <= ``max_hamming`` over the
@@ -528,6 +530,14 @@ def incremental_simhash_pairs(
         fanout_width(spark)
     )
     idx = spark.table(f"{name}_bands")
+    if prune_scan is not None:
+        # point-lookup regime (index_lifecycle.prune_probe_scan): push
+        # the shard's distinct chunk values into the bands scan so the
+        # sorted row groups skip at I/O time. Before the cap on
+        # purpose, and composable with it: pruning on "val" removes
+        # whole (chunk, val) buckets, so surviving buckets' occupancy
+        # counts — the cap's input — are unchanged.
+        idx = prune_probe_scan(idx, probe, "val", prune_scan)
     if max_bucket is not None:
         keep = (
             idx.groupBy("chunk", "val")

@@ -44,6 +44,13 @@ _BASE_CONF: dict[str, str] = {
     # Keep broadcast autoselection on (dim tables region/nation/supplier/part
     # are tiny at every SF); AQE can also convert SMJ->BHJ at runtime.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Push IN lists up to 1024 values to parquet as per-value predicates
+    # (default 10; past the threshold parquet sees only min..max, which a
+    # hash-valued key list never narrows). Sized for the pruned-probe
+    # point lookups (operators/index_lifecycle.prune_probe_scan, whose
+    # PRUNE_SCAN_MAX_KEYS is kept in lockstep); harmless elsewhere — a
+    # 1024-entry OR costs a row-group-stat check, not a per-row scan.
+    "spark.sql.parquet.pushdown.inFilterThreshold": "1024",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": "128m",
