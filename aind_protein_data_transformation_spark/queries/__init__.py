@@ -38,10 +38,15 @@ DRIVER_WINDOW = [
     # relational core (scan, filter, hash agg, equi/broadcast join)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # join variants (anti join rotated to the tail round 4: Catalyst
-    # plans semi and anti through the same LeftSemi/LeftAnti hash-join
-    # machinery, and the family keeps q22/q16 twins in the local suite)
+    # join variants — round-11 rotation (VERDICT round 10 #2): the anti
+    # join rotated to the tail in round 4 as a LeftSemi machinery twin,
+    # but LeftAnti is the one join TYPE whose own query has the shortest
+    # driver record (r1–r3); it rotates back for a fresh row. Out:
+    # q_lead_lag_gaps (driver-green r1, r5–r10 — the analytic-window
+    # family keeps the frame/ranking machinery in window via
+    # q_window_running_totals and q_window_interval_range).
     "q_semi_join_customers_with_orders",
+    "q_anti_join_customers_without_orders",
     # round-7 rotation (VERDICT round 6 #6): q_outer_join_order_fill
     # rotates to the tail after six consecutive driver greens (r1-r6);
     # its family keeps q3_shipping_priority in-window plus the local
@@ -53,9 +58,16 @@ DRIVER_WINDOW = [
     # (time-range matching over the same events data). In:
     # pack_sequences_fixed — the distributed-prefix-sum operator's first
     # driver exposure in nine rounds.
-    # set ops / grouping
+    # set ops / grouping — round-11 rotation (VERDICT round 10 #2): only
+    # rollup of the grouping-analytics trio (rollup/cube/grouping sets)
+    # has a multi-round driver record; cube rotates in for a fresh row
+    # (grouping sets shares the Expand-based plan and keeps its local
+    # oracle; it is the next-round candidate if cube lands). Out:
+    # q_date_functions (driver-green r1–r4, r8–r10 — the scalar
+    # projection-over-scan shape keeps math/conditional in window).
     "q_set_ops_customer_segments",
     "q_rollup_region_nation_revenue",
+    "q_cube_status_priority",
     # window family (frames, analytic, ranking; top-k). The round-4
     # additions rotate IN round 5 so the reshape / co-moment /
     # sessionization / window-analytic rows get their first driver
@@ -65,7 +77,6 @@ DRIVER_WINDOW = [
     # each — their component families keep in-window representatives).
     "q_window_running_totals",
     "q_window_interval_range",
-    "q_lead_lag_gaps",
     "q_sessionize_events",
     "q_pivot_status_by_priority",
     # scalar packs — round-8 rotation (VERDICT round 7 #4): the three
@@ -75,7 +86,8 @@ DRIVER_WINDOW = [
     # q_array_functions (driver-green r1–r7, seven consecutive rounds)
     # and sample_hash_split (r4–r7) — each family keeps an in-window
     # representative (see covered_by in tests/test_registry_window.py).
-    "q_date_functions",
+    # (q_date_functions rotated to the tail round 11 after six green
+    # rounds; math/conditional keep the projection-over-scan shape)
     "q_math_functions",
     "q_conditional_price_bands",
     # round-9 rotation (VERDICT round 8 #2): q_json_functions rotates to
@@ -108,8 +120,14 @@ DRIVER_WINDOW = [
     # — the A-ES weighted-reservoir algorithm (exp-draw keys + rank
     # window) is distinct from the hash-split family that covered
     # sampling so far and has never had a driver row.
-    "dedup_exact",
+    # round-11 rotation (VERDICT round 10 #2): dedup_exact rotates to the
+    # tail after ten consecutive driver greens (r1–r10); its sha2 +
+    # dropDuplicates shape is kept in window by minhash (portable-hash
+    # machinery) and the hash-keyed sampling family by the reservoir. In:
+    # dedup_semantic_keep — the SemDeDup-style cluster-bucketed
+    # representative keep, a distinct algorithm never driver-confirmed.
     "dedup_minhash_lsh",
+    "dedup_semantic_keep",
     "sample_weighted_reservoir",
     # round-8 intra-round rotation: dedup_simhash rotates to the tail
     # after seven consecutive driver greens (r1–r7) to give the new

@@ -56,7 +56,8 @@ REQUIRED_IN_WINDOW = {
     "q_pivot_status_by_priority",
     "q_sessionize_events",
     "q_window_interval_range",
-    "q_lead_lag_gaps",
+    # (q_lead_lag_gaps earned greens r1, r5–r10 and rotated to the tail
+    # in round 11; running_totals + interval_range keep window machinery)
     # promoted round 6 (VERDICT round 5 #1): first driver rows for the
     # co-moment aggregates and the UNPIVOT half of reshape — the only
     # §2B rows never driver-confirmed in rounds 1–5. q_approx_aggregates
@@ -78,6 +79,14 @@ REQUIRED_IN_WINDOW = {
     "streaming_stream_left_join",
     "pii_redact_scan",
     "sample_weighted_reservoir",
+    # promoted round 11 (VERDICT round 10 #2): fresh driver rows for the
+    # three longest-unconfirmed algorithm variants — LeftAnti (the one
+    # join type whose own query last saw the driver in r3), CUBE (only
+    # rollup of the grouping trio has a multi-round record), and the
+    # SemDeDup cluster-bucketed keep (never driver-confirmed)
+    "q_anti_join_customers_without_orders",
+    "q_cube_status_priority",
+    "dedup_semantic_keep",
 }
 
 
@@ -138,7 +147,8 @@ def test_tail_components_are_covered_in_window():
         # LeftSemi/LeftAnti share Catalyst's join machinery, the asof
         # variants share one operator, payload/frame share the binary
         # metadata plumbing
-        "q_anti_join_customers_without_orders": "q_semi_join_customers_with_orders",
+        # (q_anti_join_customers_without_orders rotated back INTO the
+        # window round 11 — VERDICT round 10 #2)
         "q_scalar_subquery": "q_semi_join_customers_with_orders",
         "asof_inner_error_context": "asof_purchase_last_click",
         # the skew-resistant banded form, answer-identical by property
@@ -152,7 +162,14 @@ def test_tail_components_are_covered_in_window():
         # (sample_hash_split rotated to the tail round 8 after four
         # green driver rounds r4–r7; the hash-derived-decision shape is
         # the same xxhash64/pmod machinery dedup_exact drives)
-        "sample_hash_split": "dedup_exact",
+        # dedup_exact rotated to the tail round 11 after ten straight
+        # greens; the hash-keyed sampling family's in-window
+        # representative is now the weighted reservoir (same
+        # xxhash64-derived-decision machinery), and exact dedup's
+        # sha2+dropDuplicates shape is covered by minhash's
+        # portable-hash + groupBy pipeline
+        "dedup_exact": "dedup_minhash_lsh",
+        "sample_hash_split": "sample_weighted_reservoir",
         # rotated to the tail round 9 after eight consecutive driver
         # greens (r1–r8): the non-equi/range-join machinery keeps the
         # in-window as-of join (time-range matching, same range-bucketed
@@ -161,10 +178,10 @@ def test_tail_components_are_covered_in_window():
         # rotated to the tail round 9 after seven greens (r2–r8); the
         # scalar projection-over-scan shape keeps date/math/conditional
         # in window (nested-JSON parsing keeps its local oracle suite)
-        "q_json_functions": "q_date_functions",
+        "q_json_functions": "q_math_functions",
         # SemDeDup-style cluster-bucketed representative keep: the
         # bucketed embedding near-dup family's in-window representative
-        "dedup_semantic_keep": "dedup_embedding_cosine",
+        # (dedup_semantic_keep rotated INTO the window round 11)
         # rotated to the tail round 8 after seven consecutive driver
         # greens (r1–r7), freeing the slot for the new SRP-LSH
         # embedding near-dup's first driver row: simhash's
@@ -172,22 +189,27 @@ def test_tail_components_are_covered_in_window():
         # minhash query's shape (and SRP itself is the sign-projection
         # twin of the same construction)
         "dedup_simhash": "dedup_minhash_lsh",
-        "sample_stratified": "dedup_exact",
+        "sample_stratified": "sample_weighted_reservoir",
         # alpha=0.5 temperature resampling: the data-computed-rates
         # hash-Bernoulli family, driver-checked via sample_hash_split
         # in r4–r7 (same xxhash64-Bernoulli mechanism as dedup_exact's
         # portable-hash machinery, which keeps the window slot)
-        "sample_temperature_alpha": "dedup_exact",
+        "sample_temperature_alpha": "sample_weighted_reservoir",
         # mixing = the stratified hash-Bernoulli mechanism with
         # data-computed rates; same family shapes
-        "sample_mix_to_target": "dedup_exact",
-        "shard_assign_balanced": "dedup_exact",
+        "sample_mix_to_target": "sample_weighted_reservoir",
+        "shard_assign_balanced": "sample_weighted_reservoir",
         # window-ranking top-k: dense_rank/ntile live in running_totals,
         # sort+limit in q3 (TakeOrderedAndProject)
         "q_topk_per_group": "q_window_running_totals",
+        # rotated to the tail round 11 (greens r1, r5-r10): lead/lag is
+        # the same WindowExec machinery as the in-window frame queries
+        "q_lead_lag_gaps": "q_window_running_totals",
+        # rotated to the tail round 11 (greens r1-r4, r8-r10); the scalar
+        # projection-over-scan shape keeps math/conditional in window
+        "q_date_functions": "q_math_functions",
         "q_ntile_wealth_deciles": "q_window_running_totals",
-        "q_cube_status_priority": "q_rollup_region_nation_revenue",
-        "q_grouping_sets": "q_rollup_region_nation_revenue",
+                "q_grouping_sets": "q_rollup_region_nation_revenue",
         "q_distinct_agg": "q1_pricing_summary",
         "q_rank_variants": "q_window_running_totals",
         # pivot is Catalyst-rewritten conditional aggregation (q1 family);
@@ -219,14 +241,14 @@ def test_tail_components_are_covered_in_window():
         # date/math in window, and the array-HOF machinery
         # (aggregate/transform/zip_with) is driven end-to-end by the
         # in-window cosine/IVF similarity queries via functions/vector.py
-        "q_string_functions": "q_date_functions",
+        "q_string_functions": "q_math_functions",
         "q_array_functions": "similarity_cosine_topk",
         "doc_fingerprint_winnow": "text_quality_stats",
         "q_stddev_variance": "q1_pricing_summary",
         "q_minmax_by": "q1_pricing_summary",
         # json rotated out round 9; map/json scalar shapes share the
         # projection-over-scan machinery with the in-window date pack
-        "q_map_functions": "q_date_functions",
+        "q_map_functions": "q_math_functions",
         "text_lang_id": "text_quality_stats",
         # tf-idf top-k: stacked aggs + per-doc ranking window; text-stats
         # + topk family shapes
@@ -299,91 +321,96 @@ def test_tail_components_are_covered_in_window():
 # (i.e. is scheduled for its first driver row this round).
 DRIVER_GREEN_ROUNDS = {
     "asof_inner_error_context": (3,),
-    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8, 9,),
-    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8, 9,),
-    "dedup_cluster_components": (4, 5, 6, 7, 8, 9,),
-    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "dedup_exact": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8, 9, 10,),
+    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "dedup_cluster_components": (4, 5, 6, 7, 8, 9, 10,),
+    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "dedup_exact": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
     "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
     "dedup_simhash": (1, 2, 3, 4, 5, 6, 7,),
     "doc_fingerprint_winnow": (1, 2, 3, 4),
-    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
     "multimodal_frame_sample": (2, 3, 4, 5, 6, 7, 8,),
     "multimodal_payload_stats": (2, 3),
-    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8, 9,),
-    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
     "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8, 9,),
-    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
     "q10_returned_items": (1,),
     "q12_shipmode_priority": (2,),
     "q14_promo_share": (1,),
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
     "q5_local_supplier_volume": (1,),
     "q7_nation_volume": (1,),
     "q8_market_share": (1,),
     "q_anti_join_customers_without_orders": (1, 2, 3),
     "q_approx_aggregates": (2, 3, 4, 5),
     "q_array_functions": (1, 2, 3, 4, 5, 6, 7,),
-    "q_conditional_price_bands": (1, 2, 3, 4, 8, 9,),
+    "q_conditional_price_bands": (1, 2, 3, 4, 8, 9, 10,),
     "q_cube_status_priority": (1,),
-    "q_date_functions": (1, 2, 3, 4, 8, 9,),
+    "q_date_functions": (1, 2, 3, 4, 8, 9, 10,),
     "q_distinct_agg": (1,),
     "q_exists_subquery": (1,),
     "q_explode_tokens": (1,),
     "q_grouping_sets": (1,),
     "q_json_functions": (2, 3, 4, 5, 6, 7, 8,),
-    "q_lead_lag_gaps": (1, 5, 6, 7, 8, 9,),
+    "q_lead_lag_gaps": (1, 5, 6, 7, 8, 9, 10,),
     "q_map_functions": (1,),
-    "q_math_functions": (1, 2, 3, 4, 8, 9,),
+    "q_math_functions": (1, 2, 3, 4, 8, 9, 10,),
     "q_minmax_by": (1,),
     "q_ntile_wealth_deciles": (1,),
     "q_outer_join_order_fill": (1, 2, 3, 4, 5, 6,),
     "q_percentiles_exact": (1,),
-    "q_percentiles_rank_select": (4, 5, 6, 7, 8, 9,),
-    "q_pivot_status_by_priority": (5, 6, 7, 8, 9,),
+    "q_percentiles_rank_select": (4, 5, 6, 7, 8, 9, 10,),
+    "q_pivot_status_by_priority": (5, 6, 7, 8, 9, 10,),
     "q_rank_variants": (1,),
-    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
     "q_scalar_subquery": (1, 2, 3),
-    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "q_sessionize_events": (5, 6, 7, 8, 9,),
-    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "q_sessionize_events": (5, 6, 7, 8, 9, 10,),
+    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
     "q_stddev_variance": (1,),
     "q_string_functions": (1, 2, 3, 4, 5, 6, 7,),
     "q_theta_join_price_band": (1, 2, 3, 4, 5, 6, 7, 8,),
     "q_topk_per_group": (1,),
-    "q_window_interval_range": (5, 6, 7, 8, 9,),
-    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
+    "q_window_interval_range": (5, 6, 7, 8, 9, 10,),
+    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
     "sample_hash_split": (4, 5, 6, 7,),
-    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8, 9,),
-    "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7, 8, 9,),
-    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8, 9,),
-    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8, 9,),
-    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8, 9,),
+    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
     "streaming_foreachbatch_sink": (2, 3, 4, 5),
-    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8, 9,),
-    "streaming_session_window": (3, 4, 5, 6, 7, 8, 9,),
+    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8, 9, 10,),
+    "streaming_session_window": (3, 4, 5, 6, 7, 8, 9, 10,),
     "streaming_sliding_window": (3, 4, 5, 6, 7, 8, 9,),
-    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8, 9,),
-    "streaming_tumbling_window": (3, 4, 5, 6, 7, 8, 9,),
+    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "streaming_tumbling_window": (3, 4, 5, 6, 7, 8, 9, 10,),
     "text_lang_id": (1,),
-    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "text_repetition_stats": (3, 4, 5, 6, 7, 8, 9,),
-    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8, 9,),
-    "text_unigram_logprob": (4, 5, 6, 7, 8, 9,),
-    "q_corr_regr_aggregates": (6, 7, 8, 9,),
-    "q_unpivot_flag_measures": (6, 7, 8, 9,),
-    "pyramid_channel_stats": (7, 8, 9,),
-    "dedup_embedding_srp": (8, 9,),
+    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "text_repetition_stats": (3, 4, 5, 6, 7, 8, 9, 10,),
+    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "text_unigram_logprob": (4, 5, 6, 7, 8, 9, 10,),
+    "q_corr_regr_aggregates": (6, 7, 8, 9, 10,),
+    "q_unpivot_flag_measures": (6, 7, 8, 9, 10,),
+    "pyramid_channel_stats": (7, 8, 9, 10,),
+    "dedup_embedding_srp": (8, 9, 10,),
     # first driver rows round 9 (the last three never-confirmed
     # components, VERDICT round 8 #2)
-    "embedding_quantize_int8": (9,),
-    "streaming_stream_join": (9,),
-    "pack_sequences_fixed": (9,),
+    "embedding_quantize_int8": (9, 10,),
+    "streaming_stream_join": (9, 10,),
+    "pack_sequences_fixed": (9, 10,),
+    # first driver rows round 10 (VERDICT round 9 #4 rotations:
+    # outer stream-join state, PII regex scan, A-ES reservoir)
+    "pii_redact_scan": (10,),
+    "sample_weighted_reservoir": (10,),
+    "streaming_stream_left_join": (10,),
 }
 
 # SURVEY.md §2B component families -> the registry queries that exercise
@@ -479,9 +506,9 @@ def test_rotated_out_queries_earned_their_rest():
     its first green."""
     window = set(DRIVER_WINDOW)
     promoted_this_round = {
-        "q_date_functions",
-        "q_math_functions",
-        "q_conditional_price_bands",
+        "q_anti_join_customers_without_orders",
+        "q_cube_status_priority",
+        "dedup_semantic_keep",
     }
     fam_of = {}
     for fam, qs in COMPONENT_QUERIES.items():
