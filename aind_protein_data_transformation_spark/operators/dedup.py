@@ -63,6 +63,7 @@ from ..functions.text import hash64, normalize_text, tokens
 from .index_lifecycle import (
     IndexSpec,
     compact_index,
+    prune_probe_scan,
     read_stamp,
     swap_index,
     table_external_location,
@@ -934,10 +935,29 @@ def incremental_minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify: bool = False,
+    prune_scan: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``new_docs`` and the corpus indexed by
     :func:`write_minhash_index`: (new_id, index_id, jaccard), exact
     Jaccard >= ``threshold`` over the LSH candidates.
+
+    Geometry stamp: the shard is shingled and signed under the index's
+    STAMPED geometry (perms / band_size / shingle_k / hash_version —
+    ``_check_minhash_params`` reads the bands table's stamp); an
+    explicit ``k`` that disagrees with the stamp RAISES rather than
+    silently probing with mismatched shingles (see the module notes and
+    :func:`aind_protein_data_transformation_spark.operators.index_lifecycle.verify_index` for the
+    lost-stamp recovery rule).
+
+    ``prune_scan`` (int, default None = full-scan regime) enables the
+    point-lookup regime for SMALL shards: the shard's distinct ``k0``
+    band-hash values (bounded by the argument, which may only TIGHTEN
+    :data:`index_lifecycle.PRUNE_SCAN_MAX_KEYS`) are pushed as an IN
+    filter into the bands scan, so the (band, k0, ...)-sorted row
+    groups skip at I/O time. Any candidate pair matches the probe on
+    every band key INCLUDING k0, so pruning on k0 drops only rows the
+    join could never match — pair set identical to the unpruned probe
+    (test-pinned: tests/test_prune_scan.py).
 
     ``verify=True`` runs :func:`verify_minhash_index` first (VERDICT r7
     #6) — one offline audit before probing a possibly-interrupted
@@ -1002,6 +1022,11 @@ def incremental_minhash_pairs(
     ).localCheckpoint()
     probe = band_rows(sig, id_col)
     idx = spark.table(f"{name}_bands")
+    if prune_scan is not None:
+        # point-lookup regime (index_lifecycle.prune_probe_scan): the
+        # bands table is sorted (band, k0, ...) inside each bucket, so
+        # pushed k0 point predicates skip row groups at scan time.
+        idx = prune_probe_scan(idx, probe, "k0", prune_scan)
     key_eq = [probe["band"] == idx["band"]] + [
         probe[f"k{j}"] == idx[f"k{j}"] for j in range(LSH_BAND_SIZE)
     ]

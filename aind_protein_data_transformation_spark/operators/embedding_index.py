@@ -58,6 +58,7 @@ from ..functions.vector import spark_dot_sql
 from .index_lifecycle import (
     IndexSpec,
     compact_index,
+    prune_probe_scan,
     read_stamp,
     swap_index,
     table_num_buckets,
@@ -484,10 +485,28 @@ def incremental_srp_pairs(
     verify: bool = False,
     verify_batch: bool | None = False,
     pair_min_dim: int = PAIR_COSINE_UDF_MIN_DIM,
+    prune_scan: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``new_vectors`` and the indexed corpus:
     (new_id, index_id, cosine), exact cosine >= ``threshold`` over the
     SRP band collisions.
+
+    Geometry stamp: the shard is signed under the index's STAMPED
+    geometry (``_check_srp_params`` reads n_bits / n_bands / the signer
+    family from the bands table's stamp); explicit ``n_bits`` /
+    ``n_bands`` that disagree with the stamp RAISE rather than
+    silently emitting band rows for the wrong band set (module notes;
+    lost-stamp recovery via ``verify_index``'s ``missing_stamp_keys``).
+
+    ``prune_scan`` (int, default None = full-scan regime) enables the
+    point-lookup regime for SMALL shards: the shard's distinct
+    ``band_val`` values (bounded by the argument, which may only
+    TIGHTEN :data:`index_lifecycle.PRUNE_SCAN_MAX_KEYS`) are pushed as
+    an IN filter into the bands scan, so the (band, band_val)-sorted
+    row groups skip at I/O time. Any candidate pair matches the probe
+    on band AND band_val, so pruning on band_val drops only rows the
+    join could never match — pair set identical to the unpruned probe
+    (test-pinned: tests/test_prune_scan.py).
 
     Scale shape: the shard is signed in one map-only pass (GEMM by
     default); its band rows join the bucketed band index (index side
@@ -528,6 +547,11 @@ def incremental_srp_pairs(
     base = new_vectors.select(vec_id, vec_col).localCheckpoint()
     probe = _sig_bands(base, vec_id, vec_col, n_bits, n_bands, use_gemm)
     idx = spark.table(f"{name}_bands")
+    if prune_scan is not None:
+        # point-lookup regime (index_lifecycle.prune_probe_scan): the
+        # bands table is sorted (band, band_val) inside each bucket, so
+        # pushed band_val point predicates skip row groups at scan time.
+        idx = prune_probe_scan(idx, probe, "band_val", prune_scan)
     cand = (
         probe.join(
             idx,

@@ -106,19 +106,28 @@ def table_external_location(spark, table: str) -> str | None:
     return loc if typ == "EXTERNAL" else None
 
 
-#: Cap on the collected key list for :func:`prune_probe_scan` — kept in
-#: lockstep with session.py's spark.sql.parquet.pushdown.inFilterThreshold
-#: (1024): past the threshold parquet sees only min(keys)..max(keys), and
-#: for hash-valued blocking keys that range covers every row group, so a
-#: longer list would SILENTLY stop skipping anything. Raising the cap
-#: means raising both numbers together.
+#: Cap on the collected key list for :func:`prune_probe_scan`.
+#: session.py DERIVES spark.sql.parquet.pushdown.inFilterThreshold from
+#: this constant (lockstep by construction, test-pinned in
+#: tests/test_prune_scan.py): past the threshold parquet sees only
+#: min(keys)..max(keys), and for hash-valued blocking keys that range
+#: covers every row group, so a longer list would SILENTLY stop
+#: skipping anything. Raising the cap raises both sides together.
 PRUNE_SCAN_MAX_KEYS = 1024
 
 
-def prune_probe_scan(idx, probe, key: str, max_keys: int):
+def prune_probe_scan(idx, probe, key: str, max_keys: int = PRUNE_SCAN_MAX_KEYS):
     """Restrict a probe's bands-table scan to the shard's own blocking
     keys — the point-lookup regime's complement to the bucketed
-    candidate join, shared by all three families.
+    candidate join, shared by all three families (each
+    ``incremental_*_pairs`` probe exposes it as ``prune_scan=``).
+
+    ``max_keys`` may only TIGHTEN the cap: a value above
+    :data:`PRUNE_SCAN_MAX_KEYS` raises up front, because past the
+    session's parquet ``inFilterThreshold`` the pushed IN list silently
+    degrades to a min(keys)..max(keys) range scan — useless for
+    hash-valued blocking keys — while still paying the collect, which
+    is exactly the silent failure this guard exists to prevent.
 
     The default probe shape streams the ENTIRE bands table through the
     candidate join once per shard (no shuffle of history — the index
@@ -140,11 +149,23 @@ def prune_probe_scan(idx, probe, key: str, max_keys: int):
     candidate join equates, and each family's bucket-key group shares
     one ``key`` value, so pruning removes only whole buckets the shard
     cannot collide with — the pair set is IDENTICAL to the unpruned
-    probe (test-pinned per family), and per-bucket occupancy counts
+    probe (test-pinned per family: tests/test_prune_scan.py), and
+    per-bucket occupancy counts
     (the ``max_bucket`` cap's input) are unchanged for every surviving
     bucket. Only the I/O profile changes. The collect is one job over
     the already-checkpointed shard rows; an empty shard short-circuits
     to an empty scan."""
+    if max_keys > PRUNE_SCAN_MAX_KEYS:
+        raise ValueError(
+            f"prune_scan: max_keys={max_keys} exceeds PRUNE_SCAN_MAX_KEYS "
+            f"({PRUNE_SCAN_MAX_KEYS}), the session's parquet IN-pushdown "
+            f"threshold (spark.sql.parquet.pushdown.inFilterThreshold — "
+            f"lockstep test-pinned). Past it the pushed IN list silently "
+            f"degrades to a min/max range scan that skips nothing for "
+            f"hash-valued blocking keys while still paying the collect. "
+            f"Raise both numbers together, or drop prune_scan and let the "
+            f"bucketed candidate join stream the index once."
+        )
     rows = probe.select(key).distinct().limit(max_keys + 1).collect()
     if len(rows) > max_keys:
         raise ValueError(

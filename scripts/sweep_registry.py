@@ -12,6 +12,13 @@ so the repo-root headline record is never clobbered.
 Usage: python scripts/sweep_registry.py [sf_dir] [budget_s] [batch]
 Prints one JSON line: worst queries, budget breaches, totals. Exits
 nonzero if any query breaches the budget.
+
+Resumable (VERDICT r10 #5 — a wrapper timeout killed the round-10
+sweep at 88/108 and forced a full re-run): per-batch timings are
+checkpointed to /tmp/sparkgraft-sweep-<sfname>.json after every batch,
+a re-run skips queries already timed, and a sweep that reaches the
+final report deletes its checkpoint so the NEXT invocation starts
+fresh. Set SPARK_GRAFT_SWEEP_FRESH=1 to discard a stale checkpoint.
 """
 
 from __future__ import annotations
@@ -96,9 +103,24 @@ def main(argv: list[str]) -> int:
     import aind_protein_data_transformation_spark.queries as q
 
     names = [n for n in q.REGISTRY if not n.startswith("streaming_")]
+    ckpt = f"/tmp/sparkgraft-sweep-{os.path.basename(sf_dir.rstrip('/'))}.json"
     timings: dict[str, float] = {}
-    for i in range(0, len(names), batch):
-        chunk = names[i : i + batch]
+    if os.path.exists(ckpt) and not os.environ.get("SPARK_GRAFT_SWEEP_FRESH"):
+        with open(ckpt) as fh:
+            saved = json.load(fh)
+        # only reuse rows for queries still in the registry (a rotation
+        # or rename between runs must not leave ghost timings)
+        timings = {n: t for n, t in saved.items() if n in names}
+        if timings:
+            print(
+                f"  resuming from {ckpt}: {len(timings)}/{len(names)} "
+                f"already timed",
+                file=sys.stderr,
+                flush=True,
+            )
+    todo = [n for n in names if n not in timings]
+    for i in range(0, len(todo), batch):
+        chunk = todo[i : i + batch]
         env = {
             **os.environ,
             "SPARK_GRAFT_SF_DIR": sf_dir,
@@ -119,6 +141,10 @@ def main(argv: list[str]) -> int:
         line = proc.stdout.strip().splitlines()[-1]
         got = json.loads(line)["queries"]
         timings.update(got)
+        tmp = ckpt + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(timings, fh)
+        os.replace(tmp, ckpt)
         done = len(timings)
         print(
             f"  [{done}/{len(names)}] worst so far: "
@@ -131,6 +157,11 @@ def main(argv: list[str]) -> int:
     # `timings` so the budget gate stays a registry-query invariant.
     auto = _auto_dispatch_probe(sf_dir)
     print(f"  auto-dispatch probe (HOF asserted): {auto}", file=sys.stderr)
+    # reaching the report means the sweep completed: drop the checkpoint
+    # so the next invocation measures fresh instead of replaying stale
+    # timings forever
+    if os.path.exists(ckpt):
+        os.remove(ckpt)
     breaches = {n: t for n, t in timings.items() if t > budget}
     worst = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     print(

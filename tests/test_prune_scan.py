@@ -1,0 +1,223 @@
+"""Point-lookup probe pruning (index_lifecycle.prune_probe_scan).
+
+Pins the three claims the prune path makes, per family:
+
+1. EQUIVALENCE — ``incremental_*_pairs(prune_scan=N)`` returns the
+   IDENTICAL pair set (keys AND scores) to the unpruned probe. The
+   prune filter is on a column the candidate join equates, so it can
+   only remove index rows the join could never match; any divergence
+   here is silent recall loss at 100 TB.
+2. BOUNDS — a shard carrying more distinct blocking keys than
+   ``prune_scan`` raises (the full-scan regime should be used instead),
+   an empty shard short-circuits to an empty result, and ``max_keys``
+   above :data:`PRUNE_SCAN_MAX_KEYS` raises UP FRONT — past the
+   session's parquet ``inFilterThreshold`` the pushed IN list silently
+   degrades to a useless min/max range scan (ADVICE round 10).
+3. LOCKSTEP — the session conf ``spark.sql.parquet.pushdown.
+   inFilterThreshold`` is DERIVED from ``PRUNE_SCAN_MAX_KEYS``; the
+   test fails if either side is edited out of step (VERDICT round 10
+   #3), and the pruned scan's plan actually carries pushed per-value
+   predicates (the whole point of the regime).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aind_protein_data_transformation_spark.operators.dedup import (
+    incremental_minhash_pairs,
+    write_minhash_index,
+)
+from aind_protein_data_transformation_spark.operators.embedding_index import (
+    incremental_srp_pairs,
+    write_srp_index,
+)
+from aind_protein_data_transformation_spark.operators.index_lifecycle import (
+    PRUNE_SCAN_MAX_KEYS,
+    prune_probe_scan,
+)
+from aind_protein_data_transformation_spark.operators.simhash_index import (
+    incremental_simhash_pairs,
+    write_simhash_index,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def doc_shard(docs):
+    # near-dup shard: first word dropped (the index suites' mutant form)
+    return docs.filter("doc_id % 10 = 0").limit(12).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _pairs(df, score_col):
+    return {(r.new_id, r.index_id): round(r[score_col], 9) for r in df.collect()}
+
+
+# --------------------------------------------------------------- simhash
+
+
+@pytest.fixture(scope="module")
+def simhash_idx(spark, docs, tmp_path_factory):
+    path = tmp_path_factory.mktemp("prune_sh")
+    write_simhash_index(docs.limit(80), "t_prn_sh", n_buckets=2,
+                        path=str(path / "sh"))
+    yield "t_prn_sh"
+    _drop(spark, "t_prn_sh_bands", "t_prn_sh_sigs")
+
+
+def test_simhash_pruned_equals_unpruned(spark, simhash_idx, doc_shard):
+    base = _pairs(
+        incremental_simhash_pairs(spark, doc_shard, simhash_idx), "hamming"
+    )
+    pruned = _pairs(
+        incremental_simhash_pairs(
+            spark, doc_shard, simhash_idx, prune_scan=PRUNE_SCAN_MAX_KEYS
+        ),
+        "hamming",
+    )
+    assert base and pruned == base
+
+
+def test_simhash_pruned_composes_with_max_bucket(spark, simhash_idx, doc_shard):
+    """Pruning on val drops whole val groups, so surviving (chunk, val)
+    occupancy counts — the cap's input — are unchanged: prune+cap must
+    equal cap alone."""
+    capped = _pairs(
+        incremental_simhash_pairs(
+            spark, doc_shard, simhash_idx, max_bucket=3
+        ),
+        "hamming",
+    )
+    both = _pairs(
+        incremental_simhash_pairs(
+            spark, doc_shard, simhash_idx, max_bucket=3,
+            prune_scan=PRUNE_SCAN_MAX_KEYS,
+        ),
+        "hamming",
+    )
+    assert both == capped
+
+
+def test_simhash_empty_shard_short_circuits(spark, simhash_idx, doc_shard):
+    empty = doc_shard.filter(F.lit(False))
+    out = incremental_simhash_pairs(
+        spark, empty, simhash_idx, prune_scan=PRUNE_SCAN_MAX_KEYS
+    )
+    assert out.count() == 0
+
+
+def test_simhash_over_cap_shard_raises(spark, simhash_idx, doc_shard):
+    # the 12-doc shard emits 12 * n_chunks = 48 distinct-at-most vals;
+    # a prune budget below that is the wrong regime and must raise
+    with pytest.raises(ValueError, match="full-scan regime"):
+        incremental_simhash_pairs(
+            spark, doc_shard, simhash_idx, prune_scan=3
+        ).collect()
+
+
+def test_simhash_pruned_scan_pushes_point_predicates(spark, simhash_idx,
+                                                     doc_shard):
+    """The pruned probe's physical plan must carry the IN filter as
+    pushed parquet predicates on the bands scan — otherwise the regime
+    pays the collect for nothing."""
+    plan = (
+        incremental_simhash_pairs(
+            spark, doc_shard, simhash_idx, prune_scan=PRUNE_SCAN_MAX_KEYS
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(val" in plan, plan[:2000]
+
+
+# --------------------------------------------------------------- minhash
+
+
+@pytest.fixture(scope="module")
+def minhash_idx(spark, docs, tmp_path_factory):
+    path = tmp_path_factory.mktemp("prune_mh")
+    write_minhash_index(docs.limit(80), "t_prn_mh", n_buckets=2,
+                        path=str(path / "mh"))
+    yield "t_prn_mh"
+    _drop(spark, "t_prn_mh_bands", "t_prn_mh_sigs")
+
+
+def test_minhash_pruned_equals_unpruned(spark, minhash_idx, doc_shard):
+    base = _pairs(
+        incremental_minhash_pairs(spark, doc_shard, minhash_idx), "jaccard"
+    )
+    pruned = _pairs(
+        incremental_minhash_pairs(
+            spark, doc_shard, minhash_idx, prune_scan=PRUNE_SCAN_MAX_KEYS
+        ),
+        "jaccard",
+    )
+    assert base and pruned == base
+
+
+# ------------------------------------------------------------------- srp
+
+
+@pytest.fixture(scope="module")
+def srp_idx(spark, sf_dir, tmp_path_factory):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = tmp_path_factory.mktemp("prune_srp")
+    write_srp_index(vecs.limit(80), "t_prn_srp", n_buckets=2,
+                    path=str(path / "srp"))
+    shard = vecs.filter("vec_id % 7 = 0").limit(10).selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        "transform(sequence(1, size(embedding)), i -> "
+        "CAST(CAST(element_at(embedding, i) AS DOUBLE) "
+        "+ 0.02 * ((i % 3) - 1) AS FLOAT)) AS embedding",
+    )
+    yield "t_prn_srp", shard
+    _drop(spark, "t_prn_srp_bands", "t_prn_srp_vecs")
+
+
+def test_srp_pruned_equals_unpruned(spark, srp_idx):
+    name, shard = srp_idx
+    base = _pairs(incremental_srp_pairs(spark, shard, name), "cosine")
+    pruned = _pairs(
+        incremental_srp_pairs(
+            spark, shard, name, prune_scan=PRUNE_SCAN_MAX_KEYS
+        ),
+        "cosine",
+    )
+    assert base and pruned == base
+
+
+# ------------------------------------------------------- bounds/lockstep
+
+
+def test_max_keys_above_cap_raises_up_front(spark, docs):
+    idx = docs.limit(1)
+    probe = docs.limit(1)
+    with pytest.raises(ValueError, match="PRUNE_SCAN_MAX_KEYS"):
+        prune_probe_scan(idx, probe, "doc_id", PRUNE_SCAN_MAX_KEYS + 1)
+
+
+def test_session_in_filter_threshold_lockstep(spark):
+    """session.py derives spark.sql.parquet.pushdown.inFilterThreshold
+    from PRUNE_SCAN_MAX_KEYS; a drift on either side un-pushes the
+    pruned probe's point predicates SILENTLY (VERDICT round 10 #3)."""
+    assert spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold"
+    ) == str(PRUNE_SCAN_MAX_KEYS)
