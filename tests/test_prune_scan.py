@@ -162,13 +162,12 @@ def test_minhash_pruned_equals_unpruned(spark, minhash_idx, doc_shard):
     base = _pairs(
         incremental_minhash_pairs(spark, doc_shard, minhash_idx), "jaccard"
     )
-    pruned = _pairs(
-        incremental_minhash_pairs(
-            spark, doc_shard, minhash_idx, prune_scan=PRUNE_SCAN_MAX_KEYS
-        ),
-        "jaccard",
+    pruned_df = incremental_minhash_pairs(
+        spark, doc_shard, minhash_idx, prune_scan=PRUNE_SCAN_MAX_KEYS
     )
-    assert base and pruned == base
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(k0" in plan, plan[:2000]
+    assert base and _pairs(pruned_df, "jaccard") == base
 
 
 # ------------------------------------------------------------------- srp
@@ -195,13 +194,12 @@ def srp_idx(spark, sf_dir, tmp_path_factory):
 def test_srp_pruned_equals_unpruned(spark, srp_idx):
     name, shard = srp_idx
     base = _pairs(incremental_srp_pairs(spark, shard, name), "cosine")
-    pruned = _pairs(
-        incremental_srp_pairs(
-            spark, shard, name, prune_scan=PRUNE_SCAN_MAX_KEYS
-        ),
-        "cosine",
+    pruned_df = incremental_srp_pairs(
+        spark, shard, name, prune_scan=PRUNE_SCAN_MAX_KEYS
     )
-    assert base and pruned == base
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(band_val" in plan, plan[:2000]
+    assert base and _pairs(pruned_df, "cosine") == base
 
 
 # ------------------------------------------------------- bounds/lockstep
