@@ -35,7 +35,12 @@ name is missing at least one table, so a concurrent probe fails LOUDLY
 on a missing table (by design — never a silent mixture); the retry
 rule — idempotent re-run after the swap completes — is documented on
 each family's probe (``incremental_minhash_pairs``,
-``incremental_srp_pairs``, ``incremental_simhash_pairs``).
+``incremental_srp_pairs``, ``incremental_simhash_pairs``). All three
+probes also expose the point-lookup regime (``prune_scan=``, backed by
+:func:`prune_probe_scan` below): for a small shard the blocking keys
+are pushed into the sorted bands scan as parquet per-value predicates,
+skipping most of the index's bytes at I/O time with a test-pinned
+identical pair set (tests/test_prune_scan.py).
 
 No counterpart exists in the reference (its array layer is
 conversion-only, reference czi_to_zarr.py); the lifecycle extends the
