@@ -159,7 +159,19 @@ def prune_probe_scan(idx, probe, key: str, max_keys: int = PRUNE_SCAN_MAX_KEYS):
     (the ``max_bucket`` cap's input) are unchanged for every surviving
     bucket. Only the I/O profile changes. The collect is one job over
     the already-checkpointed shard rows; an empty shard short-circuits
-    to an empty scan."""
+    to an empty scan.
+
+    When it pays — measured honestly (scripts/exp_prune_scan.py,
+    BENCH.md round 11): at sandbox layouts (up to a 4M-row bands
+    table) the prune does NOT win — the collect job's fixed cost
+    meets or exceeds the saved scan (minhash arms read ~10% slower
+    pruned; simhash arms equal, that probe being collision-bound on
+    vocab-shared text). Enable it only when the bands SCAN wall-time
+    dominates the probe — the large-index regime this exists for,
+    where streaming the table per probe costs minutes and the one
+    collect costs milliseconds. The equivalence and the
+    pushed-predicate plan are what the tests pin; the payoff is
+    storage-scale-dependent by design."""
     if max_keys > PRUNE_SCAN_MAX_KEYS:
         raise ValueError(
             f"prune_scan: max_keys={max_keys} exceeds PRUNE_SCAN_MAX_KEYS "
