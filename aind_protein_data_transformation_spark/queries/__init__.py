@@ -88,8 +88,15 @@ DRIVER_WINDOW = [
     # representative (see covered_by in tests/test_registry_window.py).
     # (q_date_functions rotated to the tail round 11 after six green
     # rounds; math/conditional keep the projection-over-scan shape)
+    # round-12 rotation (VERDICT round 11 #2): q_conditional_price_bands
+    # rotates to the tail after seven green rounds (r1–r4, r8–r11); the
+    # projection-over-scan shape keeps q_math_functions in window. In:
+    # q_grouping_sets — completes the grouping-analytics trio's driver
+    # record after rollup (r1–r11) and cube (r11); it shares the
+    # Expand-based plan but GROUPING SETS' explicit set list is the one
+    # grouping form never driver-confirmed.
     "q_math_functions",
-    "q_conditional_price_bands",
+    "q_grouping_sets",
     # round-9 rotation (VERDICT round 8 #2): q_json_functions rotates to
     # the tail after seven consecutive driver greens (r2–r8); the
     # nested-JSON/map scalar family keeps its local oracle suite and the
@@ -160,8 +167,16 @@ DRIVER_WINDOW = [
     # Gopher-style repetition stats (promoted round 3 — q12_shipmode_priority
     # moved to the tail; its components, hash agg + equi-join + conditional
     # agg, keep 6+ in-window representatives)
+    # round-12 rotation (VERDICT round 11 #2): text_repetition_stats
+    # rotates to the tail after nine consecutive greens (r3–r11); the
+    # curation family keeps decontaminate_ngram_overlap + pii_redact_scan
+    # in window. In: text_tfidf_keywords — the curation family's last
+    # never-driver-green algorithm (stacked DF/TF aggregates + per-doc
+    # ranking window, curation.py). After this lands green, the
+    # never-green tail is machinery twins only — stop rotating for
+    # rotation's sake (VERDICT round 11 #6).
     "decontaminate_ngram_overlap",
-    "text_repetition_stats",
+    "text_tfidf_keywords",
     # multimodal: payload_stats rotated to the tail round 4 after two
     # green driver rounds; frame_sample held the slot through r8
     # (driver-green r2–r8, seven rounds) and rotates to the tail in

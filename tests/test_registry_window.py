@@ -41,8 +41,10 @@ REQUIRED_IN_WINDOW = {
     # round 3 and rotated to the tail in round 4 to free window slots.
     "asof_purchase_last_click",
     # promoted round 3 (VERDICT round 2 #8): first driver row for the
-    # curation family's repetition stats
-    "text_repetition_stats",
+    # curation family's repetition stats; rotated to the tail round 12
+    # after nine consecutive greens (r3–r11) — the family slot passes to
+    # tf-idf keywords, its last never-driver-green algorithm
+    "text_tfidf_keywords",
     # promoted round 4 (VERDICT round 3 #2/#3): scale-safe percentile
     # plan + first driver rows for connected components and
     # unigram-logprob quality scoring (sample_hash_split earned four
@@ -209,7 +211,8 @@ def test_tail_components_are_covered_in_window():
         # projection-over-scan shape keeps math/conditional in window
         "q_date_functions": "q_math_functions",
         "q_ntile_wealth_deciles": "q_window_running_totals",
-                "q_grouping_sets": "q_rollup_region_nation_revenue",
+        # (q_grouping_sets rotated INTO the window round 12 — VERDICT
+        # round 11 #2 — completing the grouping-analytics trio)
         "q_distinct_agg": "q1_pricing_summary",
         "q_rank_variants": "q_window_running_totals",
         # pivot is Catalyst-rewritten conditional aggregation (q1 family);
@@ -250,9 +253,16 @@ def test_tail_components_are_covered_in_window():
         # projection-over-scan machinery with the in-window date pack
         "q_map_functions": "q_math_functions",
         "text_lang_id": "text_quality_stats",
-        # tf-idf top-k: stacked aggs + per-doc ranking window; text-stats
-        # + topk family shapes
-        "text_tfidf_keywords": "text_quality_stats",
+        # (text_tfidf_keywords rotated INTO the window round 12 —
+        # VERDICT round 11 #2 — the curation family's last never-green)
+        # rotated to the tail round 12 after seven greens (r1–r4,
+        # r8–r11); the scalar projection-over-scan shape keeps
+        # q_math_functions in window
+        "q_conditional_price_bands": "q_math_functions",
+        # rotated to the tail round 12 after nine consecutive greens
+        # (r3–r11); the curation family keeps decontamination + PII in
+        # window plus the incoming tf-idf rotation
+        "text_repetition_stats": "decontaminate_ngram_overlap",
         # rotated to the tail round 7 after six green driver rounds
         # (r1–r6), freeing the slot for pyramid_channel_stats' first
         # driver row (§2A A12): the left-outer join + COALESCE fill
@@ -321,36 +331,36 @@ def test_tail_components_are_covered_in_window():
 # (i.e. is scheduled for its first driver row this round).
 DRIVER_GREEN_ROUNDS = {
     "asof_inner_error_context": (3,),
-    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8, 9, 10,),
-    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "dedup_cluster_components": (4, 5, 6, 7, 8, 9, 10,),
-    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "dedup_cluster_components": (4, 5, 6, 7, 8, 9, 10, 11,),
+    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "dedup_exact": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
     "dedup_simhash": (1, 2, 3, 4, 5, 6, 7,),
     "doc_fingerprint_winnow": (1, 2, 3, 4),
-    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "multimodal_frame_sample": (2, 3, 4, 5, 6, 7, 8,),
     "multimodal_payload_stats": (2, 3),
-    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "q10_returned_items": (1,),
     "q12_shipmode_priority": (2,),
     "q14_promo_share": (1,),
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "q5_local_supplier_volume": (1,),
     "q7_nation_volume": (1,),
     "q8_market_share": (1,),
-    "q_anti_join_customers_without_orders": (1, 2, 3),
+    "q_anti_join_customers_without_orders": (1, 2, 3, 11,),
     "q_approx_aggregates": (2, 3, 4, 5),
     "q_array_functions": (1, 2, 3, 4, 5, 6, 7,),
-    "q_conditional_price_bands": (1, 2, 3, 4, 8, 9, 10,),
-    "q_cube_status_priority": (1,),
+    "q_conditional_price_bands": (1, 2, 3, 4, 8, 9, 10, 11,),
+    "q_cube_status_priority": (1, 11,),
     "q_date_functions": (1, 2, 3, 4, 8, 9, 10,),
     "q_distinct_agg": (1,),
     "q_exists_subquery": (1,),
@@ -359,58 +369,61 @@ DRIVER_GREEN_ROUNDS = {
     "q_json_functions": (2, 3, 4, 5, 6, 7, 8,),
     "q_lead_lag_gaps": (1, 5, 6, 7, 8, 9, 10,),
     "q_map_functions": (1,),
-    "q_math_functions": (1, 2, 3, 4, 8, 9, 10,),
+    "q_math_functions": (1, 2, 3, 4, 8, 9, 10, 11,),
     "q_minmax_by": (1,),
     "q_ntile_wealth_deciles": (1,),
     "q_outer_join_order_fill": (1, 2, 3, 4, 5, 6,),
     "q_percentiles_exact": (1,),
-    "q_percentiles_rank_select": (4, 5, 6, 7, 8, 9, 10,),
-    "q_pivot_status_by_priority": (5, 6, 7, 8, 9, 10,),
+    "q_percentiles_rank_select": (4, 5, 6, 7, 8, 9, 10, 11,),
+    "q_pivot_status_by_priority": (5, 6, 7, 8, 9, 10, 11,),
     "q_rank_variants": (1,),
-    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "q_scalar_subquery": (1, 2, 3),
-    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "q_sessionize_events": (5, 6, 7, 8, 9, 10,),
-    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "q_sessionize_events": (5, 6, 7, 8, 9, 10, 11,),
+    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "q_stddev_variance": (1,),
     "q_string_functions": (1, 2, 3, 4, 5, 6, 7,),
     "q_theta_join_price_band": (1, 2, 3, 4, 5, 6, 7, 8,),
     "q_topk_per_group": (1,),
-    "q_window_interval_range": (5, 6, 7, 8, 9, 10,),
-    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "q_window_interval_range": (5, 6, 7, 8, 9, 10, 11,),
+    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "sample_hash_split": (4, 5, 6, 7,),
-    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
+    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "streaming_foreachbatch_sink": (2, 3, 4, 5),
-    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8, 9, 10,),
-    "streaming_session_window": (3, 4, 5, 6, 7, 8, 9, 10,),
+    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "streaming_session_window": (3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "streaming_sliding_window": (3, 4, 5, 6, 7, 8, 9,),
-    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "streaming_tumbling_window": (3, 4, 5, 6, 7, 8, 9, 10,),
+    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "streaming_tumbling_window": (3, 4, 5, 6, 7, 8, 9, 10, 11,),
     "text_lang_id": (1,),
-    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "text_repetition_stats": (3, 4, 5, 6, 7, 8, 9, 10,),
-    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "text_unigram_logprob": (4, 5, 6, 7, 8, 9, 10,),
-    "q_corr_regr_aggregates": (6, 7, 8, 9, 10,),
-    "q_unpivot_flag_measures": (6, 7, 8, 9, 10,),
-    "pyramid_channel_stats": (7, 8, 9, 10,),
-    "dedup_embedding_srp": (8, 9, 10,),
+    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "text_repetition_stats": (3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11,),
+    "text_unigram_logprob": (4, 5, 6, 7, 8, 9, 10, 11,),
+    "q_corr_regr_aggregates": (6, 7, 8, 9, 10, 11,),
+    "q_unpivot_flag_measures": (6, 7, 8, 9, 10, 11,),
+    "pyramid_channel_stats": (7, 8, 9, 10, 11,),
+    "dedup_embedding_srp": (8, 9, 10, 11,),
     # first driver rows round 9 (the last three never-confirmed
     # components, VERDICT round 8 #2)
-    "embedding_quantize_int8": (9, 10,),
-    "streaming_stream_join": (9, 10,),
-    "pack_sequences_fixed": (9, 10,),
+    "embedding_quantize_int8": (9, 10, 11,),
+    "streaming_stream_join": (9, 10, 11,),
+    "pack_sequences_fixed": (9, 10, 11,),
     # first driver rows round 10 (VERDICT round 9 #4 rotations:
     # outer stream-join state, PII regex scan, A-ES reservoir)
-    "pii_redact_scan": (10,),
-    "sample_weighted_reservoir": (10,),
-    "streaming_stream_left_join": (10,),
+    "pii_redact_scan": (10, 11,),
+    "sample_weighted_reservoir": (10, 11,),
+    "streaming_stream_left_join": (10, 11,),
+    # first driver row round 11 (VERDICT round 10 #2 rotation:
+    # SemDeDup cluster-bucketed representative keep)
+    "dedup_semantic_keep": (11,),
 }
 
 # SURVEY.md §2B component families -> the registry queries that exercise
@@ -455,7 +468,8 @@ COMPONENT_QUERIES = {
     "llm_text": ["text_quality_stats", "text_token_count_bpe",
                  "text_unigram_logprob", "text_lang_id",
                  "doc_fingerprint_winnow", "pipeline_clean_corpus"],
-    "curation": ["decontaminate_ngram_overlap", "text_repetition_stats"],
+    "curation": ["decontaminate_ngram_overlap", "text_repetition_stats",
+                 "pii_redact_scan", "text_tfidf_keywords"],
     # one §2B row: "Sampling / packing / reservoir"
     "sampling_packing_reservoir": ["sample_hash_split", "sample_stratified",
                                    "sample_weighted_reservoir",
@@ -506,9 +520,8 @@ def test_rotated_out_queries_earned_their_rest():
     its first green."""
     window = set(DRIVER_WINDOW)
     promoted_this_round = {
-        "q_anti_join_customers_without_orders",
-        "q_cube_status_priority",
-        "dedup_semantic_keep",
+        "q_grouping_sets",
+        "text_tfidf_keywords",
     }
     fam_of = {}
     for fam, qs in COMPONENT_QUERIES.items():
