@@ -172,6 +172,12 @@ def prune_probe_scan(idx, probe, key: str, max_keys: int = PRUNE_SCAN_MAX_KEYS):
     collect costs milliseconds. The equivalence and the
     pushed-predicate plan are what the tests pin; the payoff is
     storage-scale-dependent by design."""
+    if max_keys < 1:
+        raise ValueError(
+            f"prune_scan: max_keys={max_keys} — the key budget must be a "
+            f"positive int (a non-positive budget can prune nothing; to "
+            f"run the full-scan regime, drop prune_scan instead)."
+        )
     if max_keys > PRUNE_SCAN_MAX_KEYS:
         raise ValueError(
             f"prune_scan: max_keys={max_keys} exceeds PRUNE_SCAN_MAX_KEYS "

@@ -66,6 +66,14 @@ HEADLINE: tuple[str, ...] = (
 #: stay well under the driver's 2000-char stdout tail capture.
 _MAX_LINE_BYTES = 1900
 
+#: the session floor recorded on a quiet VM (best-of-5 warmed one-row
+#: noop, r9-r11 quiet sessions read 0.060-0.074s). The JSON line emits
+#: the current floor's ratio to this so a degraded session identifies
+#: ITSELF in BENCH_r{N}.json (VERDICT r11 #5) — r11's elevated readings
+#: took a worktree back-to-back to adjudicate; a floor ratio >~1.5 says
+#: "environment, not code" up front.
+_QUIET_VM_FLOOR_S = 0.074
+
 
 def _plan_has_eager_rdd(df) -> bool:
     """True when the query's fn() did EAGER work whose result is baked
@@ -217,6 +225,13 @@ def main(argv: list[str]) -> int:
             "runs_per_query": 5,
             "queries": timings,
             "sf": _sf_from_dir(sf_dir),
+            # degraded-session self-identification (VERDICT r11 #5):
+            # the fixed cost of ANY query this session, and its ratio
+            # to the recorded quiet-VM floor — >~1.5 means the session
+            # is elevated and the wall-times carry an environment
+            # multiplier the ratio_vs_duckdb partially cancels.
+            "session_floor_seconds": floor,
+            "floor_vs_quiet": round(floor / _QUIET_VM_FLOOR_S, 2),
         }
         # Everything beyond the driver-contract keys goes to the sidecar
         # so the stdout line never outgrows the driver's tail capture.

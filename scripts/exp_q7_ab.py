@@ -16,13 +16,15 @@ Prints one JSON line with per-arm runs + medians.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 CONF = "spark.sql.parquet.pushdown.inFilterThreshold"
 
 

@@ -18,7 +18,11 @@ sweep at 88/108 and forced a full re-run): per-batch timings are
 checkpointed to /tmp/sparkgraft-sweep-<sfname>.json after every batch,
 a re-run skips queries already timed, and a sweep that reaches the
 final report deletes its checkpoint so the NEXT invocation starts
-fresh. Set SPARK_GRAFT_SWEEP_FRESH=1 to discard a stale checkpoint.
+fresh. The checkpoint carries a code fingerprint (git HEAD sha plus a
+hash of any uncommitted diff, ADVICE r11): a checkpoint written by a
+different code version is discarded automatically instead of silently
+replaying stale timings into the budget gate.
+SPARK_GRAFT_SWEEP_FRESH=1 still force-discards a same-version one.
 """
 
 from __future__ import annotations
@@ -30,6 +34,31 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 REPO = "/root/repo"
+
+
+def _code_fingerprint() -> str:
+    """git HEAD sha (short) plus a hash of the uncommitted tracked diff.
+
+    Two runs share a fingerprint iff they run the same committed code
+    with byte-identical local modifications — exactly the condition
+    under which replaying checkpointed timings is sound.
+    """
+    import hashlib
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short=12", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "nogit"
+        diff = subprocess.run(
+            ["git", "diff", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout
+        if diff:
+            sha += "+" + hashlib.sha256(diff.encode()).hexdigest()[:12]
+        return sha
+    except Exception:
+        return "unknown"
 
 
 def _auto_dispatch_probe(sf_dir: str) -> dict[str, float]:
@@ -104,13 +133,27 @@ def main(argv: list[str]) -> int:
 
     names = [n for n in q.REGISTRY if not n.startswith("streaming_")]
     ckpt = f"/tmp/sparkgraft-sweep-{os.path.basename(sf_dir.rstrip('/'))}.json"
+    fingerprint = _code_fingerprint()
     timings: dict[str, float] = {}
     if os.path.exists(ckpt) and not os.environ.get("SPARK_GRAFT_SWEEP_FRESH"):
         with open(ckpt) as fh:
             saved = json.load(fh)
+        # legacy checkpoints were a flat {name: timing} dict with no
+        # fingerprint — treat those, and any fingerprint mismatch, as
+        # stale: the queried code changed, the timings don't apply
+        saved_fp = saved.get("fingerprint") if isinstance(saved, dict) else None
+        saved_timings = saved.get("timings", {}) if saved_fp else {}
+        if saved_fp != fingerprint:
+            print(
+                f"  discarding stale checkpoint {ckpt} "
+                f"(code {saved_fp or 'unfingerprinted'} != {fingerprint})",
+                file=sys.stderr,
+                flush=True,
+            )
+            saved_timings = {}
         # only reuse rows for queries still in the registry (a rotation
         # or rename between runs must not leave ghost timings)
-        timings = {n: t for n, t in saved.items() if n in names}
+        timings = {n: t for n, t in saved_timings.items() if n in names}
         if timings:
             print(
                 f"  resuming from {ckpt}: {len(timings)}/{len(names)} "
@@ -143,7 +186,7 @@ def main(argv: list[str]) -> int:
         timings.update(got)
         tmp = ckpt + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(timings, fh)
+            json.dump({"fingerprint": fingerprint, "timings": timings}, fh)
         os.replace(tmp, ckpt)
         done = len(timings)
         print(

@@ -212,6 +212,17 @@ def test_max_keys_above_cap_raises_up_front(spark, docs):
         prune_probe_scan(idx, probe, "doc_id", PRUNE_SCAN_MAX_KEYS + 1)
 
 
+def test_max_keys_below_one_raises_up_front(spark, docs):
+    """ADVICE r11: a non-positive budget must hit the explanatory guard,
+    not surface as an opaque Spark error from limit(max_keys+1) (negative)
+    or the misleading 'full-scan regime' message (zero)."""
+    idx = docs.limit(1)
+    probe = docs.limit(1)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="positive int"):
+            prune_probe_scan(idx, probe, "doc_id", bad)
+
+
 def test_session_in_filter_threshold_lockstep(spark):
     """session.py derives spark.sql.parquet.pushdown.inFilterThreshold
     from PRUNE_SCAN_MAX_KEYS; a drift on either side un-pushes the
