@@ -124,6 +124,28 @@ def _auto_dispatch_probe(sf_dir: str) -> dict[str, float]:
         spark.stop()
 
 
+def load_checkpoint(
+    saved: object, fingerprint: str, names: list[str]
+) -> tuple[dict[str, float], str | None]:
+    """Resumable timings from a checkpoint payload, or why not.
+
+    Returns (timings, discard_reason). Timings are non-empty only when
+    the checkpoint carries the CURRENT code fingerprint (ADVICE r11: a
+    checkpoint from a different code version silently replayed stale
+    timings into the budget gate) — legacy flat {name: timing} dicts
+    have no fingerprint and are discarded the same way. Rows for
+    queries no longer in the registry are dropped (rotation/rename must
+    not leave ghost timings).
+    """
+    saved_fp = saved.get("fingerprint") if isinstance(saved, dict) else None
+    if saved_fp != fingerprint:
+        return {}, f"code {saved_fp or 'unfingerprinted'} != {fingerprint}"
+    timings = {
+        n: t for n, t in saved.get("timings", {}).items() if n in names
+    }
+    return timings, None
+
+
 def main(argv: list[str]) -> int:
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     budget = float(argv[2]) if len(argv) > 2 else 3.7
@@ -138,22 +160,13 @@ def main(argv: list[str]) -> int:
     if os.path.exists(ckpt) and not os.environ.get("SPARK_GRAFT_SWEEP_FRESH"):
         with open(ckpt) as fh:
             saved = json.load(fh)
-        # legacy checkpoints were a flat {name: timing} dict with no
-        # fingerprint — treat those, and any fingerprint mismatch, as
-        # stale: the queried code changed, the timings don't apply
-        saved_fp = saved.get("fingerprint") if isinstance(saved, dict) else None
-        saved_timings = saved.get("timings", {}) if saved_fp else {}
-        if saved_fp != fingerprint:
+        timings, discard = load_checkpoint(saved, fingerprint, names)
+        if discard:
             print(
-                f"  discarding stale checkpoint {ckpt} "
-                f"(code {saved_fp or 'unfingerprinted'} != {fingerprint})",
+                f"  discarding stale checkpoint {ckpt} ({discard})",
                 file=sys.stderr,
                 flush=True,
             )
-            saved_timings = {}
-        # only reuse rows for queries still in the registry (a rotation
-        # or rename between runs must not leave ghost timings)
-        timings = {n: t for n, t in saved_timings.items() if n in names}
         if timings:
             print(
                 f"  resuming from {ckpt}: {len(timings)}/{len(names)} "

@@ -73,10 +73,17 @@ def test_bench_prints_one_compact_json_line_plus_sidecar(tmp_path):
     assert out["duckdb_comparator_seconds"] > 0
     expected = out["value"] / out["duckdb_comparator_seconds"]
     assert abs(out["ratio_vs_duckdb"] - expected) < 0.01
-    # per-query detail (cold runs, session floor, duckdb split) lives in
-    # the sidecar, NOT on the stdout line
-    for key in ("cold_first_run", "session_floor_seconds", "duckdb_queries"):
+    # per-query detail (cold runs, duckdb split) lives in the sidecar,
+    # NOT on the stdout line
+    for key in ("cold_first_run", "duckdb_queries"):
         assert key not in out, key
+    # ...but the session floor is ON the line since r12 (VERDICT r11 #5:
+    # a degraded session must identify itself in BENCH_r{N}.json), with
+    # its ratio to the recorded quiet-VM floor
+    assert out["session_floor_seconds"] > 0
+    assert out["floor_vs_quiet"] == round(
+        out["session_floor_seconds"] / 0.074, 2
+    )
     with open(detail_path) as fh:
         detail = json.load(fh)
     assert set(detail["queries"]) == set(out["queries"])
@@ -289,3 +296,35 @@ def test_interleaved_ab_post_run_hook_outside_timing():
     )
     assert calls["post"] == 3  # 1 warmup + 2 timed
     assert all(r < 0.05 for r in res["x"]["runs"])
+
+
+def test_sweep_checkpoint_discards_on_fingerprint_mismatch():
+    """ADVICE r11: a checkpoint written by a different code version (or
+    a legacy unfingerprinted flat dict) must be discarded automatically,
+    never replayed into the budget gate; same-fingerprint checkpoints
+    resume, dropping rows for queries no longer registered."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sweep_mod", os.path.join(REPO, "scripts", "sweep_registry.py")
+    )
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    names = ["q1", "q2"]
+    fp = "abc123+deadbeef"
+    # same fingerprint: resume, ghost rows dropped
+    t, why = sweep.load_checkpoint(
+        {"fingerprint": fp, "timings": {"q1": 1.0, "gone": 2.0}}, fp, names
+    )
+    assert t == {"q1": 1.0} and why is None
+    # different fingerprint: discard with a reason naming both versions
+    t, why = sweep.load_checkpoint(
+        {"fingerprint": "old000", "timings": {"q1": 1.0}}, fp, names
+    )
+    assert t == {} and "old000" in why and fp in why
+    # legacy flat dict (pre-fingerprint format): discard
+    t, why = sweep.load_checkpoint({"q1": 1.0}, fp, names)
+    assert t == {} and "unfingerprinted" in why
+    # fingerprints are stable within a process / differ across diffs
+    assert sweep._code_fingerprint() == sweep._code_fingerprint()
