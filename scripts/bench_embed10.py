@@ -337,6 +337,115 @@ def index_lifecycle(sf_dir: str, out_dir: str) -> dict:
     return out
 
 
+def semdedup_scaling(sf_dir: str, out_dir: str) -> dict:
+    """Measurement 5 (round 12, after dedup_semantic_keep's first
+    driver row): the SemDeDup core's 1x->10x slope, DECOMPOSED, with
+    stride-derived centroids at BOTH scales (centroid count grows with
+    the corpus so cluster size stays ~stride — the regime the
+    registered query models; the registered query itself pins its
+    centroid filter to ids < 1e6 for oracle replay, which at this
+    layout would freeze the codebook at copy-0 and measure the wrong
+    thing, so this rebuilds the core from the same operators).
+
+    The decomposition separates the two claims:
+    - PAIR stage (the "cluster-bucketed, never all-pairs" claim):
+      within-bucket join with ~constant cluster size -> expected
+      ~linear in corpus.
+    - ASSIGNMENT stage: nearest-centroid over N vectors x N/stride
+      centroids is O(N^2/stride) BY CONSTRUCTION when the codebook is
+      corpus-proportional — expected ~100x work at 10x. Reported
+      honestly for the fold path and the production GEMM twin; the
+      100-TB shape for corpus-proportional codebooks is hierarchical
+      (coarse-quantize the centroids, assign via the IVF probe —
+      the same two-level structure similarity_ivf_ann builds), which
+      is why the registered query documents assignment as "the same
+      index build similarity_ivf_ann probes"."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.functions.vector import (
+        dot,
+        unit_normalize,
+    )
+    from aind_protein_data_transformation_spark.measure import interleaved_ab
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        assign_buckets,
+        assign_buckets_gemm,
+        stride_centroids,
+    )
+    from aind_protein_data_transformation_spark.session import get_spark
+
+    TAU = 0.9
+    STRIDE = 40
+    spark = get_spark("bench-embed10-semdedup")
+    out: dict[str, dict[str, float]] = {}
+    try:
+        for tag, d in (("x1", sf_dir), ("x10", out_dir)):
+            emb = load_table(spark, d, "embeddings")
+            corpus = emb.select(
+                F.col("vec_id").alias("vid"),
+                unit_normalize("embedding").alias("ve"),
+            )
+            cents = stride_centroids(corpus, STRIDE)
+            emb.write.format("noop").mode("overwrite").save()  # warm scan
+            res: dict[str, float] = {
+                "rows": corpus.count(),
+                "centroids": cents.count(),
+            }
+
+            def pair_stage(assigned):
+                wb = corpus.join(assigned, "vid").select("vid", "ve", "bucket")
+                a = wb.select(
+                    F.col("vid").alias("id_a"), F.col("ve").alias("ea"), "bucket"
+                )
+                b = wb.select(
+                    F.col("vid").alias("id_b"), F.col("ve").alias("eb"), "bucket"
+                )
+                dropped = (
+                    a.join(b, "bucket")
+                    .filter(F.col("id_a") < F.col("id_b"))
+                    .filter(dot("ea", "eb") >= TAU)
+                    .select(F.col("id_b").alias("did"))
+                    .distinct()
+                )
+                return (
+                    wb.join(dropped, wb.vid == dropped.did, "left")
+                    .groupBy("bucket")
+                    .agg(
+                        F.count("*").alias("n_items"),
+                        F.sum(
+                            F.when(F.col("did").isNotNull(), 1).otherwise(0)
+                        ).alias("n_dropped"),
+                    )
+                )
+
+            # end-to-end (assignment fused in, fold path — the
+            # registered query's shape)
+            res["end_to_end_s"] = _noop_time(
+                pair_stage(assign_buckets(corpus, cents))
+            )
+            # assignment alone, fold vs the production GEMM twin
+            assign = interleaved_ab(
+                {
+                    "fold": lambda: assign_buckets(corpus, cents),
+                    "gemm": lambda: assign_buckets_gemm(corpus, cents),
+                },
+                rounds=3,
+            )
+            res["assign_fold_s"] = assign["fold"]["best"]
+            res["assign_gemm_s"] = assign["gemm"]["best"]
+            # pair stage alone over a PINNED assignment (localCheckpoint
+            # so the timed plan cannot re-run the assignment)
+            pinned = assign_buckets(corpus, cents).localCheckpoint()
+            res["n_clusters"] = pinned.select("bucket").distinct().count()
+            res["pair_stage_s"] = _noop_time(pair_stage(pinned))
+            out[tag] = res
+            spark.catalog.clearCache()
+    finally:
+        spark.stop()
+    return out
+
+
 def main(argv: list[str]) -> int:
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     out_dir = argv[2] if len(argv) > 2 else "/tmp/sparkgraft-embed10"
@@ -418,6 +527,14 @@ def main(argv: list[str]) -> int:
         else None
     )
     print(json.dumps(lsum), flush=True)
+
+    # 5) SemDeDup core slope, decomposed (round 12)
+    sem = semdedup_scaling(sf_dir, out_dir)
+    ssum = {"metric": "embed10_semdedup_scaling", **sem}
+    for key in ("end_to_end_s", "assign_fold_s", "assign_gemm_s", "pair_stage_s"):
+        a, b = sem["x1"][key], sem["x10"][key]
+        ssum[f"{key}_x10_over_x1"] = round(b / a, 2) if a > 0 else None
+    print(json.dumps(ssum), flush=True)
     return 0
 
 

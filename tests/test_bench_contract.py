@@ -79,10 +79,18 @@ def test_bench_prints_one_compact_json_line_plus_sidecar(tmp_path):
         assert key not in out, key
     # ...but the session floor is ON the line since r12 (VERDICT r11 #5:
     # a degraded session must identify itself in BENCH_r{N}.json), with
-    # its ratio to the recorded quiet-VM floor
+    # its ratio to the recorded quiet-VM floor — read from bench.py so
+    # the constant cannot drift between the harness and this pin
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_floor_mod", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     assert out["session_floor_seconds"] > 0
     assert out["floor_vs_quiet"] == round(
-        out["session_floor_seconds"] / 0.074, 2
+        out["session_floor_seconds"] / bench._QUIET_VM_FLOOR_S, 2
     )
     with open(detail_path) as fh:
         detail = json.load(fh)
