@@ -50,12 +50,20 @@ def _code_fingerprint() -> str:
             ["git", "rev-parse", "--short=12", "HEAD"],
             cwd=REPO, capture_output=True, text=True, timeout=10,
         ).stdout.strip() or "nogit"
+        # tracked modifications by content; untracked files by presence
+        # (git diff HEAD alone misses a NEW untracked query module)
         diff = subprocess.run(
             ["git", "diff", "HEAD"],
             cwd=REPO, capture_output=True, text=True, timeout=10,
         ).stdout
-        if diff:
-            sha += "+" + hashlib.sha256(diff.encode()).hexdigest()[:12]
+        status = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout
+        if diff or status:
+            sha += "+" + hashlib.sha256(
+                (diff + "\x00" + status).encode()
+            ).hexdigest()[:12]
         return sha
     except Exception:
         return "unknown"
