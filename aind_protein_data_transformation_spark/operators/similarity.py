@@ -431,6 +431,132 @@ def assign_buckets_gemm(
     return src.mapInPandas(_assign, schema=out_schema)
 
 
+def assign_buckets_ivf(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    coarse_stride: int,
+    nprobe: int = 2,
+    gemm: bool = True,
+    vec_id: str = "vid",
+    vec_col: str = "ve",
+) -> DataFrame:
+    """Two-level (hierarchical) nearest-centroid assignment — the scale
+    regime for CORPUS-PROPORTIONAL codebooks, where the flat paths'
+    O(N·K) flops are O(N²/stride) by construction (measured:
+    scripts/bench_embed10.py round 12 — the fold read 10.8× wall at 10×
+    corpus with a stride-derived codebook; the GEMM twin absorbed the
+    same 100× flops at this layout, but its flop count grows the same
+    way and no BLAS outruns a quadratic at 100 TB).
+
+    Structure (the same two-level shape :func:`ivf_topk` probes, with
+    the CENTROIDS as the searched set and no self-exclusion — a
+    centroid vector must be allowed to assign to itself):
+
+    1. coarse codebook: hash-spread picks over the centroids,
+       ``pmod(xxhash64(centroid_id), coarse_stride) == 0`` (~K/stride
+       picks; hash-spread, not modulo, so non-dense centroid ids —
+       e.g. the stride-derived ids :func:`stride_centroids` emits —
+       still thin uniformly);
+    2. centroid→coarse map: EXACT flat assignment of every centroid to
+       its nearest coarse pick (K × K/stride flops, codebook-sized;
+       ``gemm=True`` routes it through :func:`assign_buckets_gemm`);
+    3. vector→coarse probes: top-``nprobe`` coarse picks per vector
+       (N × K/stride flops, the :func:`ivf_topk` probe shape);
+    4. fine argmax: each vector scored ONLY against the centroids whose
+       coarse bucket it probed (~N × nprobe·stride flops), cosine
+       argmax with the flat paths' exact tie-break (desc cosine,
+       asc centroid_id).
+
+    Total ~N·(K/stride + nprobe·stride) vs flat N·K — minimized around
+    stride ≈ sqrt(K/nprobe). APPROXIMATE by construction: the true
+    nearest centroid may live in an unprobed coarse bucket, so this is
+    a documented regime (like ``prune_scan=``/``max_bucket=``), never a
+    silent default — the flat paths stay the exact, oracle-replayable
+    forms.
+
+    When it pays — measured honestly (scripts/bench_embed10.py
+    measurement 5): at sandbox scale the 10× slope is 5.45× vs the
+    flat fold's 7.89× (the subquadratic flop count emerging), but
+    :func:`assign_buckets_gemm` still wins OUTRIGHT (0.73s at ×10)
+    because this codebook fits on the driver and BLAS absorbs N·K.
+    This operator's regime is the codebook PAST the driver-collect
+    budget (the gemm path's 1M-row guard): every stage here is
+    distributed — the only driver-sized object is the coarse pick set,
+    √K of the codebook — so it is the assignment that still runs when
+    no flat path can. What IS exact, and test-pinned: the returned bucket is the
+    true argmax within the probed candidate set, every input vector
+    with a non-degenerate probe appears exactly once, and the whole
+    construction is deterministic (hash picks + total-order
+    tie-breaks). Zero-norm contract matches the flat paths: dead
+    centroids are excluded from every stage; a zero-norm vector gets
+    null cosines (try_divide) that sort last, landing it in the
+    lowest-id candidate bucket rather than erroring.
+    """
+    if coarse_stride < 2:
+        raise ValueError(
+            f"assign_buckets_ivf: coarse_stride={coarse_stride} — a stride "
+            f"under 2 makes every centroid a coarse pick (the flat-scan "
+            f"regime; call assign_buckets/assign_buckets_gemm instead)"
+        )
+    live = centroids.filter(norm("centroid_vec") != 0)
+    coarse = live.filter(
+        F.pmod(F.xxhash64(F.col("centroid_id")), F.lit(coarse_stride)) == 0
+    )
+    # a stride that thins the codebook to NOTHING would silently assign
+    # nothing — raise with the fix instead (codebook-sized check, one
+    # tiny job, the same driver-side budget the gemm collect spends)
+    if not coarse.limit(1).count():
+        raise ValueError(
+            f"assign_buckets_ivf: coarse_stride={coarse_stride} leaves zero "
+            f"coarse picks for this codebook — lower the stride (aim for "
+            f"sqrt(K/nprobe)) or use the flat paths for a codebook this small"
+        )
+    # every centroid's ONE nearest coarse pick (exact, codebook-sized)
+    flat_assign = assign_buckets_gemm if gemm else assign_buckets
+    cent_coarse = flat_assign(
+        live.select(
+            F.col("centroid_id").alias("vid"), F.col("centroid_vec").alias("ve")
+        ),
+        coarse,
+    ).select(
+        F.col("vid").alias("centroid_id"), F.col("bucket").alias("coarse_bucket")
+    )
+    # top-nprobe coarse picks per vector (the ivf_topk probe shape)
+    wp = Window.partitionBy(vec_id).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    probes = (
+        vectors.crossJoin(F.broadcast(coarse))
+        .select(
+            vec_id,
+            "centroid_id",
+            F.try_divide(
+                dot(vec_col, "centroid_vec"), norm(vec_col) * norm("centroid_vec")
+            ).alias("c_cos"),
+        )
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= nprobe)
+        .select(vec_id, F.col("centroid_id").alias("coarse_bucket"))
+    )
+    # fine argmax over only the probed coarse buckets' centroids
+    cands = (
+        probes.join(F.broadcast(cent_coarse), "coarse_bucket")
+        .join(F.broadcast(live), "centroid_id")
+        .join(vectors, vec_id)
+    )
+    wf = Window.partitionBy(vec_id).orderBy(F.desc("f_cos"), F.asc("centroid_id"))
+    return (
+        cands.select(
+            vec_id,
+            "centroid_id",
+            F.try_divide(
+                dot(vec_col, "centroid_vec"), norm(vec_col) * norm("centroid_vec")
+            ).alias("f_cos"),
+        )
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") == 1)
+        .select(vec_id, F.col("centroid_id").alias("bucket"))
+    )
+
+
 def quantize_int8_hof(
     embeddings: DataFrame,
     vec_id: str = "vec_id",

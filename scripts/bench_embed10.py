@@ -371,6 +371,7 @@ def semdedup_scaling(sf_dir: str, out_dir: str) -> dict:
     from aind_protein_data_transformation_spark.operators.similarity import (
         assign_buckets,
         assign_buckets_gemm,
+        assign_buckets_ivf,
         stride_centroids,
     )
     from aind_protein_data_transformation_spark.session import get_spark
@@ -424,16 +425,25 @@ def semdedup_scaling(sf_dir: str, out_dir: str) -> dict:
             res["end_to_end_s"] = _noop_time(
                 pair_stage(assign_buckets(corpus, cents))
             )
-            # assignment alone, fold vs the production GEMM twin
+            # assignment alone: fold vs the production GEMM twin vs the
+            # two-level hierarchical regime (round 12 — coarse stride at
+            # its sqrt(K/nprobe) optimum per scale, so its flop count
+            # grows ~N^1.5 where the flat paths grow N^2 with this
+            # corpus-proportional codebook)
+            ivf_stride = max(2, int((res["centroids"] / 2) ** 0.5))
             assign = interleaved_ab(
                 {
                     "fold": lambda: assign_buckets(corpus, cents),
                     "gemm": lambda: assign_buckets_gemm(corpus, cents),
+                    "ivf": lambda: assign_buckets_ivf(
+                        corpus, cents, coarse_stride=ivf_stride, nprobe=2
+                    ),
                 },
                 rounds=3,
             )
             res["assign_fold_s"] = assign["fold"]["best"]
             res["assign_gemm_s"] = assign["gemm"]["best"]
+            res["assign_ivf_s"] = assign["ivf"]["best"]
             # pair stage alone over a PINNED assignment (localCheckpoint
             # so the timed plan cannot re-run the assignment)
             pinned = assign_buckets(corpus, cents).localCheckpoint()
@@ -531,7 +541,13 @@ def main(argv: list[str]) -> int:
     # 5) SemDeDup core slope, decomposed (round 12)
     sem = semdedup_scaling(sf_dir, out_dir)
     ssum = {"metric": "embed10_semdedup_scaling", **sem}
-    for key in ("end_to_end_s", "assign_fold_s", "assign_gemm_s", "pair_stage_s"):
+    for key in (
+        "end_to_end_s",
+        "assign_fold_s",
+        "assign_gemm_s",
+        "assign_ivf_s",
+        "pair_stage_s",
+    ):
         a, b = sem["x1"][key], sem["x10"][key]
         ssum[f"{key}_x10_over_x1"] = round(b / a, 2) if a > 0 else None
     print(json.dumps(ssum), flush=True)
