@@ -503,9 +503,16 @@ def assign_buckets_ivf(
         F.pmod(F.xxhash64(F.col("centroid_id")), F.lit(coarse_stride)) == 0
     )
     # a stride that thins the codebook to NOTHING would silently assign
-    # nothing — raise with the fix instead (codebook-sized check, one
-    # tiny job, the same driver-side budget the gemm collect spends)
+    # nothing — raise with the fix instead (codebook-sized checks, tiny
+    # jobs, the same driver-side budget the gemm collect spends). The
+    # all-dead-codebook edge matches the flat paths: drop the vectors
+    # (empty result), don't error.
     if not coarse.limit(1).count():
+        if not live.limit(1).count():
+            return vectors.select(
+                F.col(vec_id).alias(vec_id),
+                F.lit(None).cast("long").alias("bucket"),
+            ).limit(0)
         raise ValueError(
             f"assign_buckets_ivf: coarse_stride={coarse_stride} leaves zero "
             f"coarse picks for this codebook — lower the stride (aim for "
