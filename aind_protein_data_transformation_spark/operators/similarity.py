@@ -543,10 +543,15 @@ def assign_buckets_ivf(
         .filter(F.col("rk") <= nprobe)
         .select(vec_id, F.col("centroid_id").alias("coarse_bucket"))
     )
-    # fine argmax over only the probed coarse buckets' centroids
+    # fine argmax over only the probed coarse buckets' centroids. NO
+    # broadcast hints on the codebook-sized sides: cent_coarse and live
+    # are K rows — the object this operator exists to keep OFF any
+    # single node — so these joins must stay shuffle-joinable (AQE
+    # still broadcasts them when K is actually small). Only `coarse`
+    # (√K picks, above) is declared driver-sized.
     cands = (
-        probes.join(F.broadcast(cent_coarse), "coarse_bucket")
-        .join(F.broadcast(live), "centroid_id")
+        probes.join(cent_coarse, "coarse_bucket")
+        .join(live, "centroid_id")
         .join(vectors, vec_id)
     )
     wf = Window.partitionBy(vec_id).orderBy(F.desc("f_cos"), F.asc("centroid_id"))
