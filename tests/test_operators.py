@@ -1139,3 +1139,31 @@ def test_assign_buckets_ivf_guards(spark, sf_dir):
         assign_buckets_ivf(corpus, cents, coarse_stride=1)
     with pytest.raises(ValueError, match="zero\\s+coarse picks|zero coarse picks"):
         assign_buckets_ivf(corpus, cents, coarse_stride=10_000_000)
+
+
+def test_assign_buckets_ivf_plan_is_distributed(spark, sf_dir):
+    """The operator's regime claim in the plan itself: the only
+    nested-loop/broadcast-cartesian stage is the vector x COARSE-PICKS
+    probe (the declared driver-sized object, sqrt(K) rows); the
+    codebook-sized relations (cent_coarse, live) reach their joins as
+    equi-joins with NO forced broadcast hint, so at a codebook past
+    the driver budget they shuffle instead of materializing on one
+    node. No CartesianProduct anywhere."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import load_table
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        assign_buckets_ivf,
+        stride_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
+    cents = stride_centroids(corpus, 10)
+    df = assign_buckets_ivf(corpus, cents, coarse_stride=3, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # exactly one nested-loop stage: the coarse probe crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # the fine-stage joins are hash equi-joins on their keys
+    assert "coarse_bucket" in plan and "centroid_id" in plan
