@@ -638,9 +638,15 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative keep-list (drop-if-similar-to-any-lower-id vs
     drop-if-similar-to-a-KEPT-item): deterministic, SQL-expressible,
     and it upper-bounds the true drop set. Scale shape: the pair stage
-    is cluster-bucketed (cluster size ~ stride), never all-pairs; the
-    assignment is one broadcast-centroid pass, the same index build
-    similarity_ivf_ann probes."""
+    is cluster-bucketed (cluster size ~ stride), never all-pairs —
+    measured ~flat wall at 10x corpus (BENCH.md round 12, the
+    decomposed slope table). The assignment is one broadcast-centroid
+    pass, the same index build similarity_ivf_ann probes; with a
+    corpus-proportional codebook its flat forms are O(N*K) by
+    construction — ``assign_buckets_gemm`` absorbs that at any
+    driver-sized codebook, and past the driver budget
+    ``operators.similarity.assign_buckets_ivf`` is the fully
+    distributed two-level regime (same measurement)."""
     emb = load_table(spark, sf_dir, "embeddings")
     perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
