@@ -1,0 +1,294 @@
+"""Multi-dimensional data clustering (Z-order layout) for scan pruning.
+
+The 100-TB problem this solves: a table sorted (or written) on ONE key
+skips row groups only for predicates on that key. Analytic predicates
+are usually multi-column boxes (TPC-H Q6: shipdate range AND discount
+range AND quantity cap); on a single-key layout every other predicate
+column's per-row-group [min, max] spans the whole domain, so parquet
+min/max pruning keeps everything and the scan reads 100 TB to answer a
+1-TB question. Interleaving the bits of quantile-binned column ranks —
+a Z-order / Morton key — makes every contiguous key range a small
+hyper-box in predicate space, so EVERY clustered column's row-group
+stats become selective at once (the same reason Delta/Iceberg OPTIMIZE
+cluster by Z-order). This is the write-side twin of the read-side
+pushdown the engine already plan-asserts: layout work done once at
+write time, paid back on every subsequent scan.
+
+Spark-first construction — everything stays JVM-side and declarative:
+
+- Bin edges come from ONE sketch pass (``DataFrame.approxQuantile``,
+  Greenwald-Khanna); the driver-side object is ``(2^bits - 1)`` doubles
+  per column — bounded by construction, never data-sized.
+- The bin index is a size-of-filtered-literal-array higher-order
+  function (no Python UDF); the Morton key is pure
+  ``shiftright/bitwiseAND/shiftleft/bitwiseOR`` — whole-stage codegen.
+- The physical re-layout is ``repartitionByRange`` on the key (one
+  shuffle — the unavoidable cost of re-clustering, amortized over every
+  later scan) + ``sortWithinPartitions`` so each output file AND each
+  row group within it covers a contiguous Z-range.
+
+Reference parity note: the reference's whole output side is layout
+chosen for downstream access (czi_to_zarr.py:545-553 writes chunked
+zarr levels sized for the viewer's access pattern; utils.py block
+expansion A18). Z-order is the relational form of the same idea: pick
+the physical layout from the read pattern, not the arrival order.
+
+``layout_scan_fraction`` measures the payoff deterministically: it
+reads only parquet FOOTERS (pyarrow, driver-side metadata) and counts
+row groups whose per-column [min, max] intersect a predicate box —
+exactly the keep/skip decision Spark's parquet reader makes from the
+pushed filters, with zero timing noise.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "quantile_bin_edges",
+    "zorder_key",
+    "zorder_layout",
+    "layout_scan_fraction",
+]
+
+#: Key is built in a signed 64-bit long: bits * n_cols must leave the
+#: sign bit alone.
+_MAX_KEY_BITS = 63
+
+_NUMERIC_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def _numeric_expr(df: DataFrame, col: str) -> Column:
+    """Project ``col`` to DOUBLE for binning.
+
+    Timestamps/dates cast through their epoch value (UTC session pinned
+    at every query boundary by the registry wrapper, so the cast is
+    deterministic); decimals and the integer family cast losslessly for
+    binning purposes (bin boundaries only need ORDER, not exact values).
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"column {col!r} not in DataFrame")
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        return F.col(col).cast("timestamp").cast("double")
+    if dtype in _NUMERIC_TYPES or dtype.startswith("decimal"):
+        return F.col(col).cast("double")
+    raise ValueError(
+        f"zorder column {col!r} has non-orderable-numeric type {dtype}; "
+        "cast strings to a numeric surrogate (e.g. a hash or code) first"
+    )
+
+
+def quantile_bin_edges(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    relative_error: float | None = None,
+) -> dict[str, list[float]]:
+    """One-pass per-column quantile cut points for ``2^bits`` bins.
+
+    Returns ``col -> ascending interior edges`` (at most ``2^bits - 1``
+    per column; duplicates from skewed/low-cardinality columns are
+    collapsed — they would only waste bin codes). NULLs are excluded by
+    the sketch and land in bin 0 at key-build time.
+
+    Scale shape: ONE aggregation pass over the data builds all sketches
+    (Greenwald-Khanna, mergeable, map-side partials); the collected
+    object is ``len(cols) * (2^bits - 1)`` doubles — driver-bounded by
+    the geometry, not the data.
+    """
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
+    if not cols:
+        raise ValueError("need at least one zorder column")
+    if bits * len(cols) > _MAX_KEY_BITS:
+        raise ValueError(
+            f"bits * n_cols = {bits * len(cols)} exceeds the {_MAX_KEY_BITS}-bit "
+            "long key budget; lower bits or cluster fewer columns"
+        )
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    if relative_error is None:
+        # Default: fine enough that adjacent target quantiles stay
+        # distinguishable (quarter of a bin width), floored to keep the
+        # sketch bounded for large bits.
+        relative_error = max(1.0 / (4 * n_bins), 1e-5)
+    proj = df.select(
+        *[_numeric_expr(df, c).alias(f"__zq_{i}") for i, c in enumerate(cols)]
+    )
+    raw = proj.approxQuantile(
+        [f"__zq_{i}" for i in range(len(cols))], probs, relative_error
+    )
+    edges: dict[str, list[float]] = {}
+    for c, qs in zip(cols, raw):
+        dedup: list[float] = []
+        for v in qs:
+            if not dedup or v > dedup[-1]:
+                dedup.append(float(v))
+        edges[c] = dedup
+    return edges
+
+
+def zorder_key(
+    df: DataFrame,
+    edges: dict[str, list[float]],
+    bits: int = 8,
+) -> Column:
+    """Morton (bit-interleaved) key over quantile-binned columns.
+
+    ``bin_i = |{edge : edge <= x}|`` via a filtered-literal-array HOF
+    (rows with NULL get bin 0 — the HOF drops elements whose predicate
+    is NULL, so NULLs cluster together at the low end instead of
+    erroring); the key interleaves bit ``b`` of column ``i`` at position
+    ``b * n_cols + i``. Pure built-ins end to end — the whole expression
+    lives inside whole-stage codegen.
+    """
+    cols = list(edges)
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
+    if not cols:
+        raise ValueError("need at least one zorder column")
+    if bits * len(cols) > _MAX_KEY_BITS:
+        raise ValueError(
+            f"bits * n_cols = {bits * len(cols)} exceeds the {_MAX_KEY_BITS}-bit "
+            "long key budget; lower bits or cluster fewer columns"
+        )
+    max_bin = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        col_edges = edges[c]
+        if len(col_edges) > max_bin:
+            raise ValueError(
+                f"{len(col_edges)} edges for {c!r} need more than {bits} bits"
+            )
+        x = _numeric_expr(df, c)
+        if col_edges:
+            lit_edges = F.array(*[F.lit(e) for e in col_edges])
+            bin_idx = F.size(F.filter(lit_edges, lambda e: e <= x)).cast("long")
+        else:  # constant column: everything in bin 0
+            bin_idx = F.lit(0).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(bin_idx, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return key
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    out_path: str,
+    bits: int = 8,
+    num_files: int | None = None,
+    row_group_bytes: int | None = None,
+    compression: str = "zstd",
+) -> dict[str, list[float]]:
+    """Write ``df`` to ``out_path`` clustered on the Z-order of ``cols``.
+
+    One sketch pass for the bin edges, then one range shuffle
+    (``repartitionByRange`` samples the key, so file k covers the k-th
+    contiguous Z-range) + a per-partition sort so row groups WITHIN a
+    file are contiguous too — min/max stats selective at both the file
+    and the row-group level. The helper key column is dropped before
+    the write; the stored schema is the input schema.
+
+    ``row_group_bytes`` maps to ``parquet.block.size``. Leave it None in
+    production (Spark's 128 MB default is the right row-group size for
+    a 100-TB table); tests and sandbox-scale measurements set it small
+    so a 600k-row table still has enough row groups for the skip
+    geometry to be visible.
+
+    Returns the bin edges used (callers re-deriving the key — e.g. to
+    route point lookups to files — need the same edges; persisting them
+    next to the data is the caller's business, same geometry-is-identity
+    rule as the LSH index stamps).
+    """
+    cols = list(cols)
+    edges = quantile_bin_edges(df, cols, bits=bits)
+    key = zorder_key(df, edges, bits=bits)
+    if num_files is None:
+        num_files = df.sparkSession.sparkContext.defaultParallelism
+    clustered = (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(num_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    writer = clustered.write.mode("overwrite").option("compression", compression)
+    if row_group_bytes is not None:
+        writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
+    writer.parquet(out_path)
+    return edges
+
+
+def layout_scan_fraction(
+    path: str,
+    predicate: dict[str, tuple],
+) -> dict[str, float | int]:
+    """Deterministic row-group keep/skip geometry for a box predicate.
+
+    Reads only parquet footers under ``path`` (pyarrow, driver-side —
+    the same metadata a Spark scan task consults) and counts row groups
+    whose per-column ``[min, max]`` intersect every ``col: (lo, hi)``
+    interval (``None`` bound = unbounded; intervals are inclusive, the
+    conservative reading a min/max pruner must use). Row groups missing
+    stats for a predicate column are conservatively kept — exactly the
+    parquet reader's behavior.
+
+    Returns ``{"row_groups": total, "row_groups_kept": kept,
+    "rows": total_rows, "rows_kept": rows_in_kept_groups,
+    "fraction_rows_kept": ...}``. Pure geometry — no timing, no noise;
+    this is the number that decides whether a 100-TB scan reads 100 TB
+    or 1 TB.
+    """
+    import pyarrow.parquet as pq
+
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files.extend(
+                os.path.join(root, n) for n in names if n.endswith(".parquet")
+            )
+    else:
+        files = [path]
+    total_groups = kept_groups = 0
+    total_rows = kept_rows = 0
+    for f in sorted(files):
+        meta = pq.ParquetFile(f).metadata
+        name_to_idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        } if meta.num_row_groups else {}
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            total_groups += 1
+            total_rows += rg.num_rows
+            keep = True
+            for col, (lo, hi) in predicate.items():
+                idx = name_to_idx.get(col)
+                if idx is None:
+                    raise KeyError(f"predicate column {col!r} not in {f}")
+                stats = rg.column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    continue  # conservative keep
+                if lo is not None and stats.max < lo:
+                    keep = False
+                    break
+                if hi is not None and stats.min > hi:
+                    keep = False
+                    break
+            if keep:
+                kept_groups += 1
+                kept_rows += rg.num_rows
+    return {
+        "row_groups": total_groups,
+        "row_groups_kept": kept_groups,
+        "rows": total_rows,
+        "rows_kept": kept_rows,
+        "fraction_rows_kept": (kept_rows / total_rows) if total_rows else 0.0,
+    }

@@ -1,0 +1,203 @@
+"""Z-order layout operator (operators/layout.py).
+
+Claims pinned here:
+- the Morton key matches a pure-python bit-interleave twin bin-for-bin;
+- the physical re-layout preserves the row multiset exactly (NULLs
+  included) — layout must never change answers;
+- the skip GEOMETRY on a deterministic uniform grid: an off-key box
+  predicate keeps ~everything on a single-key layout and a bounded
+  fraction on the z-order layout (the operator's whole point), while a
+  key-led predicate stays prunable on both;
+- the read-back scan still pushes the predicate to parquet
+  (PushedFilters) — layout_scan_fraction mirrors the reader's keep/skip
+  rule, so the pushdown must actually be there;
+- the guard raises (bits budget, bad column, bits < 1).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aind_protein_data_transformation_spark.catalog import load_table
+from aind_protein_data_transformation_spark.operators.layout import (
+    layout_scan_fraction,
+    quantile_bin_edges,
+    zorder_key,
+    zorder_layout,
+)
+
+
+def _py_bin(x, edges):
+    if x is None:
+        return 0
+    return sum(1 for e in edges if e <= x)
+
+
+def _py_morton(bins: list[int], bits: int) -> int:
+    key = 0
+    for i, b in enumerate(bins):
+        for bit in range(bits):
+            key |= ((b >> bit) & 1) << (bit * len(bins) + i)
+    return key
+
+
+def test_zorder_key_matches_python_twin(spark):
+    rows = [Row(a=float(a), b=float(b)) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(rows)
+    edges = {"a": [2.0, 4.0, 6.0], "b": [1.0, 3.0, 5.0]}
+    got = df.withColumn("k", zorder_key(df, edges, bits=2)).collect()
+    for r in got:
+        expect = _py_morton(
+            [_py_bin(r.a, edges["a"]), _py_bin(r.b, edges["b"])], bits=2
+        )
+        assert r.k == expect, (r.a, r.b, r.k, expect)
+
+
+def test_zorder_key_nulls_bin_zero(spark):
+    df = spark.createDataFrame(
+        [Row(a=None, b=5.0), Row(a=1.0, b=None), Row(a=None, b=None)]
+    )
+    edges = {"a": [0.5], "b": [0.5]}
+    ks = [r.k for r in df.withColumn("k", zorder_key(df, edges, bits=1)).collect()]
+    # a NULL column contributes 0 bits; (None,5.0) -> b bit only at pos 1
+    assert ks == [2, 1, 0]
+
+
+def test_quantile_edges_shape_and_dedup(spark):
+    df = spark.createDataFrame([Row(v=float(i % 4)) for i in range(1000)])
+    edges = quantile_bin_edges(df, ["v"], bits=6)["v"]
+    # only 4 distinct values -> at most 4 distinct edges after dedup
+    # (the sketch may emit the min itself as a low-quantile edge, which
+    # just leaves bin 0 empty)
+    assert 1 <= len(edges) <= 4
+    assert edges == sorted(edges)
+
+
+def test_layout_roundtrip_preserves_multiset(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "zorder_li")
+    edges = zorder_layout(
+        li, ["l_shipdate", "l_discount", "l_quantity"], out, bits=4, num_files=4
+    )
+    assert set(edges) == {"l_shipdate", "l_discount", "l_quantity"}
+    back = spark.read.parquet(out)
+    assert back.schema == li.schema
+    # multiset equality via full-row fingerprint counts
+    def fp(df):
+        return {
+            (r.h, r.c)
+            for r in df.select(
+                F.sha2(F.to_json(F.struct(*sorted(df.columns))), 256).alias("h")
+            )
+            .groupBy("h")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+
+    assert fp(back) == fp(li)
+
+
+def test_layout_roundtrip_keeps_null_rows(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(a=None, b=1.0), Row(a=2.0, b=None), Row(a=3.0, b=4.0)] * 5
+    )
+    out = str(tmp_path / "zorder_nulls")
+    zorder_layout(df, ["a", "b"], out, bits=3, num_files=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 15
+    assert back.filter(F.col("a").isNull()).count() == 5
+    assert back.filter(F.col("b").isNull()).count() == 5
+
+
+def test_skip_geometry_on_uniform_grid(spark, tmp_path):
+    """The operator's payoff, pinned deterministically: 128x128 uniform
+    grid, ~16+ row groups (the parquet writer cuts groups at ~1k rows
+    under this block size). Off-key box (on b only, quarter of the
+    domain): the a-sorted layout's groups all span b's whole domain
+    (fraction 1.0); the z-order layout's contiguous Morton ranges keep
+    b local (ideal aligned tiling would read 0.25; boundary groups and
+    unaligned range-partition cuts push it up, so assert < 0.6 — still
+    a >1.6x scan reduction where the single-key layout gives none).
+    Key-led box (on a only): both layouts prune (z-order pays at most
+    a bounded locality tax)."""
+    n = 128
+    rows = [Row(a=float(a), b=float(b)) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows).repartition(7)  # scrambled arrival
+    by_a = str(tmp_path / "by_a")
+    (df.repartitionByRange(4, "a").sortWithinPartitions("a")
+       .write.mode("overwrite")
+       .option("parquet.block.size", str(16 * 1024)).parquet(by_a))
+    zo = str(tmp_path / "zo")
+    zorder_layout(df, ["a", "b"], zo, bits=6, num_files=4,
+                  row_group_bytes=16 * 1024)
+
+    box_b = {"b": (0.0, float(n // 4 - 1))}  # quarter of b, no a term
+    g_a = layout_scan_fraction(by_a, box_b)
+    g_z = layout_scan_fraction(zo, box_b)
+    assert g_a["rows"] == g_z["rows"] == n * n
+    assert g_z["row_groups"] >= 12, "grid produced too few row groups"
+    # not exactly 1.0: a small TAIL group of the a-sorted layout can
+    # happen to carry a narrow b range (b is unsorted within equal a)
+    assert g_a["fraction_rows_kept"] > 0.9
+    assert g_z["fraction_rows_kept"] < 0.6
+
+    box_a = {"a": (0.0, float(n // 4 - 1))}  # key-led quarter box
+    assert layout_scan_fraction(by_a, box_a)["fraction_rows_kept"] < 0.5
+    assert layout_scan_fraction(zo, box_a)["fraction_rows_kept"] < 0.6
+
+
+def test_readback_scan_pushes_predicate(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "zorder_push")
+    zorder_layout(li, ["l_discount", "l_quantity"], out, bits=4, num_files=2)
+    plan = (
+        spark.read.parquet(out)
+        .filter((F.col("l_discount") >= 0.04) & (F.col("l_quantity") < 10))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan
+    assert "l_discount" in plan.split("PushedFilters")[1][:200]
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([Row(a=1.0, s="x")])
+    with pytest.raises(ValueError, match="bits"):
+        quantile_bin_edges(df, ["a"], bits=0)
+    with pytest.raises(ValueError, match="budget"):
+        quantile_bin_edges(df, ["a"] * 8, bits=8)  # 64 > 63
+    with pytest.raises(ValueError, match="non-orderable"):
+        quantile_bin_edges(df, ["s"], bits=4)
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        quantile_bin_edges(df, ["missing"], bits=4)
+    with pytest.raises(ValueError, match="budget"):
+        zorder_key(df, {"a": [0.5]}, bits=64)
+
+
+def test_scan_fraction_missing_column_raises(spark, tmp_path):
+    df = spark.createDataFrame([Row(a=1.0)])
+    out = str(tmp_path / "frac_guard")
+    df.write.mode("overwrite").parquet(out)
+    with pytest.raises(KeyError, match="nope"):
+        layout_scan_fraction(out, {"nope": (0, 1)})
+
+
+def test_timestamp_predicate_geometry(spark, sf_dir, tmp_path):
+    """Timestamp stats compare correctly against datetime bounds (the
+    q6 experiment's date term) — a date-led box prunes on a
+    date-z-ordered layout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "zorder_ts")
+    zorder_layout(li, ["l_shipdate", "l_discount"], out, bits=5,
+                  num_files=4, row_group_bytes=32 * 1024)
+    g = layout_scan_fraction(
+        out,
+        {"l_shipdate": (datetime.datetime(1996, 1, 1),
+                        datetime.datetime(1996, 12, 31))},
+    )
+    assert 0.0 < g["fraction_rows_kept"] < 1.0

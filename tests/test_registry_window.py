@@ -308,6 +308,14 @@ def test_tail_components_are_covered_in_window():
         "q_approx_aggregates": "q1_pricing_summary",
         "q_sketch_reaggregation": "q1_pricing_summary",
         "streaming_foreachbatch_sink": "streaming_tumbling_window",
+        # new in round 12 — the z-order clustered write's CHECKED claim
+        # (write→scan row fidelity through a re-layout) is the loop
+        # sink_parquet_roundtrip keeps in window; the operator's own
+        # claim (multi-column pruning geometry) is deterministic and
+        # pinned in tests/test_layout.py + scripts/exp_zorder.py.
+        # Rotation candidate for round 13 (a new operator deserves a
+        # driver row more than a machinery twin does).
+        "sink_zorder_clustered_scan": "sink_parquet_roundtrip",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
