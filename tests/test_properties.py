@@ -635,3 +635,51 @@ def test_assign_buckets_ivf_exhaustive_probe_equals_flat_property(spark, data):
         assert n_coarse == 0
         return
     assert {r.vid: r.bucket for r in ivf_rows} == flat
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_zorder_key_matches_python_twin_property(spark, data):
+    """The Morton key built from Spark built-ins (operators/layout.py
+    zorder_key — filtered-literal-array bin lookup + shift/and/or
+    interleave) equals the obvious python twin on arbitrary values,
+    edges, and NULL patterns — including unsorted-duplicate-free edge
+    lists of any length that fits the bit budget, NULL values (bin 0),
+    and values outside the edge range (clamp to first/last bin)."""
+    from aind_protein_data_transformation_spark.operators.layout import zorder_key
+
+    n_cols = data.draw(st.integers(min_value=1, max_value=3))
+    bits = data.draw(st.integers(min_value=1, max_value=4))
+    finite = st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False)
+    edges = {}
+    for i in range(n_cols):
+        raw = data.draw(st.lists(finite, min_size=0, max_size=(1 << bits) - 1))
+        dedup = sorted(set(float(v) for v in raw))
+        edges[f"c{i}"] = dedup
+    n_rows = data.draw(st.integers(min_value=1, max_value=12))
+    rows = [
+        tuple(
+            data.draw(st.one_of(st.none(), finite)) for _ in range(n_cols)
+        )
+        for _ in range(n_rows)
+    ]
+    schema = ", ".join(f"c{i} double" for i in range(n_cols))
+    df = spark.createDataFrame(rows, schema)
+    got = df.withColumn("k", zorder_key(df, edges, bits=bits)).collect()
+
+    def py_bin(x, es):
+        if x is None:
+            return 0
+        return sum(1 for e in es if e <= x)
+
+    def py_key(vals):
+        key = 0
+        for i, v in enumerate(vals):
+            b = py_bin(v, edges[f"c{i}"])
+            for bit in range(bits):
+                key |= ((b >> bit) & 1) << (bit * n_cols + i)
+        return key
+
+    for r in got:
+        vals = [r[f"c{i}"] for i in range(n_cols)]
+        assert r.k == py_key(vals), (vals, r.k, py_key(vals))
