@@ -109,12 +109,17 @@ def sink_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the files it just wrote. The predicate deliberately has NO
     date term: that is the predicate shape a single-key (date-sorted /
     date-partitioned) 100-TB layout cannot prune at all, and the
-    z-order layout's measured keep-fraction for this exact box is 0.34
+    z-order layout's measured keep-fraction for this exact box is 0.33
     vs 1.0 single-key (scripts/exp_zorder.py, deterministic footer
-    geometry; BENCH.md round 12). Correctness leg: the layout must not
-    change the answer, so the oracle runs the same box aggregate on the
-    ORIGINAL table — any row lost, duplicated, or re-typed by the
-    cluster-write breaks the hash.
+    geometry; BENCH.md round 12). ``curve="hilbert"`` is the measured
+    winner at both tested scales (0.19 vs Morton's 0.24 at the 10x
+    layout — no quadrant jumps, tighter per-row-group boxes), so the
+    shipped query uses it explicitly; the broadcast Morton→Hilbert
+    lookup is geometry-sized (2^18 cells here), never data-sized.
+    Correctness leg: the layout must not change the answer, so the
+    oracle runs the same box aggregate on the ORIGINAL table — any row
+    lost, duplicated, or re-typed by the cluster-write breaks the
+    hash.
 
     Reference parity: the reference's output side is layout chosen for
     the downstream access pattern (czi_to_zarr.py:545-553 chunked
@@ -126,7 +131,7 @@ def sink_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     zorder_layout(
         li, ["l_shipdate", "l_discount", "l_quantity"], out,
-        bits=6, num_files=8,
+        bits=6, num_files=8, curve="hilbert",
     )
     back = spark.read.parquet(out)
     return (

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Measure the Z-order layout's scan-pruning payoff (round 12).
 
-Three physical layouts of the SAME lineitem rows, identical row-group
+Four physical layouts of the SAME lineitem rows, identical row-group
 budget, measured two ways against the TPC-H-Q6 predicate box
 (shipdate range AND discount range AND quantity cap — three columns,
 the multi-column case single-key clustering cannot serve):
@@ -12,6 +12,9 @@ the multi-column case single-key clustering cannot serve):
   the date term, none on the other two)
 - ``zorder``   — operators/layout.py Z-order on all three predicate
   columns
+- ``hilbert``  — same bins re-ranked through the Hilbert permutation
+  (curve="hilbert"): no quadrant jumps, so contiguous key runs cover
+  slightly tighter boxes — this measures whether that matters here
 
 Two predicate boxes, because they adjudicate DIFFERENT claims:
 
@@ -110,7 +113,10 @@ def main(argv: list[str]) -> int:
     li = load_table(spark, sf_dir, "lineitem")
     cols = ["l_shipdate", "l_discount", "l_quantity"]
 
-    paths = {k: os.path.join(out_root, k) for k in ("natural", "bydate", "zorder")}
+    paths = {
+        k: os.path.join(out_root, k)
+        for k in ("natural", "bydate", "zorder", "hilbert")
+    }
     rg = str(ROW_GROUP_BYTES)
     (li.repartition(NUM_FILES).write.mode("overwrite")
        .option("compression", "zstd").option("parquet.block.size", rg)
@@ -121,6 +127,9 @@ def main(argv: list[str]) -> int:
        .parquet(paths["bydate"]))
     zorder_layout(li, cols, paths["zorder"], bits=bits,
                   num_files=NUM_FILES, row_group_bytes=ROW_GROUP_BYTES)
+    zorder_layout(li, cols, paths["hilbert"], bits=min(bits, 24 // len(cols)),
+                  num_files=NUM_FILES, row_group_bytes=ROW_GROUP_BYTES,
+                  curve="hilbert")
 
     for k, p in paths.items():
         spark.read.parquet(p).createOrReplaceTempView(f"li_{k}")
