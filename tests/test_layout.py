@@ -295,3 +295,35 @@ def test_hilbert_guards(spark):
     df = spark.createDataFrame([Row(a=1.0)])
     with pytest.raises(ValueError, match="unknown curve"):
         zorder_layout(df, ["a"], "/tmp/never", curve="peano")
+
+
+def test_scan_fraction_predicts_spark_reader_exactly(spark, tmp_path):
+    """layout_scan_fraction is not an approximation of the reader — it
+    IS the reader's row-group keep/skip rule. Pinned by executing a box
+    scan and comparing the FileSourceScanExec's numOutputRows metric
+    (rows the parquet reader actually produced after row-group pruning,
+    before the post-scan filter) against the helper's rows_kept."""
+    n = 128
+    rows = [Row(a=float(a), b=float(b)) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows).repartition(7)
+    out = str(tmp_path / "metrics_zo")
+    zorder_layout(df, ["a", "b"], out, bits=6, num_files=4,
+                  row_group_bytes=16 * 1024)
+    q = spark.read.parquet(out).filter(
+        (F.col("b") >= 0.0) & (F.col("b") <= 31.0)
+    )
+    q.collect()
+    ep = q._jdf.queryExecution().executedPlan()
+    if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        ep = ep.executedPlan()
+    leaves = ep.collectLeaves()
+    scans = [
+        leaves.apply(i)
+        for i in range(leaves.size())
+        if leaves.apply(i).getClass().getSimpleName() == "FileSourceScanExec"
+    ]
+    assert len(scans) == 1
+    scan_rows = scans[0].metrics().apply("numOutputRows").value()
+    g = layout_scan_fraction(out, {"b": (0.0, 31.0)})
+    assert scan_rows == g["rows_kept"], (scan_rows, g)
+    assert g["rows_kept"] < g["rows"]  # and it actually skipped
