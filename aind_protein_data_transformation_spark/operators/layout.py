@@ -261,6 +261,7 @@ def zorder_layout(
     row_group_bytes: int | None = None,
     compression: str = "zstd",
     curve: str = "morton",
+    mode: str = "overwrite",
 ) -> dict[str, list[float]]:
     """Write ``df`` to ``out_path`` clustered on the Z-order of ``cols``.
 
@@ -283,6 +284,18 @@ def zorder_layout(
     quadrant jumps, so row groups cover slightly tighter boxes
     (measured: see scripts/exp_zorder.py / BENCH.md round 12; the
     lookup caps ``bits * len(cols)`` at 24).
+
+    ``mode="append"`` is the incremental-ingest form: each batch is
+    clustered among ITSELF and lands as new files in the same
+    directory. Pruning is a per-row-group property — a group from any
+    batch covers a tight box regardless of what other batches hold —
+    so the kept fraction degrades only by per-batch bin-edge drift and
+    coarser tail groups, not with batch count (measured: 10-batch
+    incremental append keeps within a few points of the
+    globally-clustered fraction, scripts/exp_zorder_incremental.py /
+    BENCH.md round 12). This is what makes the layout viable at 100 TB:
+    cluster each arriving batch, never re-shuffle history — the same
+    never-re-scan-history rule as the incremental LSH index families.
 
     Returns the bin edges used (callers re-deriving the key — e.g. to
     route point lookups to files — need the same edges; persisting them
@@ -330,7 +343,9 @@ def zorder_layout(
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
-    writer = clustered.write.mode("overwrite").option("compression", compression)
+    if mode not in ("overwrite", "append", "error", "errorifexists"):
+        raise ValueError(f"unsupported write mode {mode!r}")
+    writer = clustered.write.mode(mode).option("compression", compression)
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
     writer.parquet(out_path)

@@ -327,3 +327,28 @@ def test_scan_fraction_predicts_spark_reader_exactly(spark, tmp_path):
     g = layout_scan_fraction(out, {"b": (0.0, 31.0)})
     assert scan_rows == g["rows_kept"], (scan_rows, g)
     assert g["rows_kept"] < g["rows"]  # and it actually skipped
+
+
+def test_incremental_append_clusters_each_batch(spark, tmp_path):
+    """mode="append" — the incremental-ingest form: each batch clusters
+    among itself, history is never re-shuffled. The union must preserve
+    the multiset, and the off-key box must still prune (each batch's
+    row groups cover tight boxes independently of other batches)."""
+    n = 128
+    rows = [Row(a=float(a), b=float(b)) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows)
+    out = str(tmp_path / "inc")
+    for b in range(4):
+        batch = df.filter(F.pmod(F.xxhash64("a", "b"), F.lit(4)) == b)
+        zorder_layout(batch.repartition(3), ["a", "b"], out, bits=6,
+                      num_files=2, row_group_bytes=16 * 1024,
+                      mode="append")
+    back = spark.read.parquet(out)
+    assert back.count() == n * n
+    assert back.select(F.countDistinct("a", "b")).collect()[0][0] == n * n
+    g = layout_scan_fraction(out, {"b": (0.0, float(n // 4 - 1))})
+    assert g["row_groups"] >= 8
+    assert g["fraction_rows_kept"] < 0.6  # vs 1.0 unclustered
+
+    with pytest.raises(ValueError, match="write mode"):
+        zorder_layout(df, ["a"], out, mode="ignore")
