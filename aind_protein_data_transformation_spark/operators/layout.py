@@ -53,6 +53,7 @@ __all__ = [
     "zorder_key",
     "zorder_layout",
     "hilbert_from_morton",
+    "compact_clustered_table",
     "layout_scan_fraction",
 ]
 
@@ -349,6 +350,83 @@ def zorder_layout(
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
     writer.parquet(out_path)
+    return edges
+
+
+def compact_clustered_table(
+    df_or_path,
+    cols: Sequence[str],
+    bits: int = 8,
+    num_files: int | None = None,
+    row_group_bytes: int | None = None,
+    compression: str = "zstd",
+    curve: str = "morton",
+    spark=None,
+) -> dict[str, list[float]]:
+    """Re-cluster an incrementally-appended table back to the global
+    bound, verify, then swap — the table-level twin of the index
+    lifecycles' compact step.
+
+    ``mode="append"`` ingestion pins the kept fraction at the
+    per-BATCH tiling bound (measured: 0.270 ten-batch incremental vs
+    0.132 global at the ×10 layout — BENCH.md round 12); compaction
+    recovers the global bound by re-clustering the merged unit once.
+    Discipline mirrors ``swap_*_index``: the re-cluster lands in a
+    sibling ``<path>.compact`` directory, a full-row multiset
+    fingerprint must match the live table BEFORE any rename (a compact
+    must never lose, duplicate, or re-type a row), then two renames
+    promote it (live → ``<path>.retired``, compact → live) and the
+    retired directory is removed last. A crash between the renames
+    leaves either the verified old or the verified new directory under
+    a recoverable name — never a half-written live table.
+
+    Accepts a path (str); ``spark`` is required then. At 100 TB you
+    compact the k oldest batches into one unit on whatever cadence the
+    measured incremental-vs-global gap justifies — the same
+    amortization argument as the LSH index compaction.
+    """
+    import shutil
+
+    if not isinstance(df_or_path, str):
+        raise ValueError(
+            "compact_clustered_table takes the table PATH (the swap "
+            "renames directories; a DataFrame has no directory)"
+        )
+    path = df_or_path
+    if spark is None:
+        raise ValueError("spark session required when passing a path")
+    live = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact"
+    retired = path.rstrip("/") + ".retired"
+    for leftover in (tmp, retired):
+        shutil.rmtree(leftover, ignore_errors=True)
+    edges = zorder_layout(
+        live, cols, tmp, bits=bits, num_files=num_files,
+        row_group_bytes=row_group_bytes, compression=compression,
+        curve=curve,
+    )
+
+    def _fingerprint(d: DataFrame):
+        # Order-insensitive multiset fingerprint that stays a ONE-ROW
+        # collect at any scale: row count plus two independent wrapped
+        # hash sums (decimal(38) so 100-TB row counts cannot overflow
+        # the sum itself). An engine bug that drops, duplicates, or
+        # rewrites rows moves at least one of the three.
+        j = F.to_json(F.struct(*sorted(d.columns)))
+        return d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(j).cast("decimal(38,0)")).alias("s1"),
+            F.sum(F.xxhash64(j, F.lit("salt")).cast("decimal(38,0)")).alias("s2"),
+        ).collect()[0]
+
+    if _fingerprint(spark.read.parquet(tmp)) != _fingerprint(live):
+        raise RuntimeError(
+            f"compact of {path} changed the row multiset; {tmp} kept for "
+            "inspection, live table untouched"
+        )
+    os.rename(path, retired)
+    os.rename(tmp, path)
+    shutil.rmtree(retired, ignore_errors=True)
     return edges
 
 

@@ -22,6 +22,8 @@ exp_zorder.py):
   clustered among itself and APPENDED (mode="append")
 - ``natural10``   — the same batches appended unclustered (the lower
   bound: incremental ingest with no layout discipline)
+- ``compacted``   — the incremental table after compact_clustered_table
+  (verify-then-swap re-cluster): must land back at the global bound
 
 Usage: python scripts/exp_zorder_incremental.py [sf_dir] [out_root] [batches]
 Prints one JSON line.
@@ -87,7 +89,16 @@ def main(argv: list[str]) -> int:
               .option("parquet.block.size", str(ROW_GROUP_BYTES))
               .parquet(paths["natural10"]))
 
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_clustered_table,
+    )
+
     geometry = {k: layout_scan_fraction(p, PRED) for k, p in paths.items()}
+    compact_clustered_table(paths["incremental"], COLS, bits=6,
+                            num_files=NUM_FILES,
+                            row_group_bytes=ROW_GROUP_BYTES,
+                            curve="hilbert", spark=spark)
+    geometry["compacted"] = layout_scan_fraction(paths["incremental"], PRED)
     rows = {k: g["rows"] for k, g in geometry.items()}
     assert len(set(rows.values())) == 1, f"arms lost rows: {rows}"
     for k, g in geometry.items():
