@@ -405,3 +405,73 @@ def test_compact_recovers_global_clustering(spark, tmp_path):
         compact_clustered_table(df, ["a"])
     with pytest.raises(ValueError, match="session required"):
         compact_clustered_table(inc, ["a", "b"])
+
+
+def test_compact_swap_crash_points_are_recoverable(spark, tmp_path):
+    """Every inter-rename crash point of compact_clustered_table leaves
+    a recoverable state (same standard the index lifecycles' swap is
+    held to):
+
+    - a compact that silently drops rows raises at the verify, BEFORE
+      any rename: live table untouched, the bad compact dir kept for
+      inspection;
+    - crash BETWEEN the renames (live -> .retired done, .compact ->
+      live not): the verified old table sits at <path>.retired and the
+      verified new one at <path>.compact - rename either back;
+    - after recovery a fresh compact completes normally and cleans up.
+    """
+    import shutil
+
+    import aind_protein_data_transformation_spark.operators.layout as mod
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_clustered_table,
+    )
+
+    rows = [Row(a=float(a), b=float(b)) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows)
+    live = str(tmp_path / "t")
+    zorder_layout(df, ["a", "b"], live, bits=4, num_files=2)
+
+    def nrows(p):
+        return spark.read.parquet(p).count()
+
+    before_rows = nrows(live)
+
+    # corrupted compact: the re-cluster silently drops rows - the
+    # verify must raise before any rename touches the live table
+    real_zorder_layout = mod.zorder_layout
+
+    def lossy_zorder_layout(d, cols, out, **kw):
+        return real_zorder_layout(d.limit(100), cols, out, **kw)
+
+    mod.zorder_layout = lossy_zorder_layout
+    try:
+        with pytest.raises(RuntimeError, match="changed the row multiset"):
+            compact_clustered_table(live, ["a", "b"], bits=4,
+                                    num_files=2, spark=spark)
+    finally:
+        mod.zorder_layout = real_zorder_layout
+    assert nrows(live) == before_rows            # live untouched
+    assert os.path.isdir(live + ".compact")      # kept for inspection
+    shutil.rmtree(live + ".compact")
+
+    # crash between the renames: reproduce the state manually
+    zorder_layout(spark.read.parquet(live), ["a", "b"], live + ".compact",
+                  bits=4, num_files=2)
+    os.rename(live, live + ".retired")
+    assert not os.path.exists(live)
+    # recovery A: rename the old table back
+    os.rename(live + ".retired", live)
+    assert nrows(live) == before_rows
+    # recovery B: promote the new table instead
+    os.rename(live, live + ".retired")
+    os.rename(live + ".compact", live)
+    assert nrows(live) == before_rows
+    shutil.rmtree(live + ".retired")
+
+    # a fresh compact over the recovered table completes and cleans up
+    compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
+                            spark=spark)
+    assert nrows(live) == before_rows
+    assert not os.path.exists(live + ".compact")
+    assert not os.path.exists(live + ".retired")
