@@ -147,9 +147,11 @@ def zorder_key(
     ``bin_i = |{edge : edge <= x}|`` via a filtered-literal-array HOF
     (rows with NULL get bin 0 — the HOF drops elements whose predicate
     is NULL, so NULLs cluster together at the low end instead of
-    erroring); the key interleaves bit ``b`` of column ``i`` at position
-    ``b * n_cols + i``. Pure built-ins end to end — the whole expression
-    lives inside whole-stage codegen.
+    erroring; NaN gets the TOP bin — Spark orders NaN above every
+    double, so ``edge <= NaN`` is true for all edges — both pinned in
+    tests/test_layout.py); the key interleaves bit ``b`` of column
+    ``i`` at position ``b * n_cols + i``. Pure built-ins end to end —
+    the whole expression lives inside whole-stage codegen.
     """
     cols = list(edges)
     if bits < 1:

@@ -475,3 +475,15 @@ def test_compact_swap_crash_points_are_recoverable(spark, tmp_path):
     assert nrows(live) == before_rows
     assert not os.path.exists(live + ".compact")
     assert not os.path.exists(live + ".retired")
+
+
+def test_zorder_key_nan_top_bin(spark):
+    """Spark orders NaN above every double (unlike IEEE comparisons),
+    so `edge <= NaN` holds for all edges and NaN rows deterministically
+    cluster in the TOP bin — the high-end mirror of NULL's bin 0."""
+    df = spark.createDataFrame(
+        [Row(a=float("nan"), b=1.0), Row(a=0.2, b=float("nan"))]
+    )
+    edges = {"a": [0.5], "b": [0.5]}
+    ks = [r.k for r in df.withColumn("k", zorder_key(df, edges, bits=1)).collect()]
+    assert ks == [3, 2]  # (nan,1.0)->both bits set; (0.2,nan)->b bit only
