@@ -201,8 +201,11 @@ def hilbert_from_morton(n_cols: int, bits: int):
     per-CELL property, and the cell count is fixed by the GEOMETRY
     (``2^(bits*n_cols)``), not the data, so the scale-correct form is
     a generated lookup relation broadcast-joined onto the Morton key
-    the built-ins already compute: 64k rows for 2×8-bit, 262k for
-    3×6-bit — kilobytes to a few MB on the wire, O(cells) not O(rows).
+    the built-ins already compute: O(cells), never O(rows). Size the
+    geometry for the broadcast — 64k cells for 2×8-bit (~1 MB), 262k
+    for 3×6-bit (~4 MB, the registered query's choice); the 2^24 cap
+    is ~270 MB driver-side and is the measured-experiment ceiling, not
+    a production recommendation (prefer bits*n_cols <= 20).
     """
     import numpy as np
 
@@ -211,8 +214,11 @@ def hilbert_from_morton(n_cols: int, bits: int):
     total_bits = bits * n_cols
     if total_bits > 24:
         raise ValueError(
-            f"lookup would have 2^{total_bits} cells; keep bits*n_cols <= 24 "
-            "(the broadcast relation must stay executor-memory-trivial)"
+            f"lookup would have 2^{total_bits} cells at 16 bytes each "
+            f"(~{(1 << total_bits) * 16 >> 20} MB before broadcast); keep "
+            "bits*n_cols <= 24, and prefer <= 20 in production — the "
+            "relation is broadcast to every executor (2^20 cells ≈ 16 MB, "
+            "2^24 ≈ 270 MB)"
         )
     cells = 1 << total_bits
     grid = np.arange(cells, dtype=np.int64)
@@ -308,6 +314,8 @@ def zorder_layout(
     cols = list(cols)
     if curve not in ("morton", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}; morton or hilbert")
+    if mode not in ("overwrite", "append", "error", "errorifexists"):
+        raise ValueError(f"unsupported write mode {mode!r}")
     edges = quantile_bin_edges(df, cols, bits=bits)
     key = zorder_key(df, edges, bits=bits)
     if num_files is None:
@@ -346,8 +354,6 @@ def zorder_layout(
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
-    if mode not in ("overwrite", "append", "error", "errorifexists"):
-        raise ValueError(f"unsupported write mode {mode!r}")
     writer = clustered.write.mode(mode).option("compression", compression)
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(int(row_group_bytes)))

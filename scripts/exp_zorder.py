@@ -127,7 +127,14 @@ def main(argv: list[str]) -> int:
        .parquet(paths["bydate"]))
     zorder_layout(li, cols, paths["zorder"], bits=bits,
                   num_files=NUM_FILES, row_group_bytes=ROW_GROUP_BYTES)
-    zorder_layout(li, cols, paths["hilbert"], bits=min(bits, 24 // len(cols)),
+    # same bins as the morton arm unless the requested bits exceed the
+    # hilbert lookup cap — then the arms are NOT bin-comparable, so say so
+    hilbert_bits = min(bits, 24 // len(cols))
+    if hilbert_bits != bits:
+        print(f"  NOTE: hilbert arm capped to {hilbert_bits} bits/col "
+              f"(lookup cap); arms use different bins",
+              file=sys.stderr, flush=True)
+    zorder_layout(li, cols, paths["hilbert"], bits=hilbert_bits,
                   num_files=NUM_FILES, row_group_bytes=ROW_GROUP_BYTES,
                   curve="hilbert")
 
@@ -138,6 +145,7 @@ def main(argv: list[str]) -> int:
         "experiment": "zorder_layout",
         "sf_dir": sf_dir,
         "bits": bits,
+        "hilbert_bits": hilbert_bits,
         "row_group_bytes": ROW_GROUP_BYTES,
         "boxes": {},
     }

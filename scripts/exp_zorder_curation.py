@@ -73,6 +73,10 @@ def main(argv: list[str]) -> int:
         (F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
          / F.size(toks)).alias("avg_token_len"),
     ).filter(F.col("n_tokens") > 0)
+    # the regex-tokenization projection feeds five downstream actions
+    # (quantiles + three writes incl. the sketch pass) — materialize once
+    feats.persist()
+    feats.count()
 
     # data-independent band bounds from quantiles
     q = feats.approxQuantile(["n_tokens", "avg_token_len"],

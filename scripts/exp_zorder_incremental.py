@@ -74,7 +74,7 @@ def main(argv: list[str]) -> int:
 
     # hash-disjoint batches stand in for arrival order; each clustered
     # among itself, appended — history never re-shuffled
-    files_per_batch = max(1, NUM_FILES // batches) or 1
+    files_per_batch = max(1, NUM_FILES // batches)
     for b in range(batches):
         batch = li.filter(
             F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(batches))
