@@ -487,3 +487,19 @@ def test_zorder_key_nan_top_bin(spark):
     edges = {"a": [0.5], "b": [0.5]}
     ks = [r.k for r in df.withColumn("k", zorder_key(df, edges, bits=1)).collect()]
     assert ks == [3, 2]  # (nan,1.0)->both bits set; (0.2,nan)->b bit only
+
+
+def test_empty_input_layout(spark, tmp_path):
+    """An empty table lays out cleanly: empty edge lists (every row
+    would take bin 0), a schema-preserving empty write, and the scan
+    fraction reports 0/0 without dividing by zero."""
+    df = spark.createDataFrame([], "a double, b double")
+    out = str(tmp_path / "empty")
+    edges = zorder_layout(df, ["a", "b"], out, bits=4, num_files=2)
+    assert edges == {"a": [], "b": []}
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert back.schema == df.schema
+    g = layout_scan_fraction(out, {"a": (0, 1)})
+    assert g == {"row_groups": 0, "row_groups_kept": 0, "rows": 0,
+                 "rows_kept": 0, "fraction_rows_kept": 0.0}
