@@ -271,6 +271,7 @@ def zorder_layout(
     compression: str = "zstd",
     curve: str = "morton",
     mode: str = "overwrite",
+    edges: dict[str, list[float]] | None = None,
 ) -> dict[str, list[float]]:
     """Write ``df`` to ``out_path`` clustered on the Z-order of ``cols``.
 
@@ -306,6 +307,15 @@ def zorder_layout(
     cluster each arriving batch, never re-shuffle history — the same
     never-re-scan-history rule as the incremental LSH index families.
 
+    ``edges=`` accepts the bin edges a previous call returned: the
+    sketch pass is skipped (one fewer full read of the batch — at
+    100 TB the edges come from the FIRST batch or a periodic refresh,
+    not from every append) and every batch shares one key space, the
+    same geometry-is-identity rule as the LSH index stamps. Quantile
+    drift between the edge snapshot and later batches costs layout
+    QUALITY only (bins stop being equal-population), never
+    correctness — the key is still monotone in each column.
+
     Returns the bin edges used (callers re-deriving the key — e.g. to
     route point lookups to files — need the same edges; persisting them
     next to the data is the caller's business, same geometry-is-identity
@@ -316,7 +326,17 @@ def zorder_layout(
         raise ValueError(f"unknown curve {curve!r}; morton or hilbert")
     if mode not in ("overwrite", "append", "error", "errorifexists"):
         raise ValueError(f"unsupported write mode {mode!r}")
-    edges = quantile_bin_edges(df, cols, bits=bits)
+    if edges is None:
+        edges = quantile_bin_edges(df, cols, bits=bits)
+    elif set(edges) != set(cols):
+        raise ValueError(
+            f"provided edges cover {sorted(edges)}, need {sorted(cols)}"
+        )
+    else:
+        # bit positions follow dict order in zorder_key — normalize to
+        # ``cols`` order so a caller-passed dict can't silently permute
+        # the interleave vs the run that produced it
+        edges = {c: edges[c] for c in cols}
     key = zorder_key(df, edges, bits=bits)
     if num_files is None:
         num_files = df.sparkSession.sparkContext.defaultParallelism

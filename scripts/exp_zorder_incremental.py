@@ -19,7 +19,12 @@ exp_zorder.py):
 
 - ``global``      — one clustering pass over all rows (the upper bound)
 - ``incremental`` — rows split into BATCHES hash-disjoint batches, each
-  clustered among itself and APPENDED (mode="append")
+  clustered among itself and APPENDED (mode="append"), each batch
+  recomputing its own bin edges (one sketch pass per batch)
+- ``inc_shared`` — same batches, but batches 2..N reuse batch 1's
+  edges (``edges=`` — the recommended 100-TB form: one key space, no
+  per-append sketch pass; quantile drift between batch 1 and later
+  batches costs layout quality only)
 - ``natural10``   — the same batches appended unclustered (the lower
   bound: incremental ingest with no layout discipline)
 - ``compacted``   — the incremental table after compact_clustered_table
@@ -64,7 +69,7 @@ def main(argv: list[str]) -> int:
     li = load_table(spark, sf_dir, "lineitem")
     paths = {
         k: os.path.join(out_root, k)
-        for k in ("global", "incremental", "natural10")
+        for k in ("global", "incremental", "inc_shared", "natural10")
     }
     for p in paths.values():
         shutil.rmtree(p, ignore_errors=True)
@@ -75,6 +80,7 @@ def main(argv: list[str]) -> int:
     # hash-disjoint batches stand in for arrival order; each clustered
     # among itself, appended — history never re-shuffled
     files_per_batch = max(1, NUM_FILES // batches)
+    shared_edges = None
     for b in range(batches):
         batch = li.filter(
             F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(batches))
@@ -84,6 +90,11 @@ def main(argv: list[str]) -> int:
                       num_files=files_per_batch,
                       row_group_bytes=ROW_GROUP_BYTES, curve="hilbert",
                       mode="append")
+        shared_edges = zorder_layout(
+            batch, COLS, paths["inc_shared"], bits=6,
+            num_files=files_per_batch, row_group_bytes=ROW_GROUP_BYTES,
+            curve="hilbert", mode="append", edges=shared_edges,
+        )
         (batch.repartition(files_per_batch).write.mode("append")
               .option("compression", "zstd")
               .option("parquet.block.size", str(ROW_GROUP_BYTES))

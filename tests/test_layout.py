@@ -503,3 +503,30 @@ def test_empty_input_layout(spark, tmp_path):
     g = layout_scan_fraction(out, {"a": (0, 1)})
     assert g == {"row_groups": 0, "row_groups_kept": 0, "rows": 0,
                  "rows_kept": 0, "fraction_rows_kept": 0.0}
+
+
+def test_edges_reuse_shares_one_key_space(spark, tmp_path):
+    """Passing edges= skips the sketch pass and gives every batch the
+    SAME key space (the geometry-is-identity rule): the returned edges
+    are the provided ones normalized to cols order (so a permuted dict
+    cannot silently permute the bit interleave), the pruning geometry
+    matches a recomputed-edges run within range-partitioner sampling
+    jitter (the key VALUES are identical; only the file cut points
+    move between runs), and missing columns raise."""
+    rows = [Row(a=float(a), b=float(b)) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows)
+    first = str(tmp_path / "first")
+    edges = zorder_layout(df, ["a", "b"], first, bits=5, num_files=2)
+
+    reuse = str(tmp_path / "reuse")
+    edges2 = zorder_layout(df, ["a", "b"], reuse, bits=5, num_files=2,
+                           edges={"b": edges["b"], "a": edges["a"]})
+    assert edges2 == edges  # normalized to cols order, values unchanged
+    assert list(edges2) == ["a", "b"]
+    g1 = layout_scan_fraction(first, {"b": (0.0, 15.0)})
+    g2 = layout_scan_fraction(reuse, {"b": (0.0, 15.0)})
+    assert g1["rows"] == g2["rows"] == 64 * 64
+    assert abs(g1["fraction_rows_kept"] - g2["fraction_rows_kept"]) < 0.1
+
+    with pytest.raises(ValueError, match="provided edges cover"):
+        zorder_layout(df, ["a", "b"], reuse, edges={"a": [1.0]})
