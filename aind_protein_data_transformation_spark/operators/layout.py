@@ -288,6 +288,20 @@ def zorder_layout(
     so a 600k-row table still has enough row groups for the skip
     geometry to be visible.
 
+    **Size ``bits`` to the row-group count, not upward**: the measured
+    optimum (BENCH.md round 12, a clean U-shape at two scales) is a
+    CELL count within ~2-10x of the table's row-group count —
+    ``bits ≈ (log2(table_rows / rows_per_row_group) + 2) / len(cols)``.
+    Too-coarse bins leave many groups inside one cell (rows there are
+    key ties in arbitrary order, so group stats inflate to the cell
+    box); too-fine bins make each group span thousands of cells and
+    the curve's wander inflates the box the other way. Measured: the
+    sized geometry prunes ~2.5x better than bits=8 on a 1789-group
+    table (0.078 vs 0.194 kept on the off-key box). The rule means
+    bits DROPS as row groups grow toward production size — a 100-TB
+    table at 128 MB groups (~800k groups) wants ~7 bits per column
+    for 3 columns, and the hilbert lookup stays tiny.
+
     ``curve="hilbert"`` re-ranks the Morton cells through the Hilbert
     permutation (:func:`hilbert_from_morton`) via a broadcast lookup
     join before the range shuffle — Hilbert's contiguous runs have no

@@ -116,6 +116,11 @@ def sink_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout — no quadrant jumps, tighter per-row-group boxes), so the
     shipped query uses it explicitly; the broadcast Morton→Hilbert
     lookup is geometry-sized (2^18 cells here), never data-sized.
+    (bits=6 here is for write-path coverage, not pruning geometry —
+    this table lands as ~8 single-group files at sf scales; the
+    bits-sizing law for pruning-optimal layouts — cells ≈ row groups —
+    is measured in BENCH.md round 12 and encoded in the operator
+    docstring.)
     Correctness leg: the layout must not change the answer, so the
     oracle runs the same box aggregate on the ORIGINAL table — any row
     lost, duplicated, or re-typed by the cluster-write breaks the
