@@ -47,6 +47,9 @@ NUM_FILES = 8
 def main(argv: list[str]) -> int:
     docs_dir = argv[1] if len(argv) > 1 else "/tmp/sparkgraft-text10"
     out_root = argv[2] if len(argv) > 2 else "/tmp/sparkgraft-zorder-cur"
+    # default per the bits-sizing law (BENCH.md round 12): this store
+    # lands ~71 row groups -> (log2(71)+2)/2 ~ 4
+    bits = int(argv[3]) if len(argv) > 3 else 4
 
     if not os.path.isdir(os.path.join(docs_dir, "documents.parquet")):
         import bench_text10 as bt
@@ -114,7 +117,7 @@ def main(argv: list[str]) -> int:
           .option("compression", "zstd").option("parquet.block.size", rg)
           .parquet(paths["bytokens"]))
     zorder_layout(feats, ["n_tokens", "avg_token_len"], paths["hilbert"],
-                  bits=8, num_files=NUM_FILES,
+                  bits=bits, num_files=NUM_FILES,
                   row_group_bytes=ROW_GROUP_BYTES, curve="hilbert")
 
     out = {
