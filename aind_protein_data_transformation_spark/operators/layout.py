@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "auto_bits",
     "quantile_bin_edges",
     "zorder_key",
     "zorder_layout",
@@ -56,6 +57,25 @@ __all__ = [
     "compact_clustered_table",
     "layout_scan_fraction",
 ]
+
+
+def auto_bits(table_rows: int, n_cols: int, rows_per_row_group: int) -> int:
+    """Law-sized ``bits`` for :func:`zorder_layout` (BENCH.md round 12):
+    the pruning optimum is a key-space CELL count within ~2-10x of the
+    table's row-group count — ``(log2(n_groups) + 2) / n_cols``,
+    clamped to [1, floor(63/n_cols)]. Pass the rows-per-group your
+    ``row_group_bytes`` (or Spark's 128 MB default) actually yields;
+    estimate it as ``row_group_bytes / avg_row_bytes`` when unsure —
+    the optimum is a shallow basin (measured: b3 and b4 within 6% of
+    each other at 1789 groups), so a rough estimate lands in it.
+    """
+    import math
+
+    if table_rows < 1 or n_cols < 1 or rows_per_row_group < 1:
+        raise ValueError("table_rows, n_cols, rows_per_row_group must be >= 1")
+    n_groups = max(1, table_rows // rows_per_row_group)
+    bits = round((math.log2(n_groups) + 2) / n_cols)
+    return max(1, min(bits, _MAX_KEY_BITS // n_cols))
 
 #: Key is built in a signed 64-bit long: bits * n_cols must leave the
 #: sign bit alone.

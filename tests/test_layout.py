@@ -530,3 +530,21 @@ def test_edges_reuse_shares_one_key_space(spark, tmp_path):
 
     with pytest.raises(ValueError, match="provided edges cover"):
         zorder_layout(df, ["a", "b"], reuse, edges={"a": [1.0]})
+
+
+def test_auto_bits_matches_measured_optima():
+    """The sizing-law helper reproduces the measured optima (BENCH.md
+    round 12): ~1789 groups / 3 cols -> 4 bits (measured best b3-b4),
+    ~183 groups / 3 cols -> 3, the curation store's 71 groups / 2 cols
+    -> 4-5; and it clamps to the long-key budget and rejects nonsense."""
+    from aind_protein_data_transformation_spark.operators.layout import auto_bits
+
+    assert auto_bits(6_000_000, 3, 3353) == 4      # 1789 groups
+    assert auto_bits(600_000, 3, 3278) == 3        # 183 groups
+    assert auto_bits(50_000, 2, 704) in (4, 5)     # 71 groups
+    # production shape: 100-TB-ish, 128 MB groups -> ~800k groups
+    assert auto_bits(4_000_000_000_000, 3, 5_000_000) == 7
+    assert auto_bits(10, 1, 100) >= 1              # tiny table clamps low
+    assert auto_bits(2**62, 1, 1) == 63            # clamps to key budget
+    with pytest.raises(ValueError, match=">= 1"):
+        auto_bits(0, 3, 100)
