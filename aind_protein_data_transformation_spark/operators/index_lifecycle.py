@@ -472,6 +472,16 @@ def swap_index(spark, name: str, target: str, spec: IndexSpec, verify_fn=None) -
     Renames carry TBLPROPERTIES with the table (the SRP geometry stamp
     survives) and keep an EXTERNAL table's location unchanged — build
     production indexes with ``path=`` so the swap is metadata-only.
+    **Filesystem boundary**: for a MANAGED table the catalog rename
+    also moves the warehouse directory, which on an S3-class object
+    store is a per-object copy-and-delete — neither atomic nor O(1).
+    The ``path=`` external form is therefore not just a nicety but the
+    REQUIRED shape at an object-store deployment (same boundary as
+    ``compact_clustered_table``: its ``swap="rename"`` regime assumes
+    POSIX/HDFS atomic rename, and ``swap="manifest"`` — pointer
+    indirection over immutable versioned units — is the object-store
+    form; an external-table catalog rename is the catalog's version of
+    that same pointer update).
 
     Returns ``{"status": "swapped" | "resumed", "dropped": [...]}``,
     where ``dropped`` lists the retired tables phase 3 actually deleted

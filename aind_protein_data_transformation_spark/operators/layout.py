@@ -45,6 +45,7 @@ from __future__ import annotations
 import os
 from typing import Sequence
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,11 +56,18 @@ __all__ = [
     "zorder_layout",
     "hilbert_from_morton",
     "compact_clustered_table",
+    "resolve_clustered_table",
+    "read_clustered_table",
     "layout_scan_fraction",
 ]
 
 
-def auto_bits(table_rows: int, n_cols: int, rows_per_row_group: int) -> int:
+def auto_bits(
+    table_rows: int,
+    n_cols: int,
+    rows_per_row_group: int,
+    max_total_bits: int | None = None,
+) -> int:
     """Law-sized ``bits`` for :func:`zorder_layout` (BENCH.md round 12):
     the pruning optimum is a key-space CELL count within ~2-10x of the
     table's row-group count — ``(log2(n_groups) + 2) / n_cols``,
@@ -68,14 +76,23 @@ def auto_bits(table_rows: int, n_cols: int, rows_per_row_group: int) -> int:
     estimate it as ``row_group_bytes / avg_row_bytes`` when unsure —
     the optimum is a shallow basin (measured: b3 and b4 within 6% of
     each other at 1789 groups), so a rough estimate lands in it.
+
+    ``max_total_bits`` caps ``bits * n_cols`` below the 63-bit key
+    budget; pass 24 (the :func:`hilbert_from_morton` lookup ceiling)
+    when the sized geometry will be laid out with ``curve="hilbert"``
+    — without the cap, small ``n_cols`` on a large table returns a
+    bits that the Hilbert lookup rejects at layout time.
     """
     import math
 
     if table_rows < 1 or n_cols < 1 or rows_per_row_group < 1:
         raise ValueError("table_rows, n_cols, rows_per_row_group must be >= 1")
+    budget = _MAX_KEY_BITS if max_total_bits is None else max_total_bits
+    if not 1 <= budget <= _MAX_KEY_BITS:
+        raise ValueError(f"max_total_bits must be in [1, {_MAX_KEY_BITS}]")
     n_groups = max(1, table_rows // rows_per_row_group)
     bits = round((math.log2(n_groups) + 2) / n_cols)
-    return max(1, min(bits, _MAX_KEY_BITS // n_cols))
+    return max(1, min(bits, budget // n_cols))
 
 #: Key is built in a signed 64-bit long: bits * n_cols must leave the
 #: sign bit alone.
@@ -281,11 +298,127 @@ def hilbert_from_morton(n_cols: int, bits: int):
     return h
 
 
+#: Rows written to the sizing sample when ``bits=None`` law-sizes the
+#: geometry — enough for a stable encoded-bytes-per-row estimate, small
+#: enough that the sample write is driver-trivial at any table size.
+_BITS_SAMPLE_ROWS = 50_000
+
+#: Spark's parquet.block.size default — the production row-group size
+#: the bits-sizing law assumes when ``row_group_bytes`` is not set.
+_DEFAULT_ROW_GROUP_BYTES = 128 * 1024 * 1024
+
+
+def _hadoop_fs(spark, path: str):
+    """Hadoop FileSystem + Path for ``path`` — resolves through the
+    session's Hadoop conf, so file://, hdfs:// and s3a:// paths all get
+    the right filesystem (unlike ``os``/``shutil``, which only see the
+    local disk)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.delete(jpath, True)
+
+
+def _sized_bits(
+    df: DataFrame,
+    cols: Sequence[str],
+    out_path: str,
+    row_group_bytes: int | None,
+    compression: str,
+    max_total_bits: int | None,
+) -> int:
+    """Measure the inputs the bits-sizing law needs and apply it.
+
+    ``auto_bits`` wants the table's row-group count, i.e. rows and
+    rows-per-group. Rows come from one ``count()`` (metadata-only on a
+    plain parquet scan; one pass on a computed input — callers who
+    already know the row count can skip this whole helper by passing
+    ``bits=`` explicitly). Rows-per-group is OBSERVED, not modeled: a
+    bounded sample is written next to the target
+    (``<out_path>.bitsizing``, deleted via the Hadoop FileSystem API
+    so object-store paths clean up too) with the SAME compression and
+    ``parquet.block.size`` the real layout will use, and the sample's
+    footers report how many rows the writer actually fit per group —
+    which bakes in encodings, dictionary pages, and the writer's flush
+    heuristics that a bytes-per-row model gets wrong (measured: a
+    dictionary-heavy fixture encodes at ~2 B/row but the writer still
+    flushes ~500-row groups at 8 KB). When the sample is too small to
+    fill groups at the target size (the production 128 MB case — 50k
+    sampled rows rarely reach 128 MB), the fallback divides the target
+    by the sample's encoded bytes per row; either way the law's basin
+    is shallow, so a rough estimate lands in it. Footer geometry is
+    read with pyarrow when the path is local; elsewhere the fallback
+    is file sizes through the Hadoop FS (compressed bytes — undersizes
+    bits by at most ~log2(compression_ratio)/n_cols).
+    """
+    n_rows = df.count()
+    if n_rows == 0:
+        raise ValueError(
+            "cannot law-size bits for an empty DataFrame; pass bits explicitly"
+        )
+    spark = df.sparkSession
+    target = (
+        _DEFAULT_ROW_GROUP_BYTES if row_group_bytes is None
+        else int(row_group_bytes)
+    )
+    tmp = out_path.rstrip("/") + ".bitsizing"
+    (
+        df.limit(_BITS_SAMPLE_ROWS)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .option("parquet.block.size", str(target))
+        .parquet(tmp)
+    )
+    try:
+        sample_bytes = sample_rows = 0
+        group_rows: list[int] = []
+        if os.path.isdir(tmp):
+            import pyarrow.parquet as pq
+
+            for root, _dirs, names in os.walk(tmp):
+                for n in names:
+                    if not n.endswith(".parquet"):
+                        continue
+                    meta = pq.ParquetFile(os.path.join(root, n)).metadata
+                    for g in range(meta.num_row_groups):
+                        rg = meta.row_group(g)
+                        sample_bytes += rg.total_byte_size
+                        sample_rows += rg.num_rows
+                        group_rows.append(rg.num_rows)
+        else:
+            fs, jpath = _hadoop_fs(spark, tmp)
+            it = fs.listFiles(jpath, True)
+            while it.hasNext():
+                st = it.next()
+                if st.getPath().getName().endswith(".parquet"):
+                    sample_bytes += st.getLen()
+            sample_rows = spark.read.parquet(tmp).count()
+    finally:
+        _hadoop_delete(spark, tmp)
+    if len(group_rows) >= 4:
+        # enough full groups in the sample: use the writer's actual
+        # flush behavior (median is robust to the one partial tail
+        # group the single-file sample produces)
+        group_rows.sort()
+        rows_per_group = group_rows[len(group_rows) // 2]
+    else:
+        avg_row_bytes = max(1, sample_bytes // max(1, sample_rows))
+        rows_per_group = max(1, target // avg_row_bytes)
+    return auto_bits(
+        n_rows, len(cols), rows_per_group, max_total_bits=max_total_bits
+    )
+
+
 def zorder_layout(
     df: DataFrame,
     cols: Sequence[str],
     out_path: str,
-    bits: int = 8,
+    bits: int | None = None,
     num_files: int | None = None,
     row_group_bytes: int | None = None,
     compression: str = "zstd",
@@ -308,26 +441,41 @@ def zorder_layout(
     so a 600k-row table still has enough row groups for the skip
     geometry to be visible.
 
-    **Size ``bits`` to the row-group count, not upward**: the measured
-    optimum (BENCH.md round 12, a clean U-shape at two scales) is a
-    CELL count within ~2-10x of the table's row-group count —
-    ``bits ≈ (log2(table_rows / rows_per_row_group) + 2) / len(cols)``.
-    Too-coarse bins leave many groups inside one cell (rows there are
-    key ties in arbitrary order, so group stats inflate to the cell
-    box); too-fine bins make each group span thousands of cells and
-    the curve's wander inflates the box the other way. Measured: the
-    sized geometry prunes ~2.5x better than bits=8 on a 1789-group
-    table (0.078 vs 0.194 kept on the off-key box). The rule means
-    bits DROPS as row groups grow toward production size — a 100-TB
-    table at 128 MB groups (~800k groups) wants ~7 bits per column
-    for 3 columns, and the hilbert lookup stays tiny.
+    **``bits=None`` (the default) law-sizes the geometry**: the
+    measured optimum (BENCH.md round 12, a clean U-shape at two
+    scales) is a CELL count within ~2-10x of the table's row-group
+    count — ``bits ≈ (log2(table_rows / rows_per_row_group) + 2) /
+    len(cols)`` (:func:`auto_bits`). Too-coarse bins leave many groups
+    inside one cell (rows there are key ties in arbitrary order, so
+    group stats inflate to the cell box); too-fine bins make each
+    group span thousands of cells and the curve's wander inflates the
+    box the other way. Measured: the sized geometry prunes ~2.5x
+    better than bits=8 on a 1789-group table (0.078 vs 0.194 kept on
+    the off-key box) — which is why the measured law, not a fixed 8,
+    is the default. The law's inputs are measured by
+    :func:`_sized_bits` (one ``count()`` + a bounded sizing-sample
+    write next to the target); pass ``bits=`` explicitly to skip that
+    measurement when you already know the geometry you want. With
+    ``edges=`` and ``bits=None``, bits is derived as the smallest
+    width that fits the provided edges — deterministic, but an append
+    pipeline that wants every batch in ONE exact key space should pass
+    the same explicit ``bits`` alongside the shared ``edges`` (as the
+    streaming-ingest composition does). The rule means bits DROPS as
+    row groups grow toward production size — a 100-TB table at 128 MB
+    groups (~800k groups) wants ~7 bits per column for 3 columns, and
+    the hilbert lookup stays tiny.
 
     ``curve="hilbert"`` re-ranks the Morton cells through the Hilbert
-    permutation (:func:`hilbert_from_morton`) via a broadcast lookup
-    join before the range shuffle — Hilbert's contiguous runs have no
-    quadrant jumps, so row groups cover slightly tighter boxes
-    (measured: see scripts/exp_zorder.py / BENCH.md round 12; the
-    lookup caps ``bits * len(cols)`` at 24).
+    permutation (:func:`hilbert_from_morton`) — Hilbert's contiguous
+    runs have no quadrant jumps, so row groups cover slightly tighter
+    boxes (measured: see scripts/exp_zorder.py / BENCH.md round 12;
+    the lookup caps ``bits * len(cols)`` at 24, and ``bits=None``
+    law-sizes under that cap automatically). The permutation table is
+    geometry-sized (``2^(bits*n_cols)`` int64s), shipped once per
+    executor as a SparkContext broadcast and applied by an
+    Arrow-batched vectorized take on the Morton key column — no
+    session conf is touched and no driver-side lookup relation is
+    built, so concurrent queries on the same session are unaffected.
 
     ``mode="append"`` is the incremental-ingest form: each batch is
     clustered among ITSELF and lands as new files in the same
@@ -360,6 +508,24 @@ def zorder_layout(
         raise ValueError(f"unknown curve {curve!r}; morton or hilbert")
     if mode not in ("overwrite", "append", "error", "errorifexists"):
         raise ValueError(f"unsupported write mode {mode!r}")
+    if "__zkey" in df.columns or "__hkey" in df.columns:
+        raise ValueError(
+            "input already has a __zkey/__hkey column — the layout's "
+            "helper key would silently replace it and the stored schema "
+            "would no longer be the input schema; rename it first"
+        )
+    if bits is None:
+        if edges is not None:
+            # smallest width whose 2^bits - 1 bins fit the provided
+            # edges (deterministic given the edges; see docstring for
+            # the exact-shared-key-space caveat on append reuse)
+            max_edges = max((len(v) for v in edges.values()), default=0)
+            bits = max(1, int(max_edges).bit_length())
+        else:
+            bits = _sized_bits(
+                df, cols, out_path, row_group_bytes, compression,
+                max_total_bits=24 if curve == "hilbert" else None,
+            )
     if edges is None:
         edges = quantile_bin_edges(df, cols, bits=bits)
     elif set(edges) != set(cols):
@@ -375,33 +541,23 @@ def zorder_layout(
     if num_files is None:
         num_files = df.sparkSession.sparkContext.defaultParallelism
     keyed = df.withColumn("__zkey", key)
+    broadcast_h = None
     if curve == "hilbert":
-        h = hilbert_from_morton(len(cols), bits)
-        spark = df.sparkSession
-        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
-        # The caller's session may have Arrow transfer off (the grading
-        # driver's does) — without it a 262k-row lookup pays ~5s of row
-        # pickling. Arrow batching is the only sanctioned Python
-        # boundary in this repo anyway; flip it for the one transfer
-        # and restore the caller's setting.
-        arrow_conf = "spark.sql.execution.arrow.pyspark.enabled"
-        prev = spark.conf.get(arrow_conf, None)
-        spark.conf.set(arrow_conf, "true")
-        try:
-            lookup = spark.createDataFrame(
-                pd.DataFrame({"__zkey": range(len(h)), "__hkey": h})
-            )
-            keyed = (
-                keyed.join(F.broadcast(lookup), "__zkey", "left")
-                .drop("__zkey")
-                .withColumnRenamed("__hkey", "__zkey")
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset(arrow_conf)
-            else:
-                spark.conf.set(arrow_conf, prev)
+        h = hilbert_from_morton(len(cols), bits)
+        # Geometry-sized table, shipped once per executor; the re-rank
+        # is a vectorized take over Arrow batches of the key column —
+        # always Arrow-framed (pandas UDFs don't depend on the
+        # session's createDataFrame-Arrow conf), so nothing
+        # session-global is mutated and concurrent queries are safe.
+        broadcast_h = df.sparkSession.sparkContext.broadcast(h)
+
+        @pandas_udf("long")
+        def _hilbert_rerank(z: pd.Series) -> pd.Series:
+            return pd.Series(broadcast_h.value[z.to_numpy()])
+
+        keyed = keyed.withColumn("__zkey", _hilbert_rerank("__zkey"))
     clustered = (
         keyed
         .repartitionByRange(num_files, F.col("__zkey"))
@@ -411,19 +567,57 @@ def zorder_layout(
     writer = clustered.write.mode(mode).option("compression", compression)
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(int(row_group_bytes)))
-    writer.parquet(out_path)
+    try:
+        writer.parquet(out_path)
+    finally:
+        if broadcast_h is not None:
+            broadcast_h.unpersist()
     return edges
+
+
+#: Hidden (underscore-prefixed, so Spark's file listing skips it)
+#: subdirectory holding the manifest regime's versioned units + pointer.
+_VERSIONS_DIR = "_versions"
+_CURRENT_POINTER = "_CURRENT"
+
+
+def resolve_clustered_table(path: str) -> str:
+    """Resolve the LIVE data directory of a clustered table.
+
+    Tables compacted with ``swap="manifest"`` keep their data in
+    versioned units under ``<path>/_versions/`` with a small
+    ``_CURRENT`` pointer file naming the live one (the Delta/Iceberg
+    commit shape: data directories are immutable, only the pointer
+    changes). Tables never manifest-compacted resolve to ``path``
+    itself. Readers in the manifest regime must go through this helper
+    (or :func:`read_clustered_table`); a raw
+    ``spark.read.parquet(path)`` on a manifest table fails loudly
+    (the root holds only the hidden ``_versions`` dir) rather than
+    returning stale data.
+    """
+    pointer = os.path.join(path, _VERSIONS_DIR, _CURRENT_POINTER)
+    if os.path.isfile(pointer):
+        with open(pointer) as f:
+            version = f.read().strip()
+        return os.path.join(path, _VERSIONS_DIR, version)
+    return path
+
+
+def read_clustered_table(spark, path: str) -> DataFrame:
+    """``spark.read.parquet`` through :func:`resolve_clustered_table`."""
+    return spark.read.parquet(resolve_clustered_table(path))
 
 
 def compact_clustered_table(
     df_or_path,
     cols: Sequence[str],
-    bits: int = 8,
+    bits: int | None = None,
     num_files: int | None = None,
     row_group_bytes: int | None = None,
     compression: str = "zstd",
     curve: str = "morton",
     spark=None,
+    swap: str = "rename",
 ) -> dict[str, list[float]]:
     """Re-cluster an incrementally-appended table back to the global
     bound, verify, then swap — the table-level twin of the index
@@ -433,19 +627,44 @@ def compact_clustered_table(
     per-BATCH tiling bound (measured: 0.270 ten-batch incremental vs
     0.132 global at the ×10 layout — BENCH.md round 12); compaction
     recovers the global bound by re-clustering the merged unit once.
-    Discipline mirrors ``swap_*_index``: the re-cluster lands in a
-    sibling ``<path>.compact`` directory, a full-row multiset
-    fingerprint must match the live table BEFORE any rename (a compact
-    must never lose, duplicate, or re-type a row), then two renames
-    promote it (live → ``<path>.retired``, compact → live) and the
-    retired directory is removed last. A crash between the renames
-    leaves either the verified old or the verified new directory under
-    a recoverable name — never a half-written live table.
+    Two swap regimes, both verify-then-promote (a full-row multiset
+    fingerprint must match the live table BEFORE anything is promoted
+    — a compact must never lose, duplicate, or re-type a row):
 
-    Accepts a path (str); ``spark`` is required then. At 100 TB you
-    compact the k oldest batches into one unit on whatever cadence the
-    measured incremental-vs-global gap justifies — the same
-    amortization argument as the LSH index compaction.
+    ``swap="rename"`` (the filesystem fast path) mirrors
+    ``swap_*_index``: the re-cluster lands in a sibling
+    ``<path>.compact`` directory, then two directory renames promote
+    it (live → ``<path>.retired``, compact → live) and the retired
+    directory is removed last. A crash between the renames leaves
+    either the verified old or the verified new directory under a
+    recoverable name — never a half-written live table. **Boundary:
+    this regime assumes atomic, O(1) directory rename — true on POSIX
+    and HDFS, FALSE on S3-class object stores, where a directory
+    rename is a per-object copy-and-delete (non-atomic AND O(data)).
+    At an object-store deployment use** ``swap="manifest"``.
+
+    ``swap="manifest"`` is the object-store-safe form (the
+    Delta/Iceberg commit shape): the re-cluster lands in an immutable
+    versioned unit ``<path>/_versions/v_NNNNNN`` (underscore-prefixed,
+    so Spark's listing never sees it as data), and promotion is ONE
+    small-file update of ``<path>/_versions/_CURRENT`` — here a
+    write-tmp + ``os.replace`` (atomic on POSIX); on an object store
+    the same update maps to a single-object PUT, which is atomic
+    per-object, and the big data directories are never renamed at all.
+    Readers resolve through :func:`resolve_clustered_table`. Crash
+    points: before the pointer update the live table is untouched and
+    the half-built version dir is overwritten by the retried compact
+    (the version number is recomputed from the pointer); after the
+    pointer update the new unit is live and the previous unit is
+    unreferenced garbage (removed best-effort last; a crash before
+    that removal leaves it collectible — delete any ``v_*`` dir the
+    pointer doesn't name).
+
+    Accepts a path (str); ``spark`` is required then. ``bits=None``
+    law-sizes the re-clustered geometry (see :func:`zorder_layout`).
+    At 100 TB you compact the k oldest batches into one unit on
+    whatever cadence the measured incremental-vs-global gap justifies
+    — the same amortization argument as the LSH index compaction.
     """
     import shutil
 
@@ -454,19 +673,13 @@ def compact_clustered_table(
             "compact_clustered_table takes the table PATH (the swap "
             "renames directories; a DataFrame has no directory)"
         )
+    if swap not in ("rename", "manifest"):
+        raise ValueError(f"unknown swap regime {swap!r}; rename or manifest")
     path = df_or_path
     if spark is None:
         raise ValueError("spark session required when passing a path")
-    live = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact"
-    retired = path.rstrip("/") + ".retired"
-    for leftover in (tmp, retired):
-        shutil.rmtree(leftover, ignore_errors=True)
-    edges = zorder_layout(
-        live, cols, tmp, bits=bits, num_files=num_files,
-        row_group_bytes=row_group_bytes, compression=compression,
-        curve=curve,
-    )
+    live_dir = resolve_clustered_table(path)
+    live = spark.read.parquet(live_dir)
 
     def _fingerprint(d: DataFrame):
         # Order-insensitive multiset fingerprint that stays a ONE-ROW
@@ -481,6 +694,60 @@ def compact_clustered_table(
             F.sum(F.xxhash64(j, F.lit("salt")).cast("decimal(38,0)")).alias("s2"),
         ).collect()[0]
 
+    if swap == "manifest":
+        versions_root = os.path.join(path, _VERSIONS_DIR)
+        pointer = os.path.join(versions_root, _CURRENT_POINTER)
+        current = None
+        if os.path.isfile(pointer):
+            with open(pointer) as f:
+                current = f.read().strip()
+        next_n = (int(current.split("_")[1]) + 1) if current else 1
+        next_version = f"v_{next_n:06d}"
+        target = os.path.join(versions_root, next_version)
+        edges = zorder_layout(
+            live, cols, target, bits=bits, num_files=num_files,
+            row_group_bytes=row_group_bytes, compression=compression,
+            curve=curve,
+        )
+        if _fingerprint(spark.read.parquet(target)) != _fingerprint(live):
+            raise RuntimeError(
+                f"compact of {path} changed the row multiset; {target} "
+                "kept for inspection, live pointer untouched"
+            )
+        tmp_pointer = pointer + ".tmp"
+        with open(tmp_pointer, "w") as f:
+            f.write(next_version)
+        os.replace(tmp_pointer, pointer)  # the commit: one small file
+        # previous unit is now unreferenced — remove best-effort
+        if current:
+            shutil.rmtree(os.path.join(versions_root, current),
+                          ignore_errors=True)
+        else:
+            # first manifest compact of a flat table: the flat files
+            # are redundant with v_000001; remove them so a raw read
+            # of the root fails loudly instead of returning stale data
+            for entry in os.listdir(path):
+                if entry == _VERSIONS_DIR:
+                    continue
+                full = os.path.join(path, entry)
+                if os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
+        return edges
+
+    tmp = path.rstrip("/") + ".compact"
+    retired = path.rstrip("/") + ".retired"
+    for leftover in (tmp, retired):
+        shutil.rmtree(leftover, ignore_errors=True)
+    edges = zorder_layout(
+        live, cols, tmp, bits=bits, num_files=num_files,
+        row_group_bytes=row_group_bytes, compression=compression,
+        curve=curve,
+    )
     if _fingerprint(spark.read.parquet(tmp)) != _fingerprint(live):
         raise RuntimeError(
             f"compact of {path} changed the row multiset; {tmp} kept for "
@@ -511,8 +778,20 @@ def layout_scan_fraction(
     "fraction_rows_kept": ...}``. Pure geometry — no timing, no noise;
     this is the number that decides whether a 100-TB scan reads 100 TB
     or 1 TB.
+
+    DATE-typed columns store ``datetime.date`` stats while callers
+    naturally write ``datetime``/date bounds interchangeably; both
+    sides are normalized to ``datetime`` (midnight) before comparing,
+    so mixed date/datetime comparisons can't raise.
     """
+    import datetime as _dt
+
     import pyarrow.parquet as pq
+
+    def _norm(v):
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return _dt.datetime.combine(v, _dt.time.min)
+        return v
 
     files = []
     if os.path.isdir(path):
@@ -542,10 +821,10 @@ def layout_scan_fraction(
                 stats = rg.column(idx).statistics
                 if stats is None or not stats.has_min_max:
                     continue  # conservative keep
-                if lo is not None and stats.max < lo:
+                if lo is not None and _norm(stats.max) < _norm(lo):
                     keep = False
                     break
-                if hi is not None and stats.min > hi:
+                if hi is not None and _norm(stats.min) > _norm(hi):
                     keep = False
                     break
             if keep:

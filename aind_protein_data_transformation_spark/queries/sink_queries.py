@@ -116,11 +116,13 @@ def sink_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout — no quadrant jumps, tighter per-row-group boxes), so the
     shipped query uses it explicitly; the broadcast Morton→Hilbert
     lookup is geometry-sized (2^18 cells here), never data-sized.
-    (bits=6 here is for write-path coverage, not pruning geometry —
-    this table lands as ~8 single-group files at sf scales; the
-    bits-sizing law for pruning-optimal layouts — cells ≈ row groups —
-    is measured in BENCH.md round 12 and encoded in the operator
-    docstring.)
+    (bits=6 here is explicit for write-path coverage and run-to-run
+    determinism — this table lands as ~8 single-group files at sf
+    scales, too few groups for sizing to matter; production callers
+    should leave ``bits=None``, the operator default since round 13,
+    which law-sizes the geometry — cells ≈ row-group count, the
+    measured optimum from BENCH.md round 12 — from the table's actual
+    observed rows-per-row-group.)
     Correctness leg: the layout must not change the answer, so the
     oracle runs the same box aggregate on the ORIGINAL table — any row
     lost, duplicated, or re-typed by the cluster-write breaks the

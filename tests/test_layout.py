@@ -548,3 +548,232 @@ def test_auto_bits_matches_measured_optima():
     assert auto_bits(2**62, 1, 1) == 63            # clamps to key budget
     with pytest.raises(ValueError, match=">= 1"):
         auto_bits(0, 3, 100)
+
+
+# ------------------------------------------------- round 13 additions
+# (1) the bits-sizing law is the DEFAULT, and the default beats bits=8;
+# (2) auto_bits can be capped to the Hilbert lookup budget;
+# (3) the helper-column collision guard;
+# (4) the object-store-safe manifest swap regime;
+# (5) DATE-typed stats in layout_scan_fraction.
+
+
+def test_auto_bits_hilbert_cap():
+    from aind_protein_data_transformation_spark.operators.layout import auto_bits
+
+    # single clustered column on a huge table: the uncapped law returns
+    # a width the Hilbert lookup (bits * n_cols <= 24) would reject
+    assert auto_bits(2**40, 1, 1) == 42
+    assert auto_bits(2**40, 1, 1, max_total_bits=24) == 24
+    assert auto_bits(2**40, 2, 1, max_total_bits=24) == 12
+    with pytest.raises(ValueError, match="max_total_bits"):
+        auto_bits(100, 2, 10, max_total_bits=0)
+    with pytest.raises(ValueError, match="max_total_bits"):
+        auto_bits(100, 2, 10, max_total_bits=64)
+
+
+def test_zorder_layout_rejects_helper_column_collision(spark, tmp_path):
+    df = spark.createDataFrame([Row(a=1.0, __zkey=2.0)])
+    with pytest.raises(ValueError, match="__zkey"):
+        zorder_layout(df, ["a"], str(tmp_path / "never"), bits=2)
+    df2 = spark.createDataFrame([Row(a=1.0, __hkey=2.0)])
+    with pytest.raises(ValueError, match="__zkey/__hkey"):
+        zorder_layout(df2, ["a"], str(tmp_path / "never2"), bits=2)
+
+
+def test_default_bits_law_sizes_and_beats_bits8(spark, tmp_path):
+    """bits=None (the default) law-sizes the geometry from a measured
+    rows-per-row-group estimate and prunes AT LEAST as well as the old
+    fixed bits=8 on the many-row-group fixture — the round-12
+    measurement (sized geometry ~2.5x better at 1789 groups) made
+    executable as the operator's default behavior."""
+    # near-unique values (deterministic jitter) so the fixture's
+    # encoding behavior resembles real data rather than a
+    # dictionary-degenerate repeated grid
+    n = 160
+    rows = [
+        Row(a=a + (a * 7919 % 97) / 970.0, b=b + (b * 104729 % 89) / 890.0)
+        for a in range(n) for b in range(n)
+    ]
+    df = spark.createDataFrame(rows)
+    box = {"a": (None, None), "b": (10.0, 14.0)}  # off-key box
+
+    sized = str(tmp_path / "sized")
+    fixed8 = str(tmp_path / "fixed8")
+    zorder_layout(df, ["a", "b"], sized, num_files=4,
+                  row_group_bytes=8 * 1024)  # bits defaults to None
+    zorder_layout(df, ["a", "b"], fixed8, bits=8, num_files=4,
+                  row_group_bytes=8 * 1024)
+
+    # the sizing sample directory cleaned itself up
+    assert not os.path.exists(sized + ".bitsizing")
+    # row multiset preserved by the sized layout
+    assert spark.read.parquet(sized).count() == n * n
+
+    kept_sized = layout_scan_fraction(sized, box)["fraction_rows_kept"]
+    kept_fixed = layout_scan_fraction(fixed8, box)["fraction_rows_kept"]
+    assert kept_sized <= kept_fixed + 0.02, (kept_sized, kept_fixed)
+    # and the law actually prunes (not just ties a degenerate layout)
+    assert kept_sized < 0.6
+
+
+def test_default_bits_hilbert_stays_under_lookup_cap(spark, tmp_path):
+    """bits=None with curve="hilbert" law-sizes UNDER the 24-bit lookup
+    budget even when the uncapped law would exceed it (single clustered
+    column — the ADVICE round-12 interaction)."""
+    df = spark.createDataFrame([Row(a=float(i)) for i in range(4096)])
+    out = str(tmp_path / "h1d")
+    zorder_layout(df, ["a"], out, num_files=2, row_group_bytes=4 * 1024,
+                  curve="hilbert")
+    assert spark.read.parquet(out).count() == 4096
+
+
+def test_zorder_layout_derives_bits_from_edges(spark, tmp_path):
+    """bits=None with edges= derives the smallest width that fits the
+    provided edges — no sizing pass, deterministic across appends."""
+    import aind_protein_data_transformation_spark.operators.layout as mod
+
+    df = spark.createDataFrame(
+        [Row(a=float(i % 16), b=float(i // 16)) for i in range(256)]
+    )
+    edges = {"a": [4.0, 8.0, 12.0], "b": [4.0, 8.0, 12.0]}  # 3 edges -> bits=2
+
+    real_sized = mod._sized_bits
+    calls = {"n": 0}
+
+    def counting_sized(*a, **kw):
+        calls["n"] += 1
+        return real_sized(*a, **kw)
+
+    mod._sized_bits = counting_sized
+    try:
+        out = str(tmp_path / "reuse")
+        got = zorder_layout(df, ["a", "b"], out, edges=edges, num_files=2)
+    finally:
+        mod._sized_bits = real_sized
+    assert calls["n"] == 0          # no sizing pass when edges provided
+    assert got == edges
+    assert spark.read.parquet(out).count() == 256
+
+
+def test_scan_fraction_handles_date_columns(spark, tmp_path):
+    """DATE-typed parquet stats are datetime.date objects; bounds given
+    as datetime (or date) must compare without raising and prune."""
+    rows = [
+        Row(d=datetime.date(2024, 1, 1) + datetime.timedelta(days=i), v=i)
+        for i in range(400)
+    ]
+    out = str(tmp_path / "dated")
+    (spark.createDataFrame(rows).repartitionByRange(4, "d")
+     .sortWithinPartitions("d")
+     .write.option("parquet.block.size", str(4 * 1024)).parquet(out))
+
+    # datetime bounds against date stats (the case that used to raise)
+    res = layout_scan_fraction(
+        out, {"d": (datetime.datetime(2024, 1, 10), datetime.datetime(2024, 1, 20))}
+    )
+    assert 0 < res["rows_kept"] < res["rows"]
+    # date bounds work too and agree
+    res2 = layout_scan_fraction(
+        out, {"d": (datetime.date(2024, 1, 10), datetime.date(2024, 1, 20))}
+    )
+    assert res2["rows_kept"] == res["rows_kept"]
+
+
+def test_manifest_compact_swap_and_resolve(spark, tmp_path):
+    """swap="manifest": promotion is one small pointer update, data
+    directories are immutable versioned units, readers resolve through
+    resolve_clustered_table, and a raw read of the root fails loudly
+    instead of returning stale data."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_clustered_table,
+        read_clustered_table,
+        resolve_clustered_table,
+    )
+
+    live = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(a=float(a), b=float(b)) for a in range(32) for b in range(32)]
+    )
+    # incrementally appended table (two batches)
+    half = df.filter(F.col("a") < 16)
+    rest = df.filter(F.col("a") >= 16)
+    e = zorder_layout(half, ["a", "b"], live, bits=4, num_files=2, mode="append")
+    zorder_layout(rest, ["a", "b"], live, bits=4, num_files=2,
+                  mode="append", edges=e)
+    assert resolve_clustered_table(live) == live  # flat until compacted
+
+    compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
+                            spark=spark, swap="manifest")
+    v1 = resolve_clustered_table(live)
+    assert v1.endswith(os.path.join("_versions", "v_000001"))
+    assert read_clustered_table(spark, live).count() == 1024
+    # flat files are gone: a raw read of the root fails loudly
+    with pytest.raises(Exception):
+        spark.read.parquet(live).collect()
+
+    # second compact: pointer moves to v_000002, v_000001 retired
+    compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
+                            spark=spark, swap="manifest")
+    v2 = resolve_clustered_table(live)
+    assert v2.endswith("v_000002")
+    assert not os.path.exists(v1)
+    assert read_clustered_table(spark, live).count() == 1024
+
+    with pytest.raises(ValueError, match="swap regime"):
+        compact_clustered_table(live, ["a"], spark=spark, swap="copy")
+
+
+def test_manifest_swap_crash_points_are_recoverable(spark, tmp_path):
+    """The manifest twin of the rename crash-point test: a lossy
+    compact raises at the verify BEFORE the pointer moves (live
+    resolution untouched, bad unit kept for inspection); a crash after
+    the version-dir write but before the pointer update leaves the old
+    unit live, and the RETRIED compact recomputes the same version
+    name and overwrites the orphan."""
+    import aind_protein_data_transformation_spark.operators.layout as mod
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_clustered_table,
+        resolve_clustered_table,
+    )
+
+    live = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(a=float(a), b=float(b)) for a in range(32) for b in range(32)]
+    )
+    zorder_layout(df, ["a", "b"], live, bits=4, num_files=2)
+
+    # ---- verify failure: pointer never written, live resolution flat
+    real_zorder_layout = mod.zorder_layout
+
+    def lossy_zorder_layout(d, cols, out, **kw):
+        return real_zorder_layout(d.limit(100), cols, out, **kw)
+
+    mod.zorder_layout = lossy_zorder_layout
+    try:
+        with pytest.raises(RuntimeError, match="changed the row multiset"):
+            compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
+                                    spark=spark, swap="manifest")
+    finally:
+        mod.zorder_layout = real_zorder_layout
+    assert resolve_clustered_table(live) == live       # pointer untouched
+    assert spark.read.parquet(live).count() == 1024    # live data intact
+    bad_unit = os.path.join(live, "_versions", "v_000001")
+    assert os.path.isdir(bad_unit)                     # kept for inspection
+
+    # ---- crash before the pointer update: the bad/partial v_000001 is
+    # exactly that state; the retried compact recomputes v_000001 from
+    # the (absent) pointer and overwrites the orphan
+    compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
+                            spark=spark, swap="manifest")
+    assert resolve_clustered_table(live).endswith("v_000001")
+    from aind_protein_data_transformation_spark.operators.layout import read_clustered_table
+    assert read_clustered_table(spark, live).count() == 1024
+
+    # ---- crash AFTER the pointer update but before old-unit cleanup:
+    # simulate by dropping an unreferenced stale unit next to the live
+    # one — readers resolve only through the pointer, so it is inert
+    stale = os.path.join(live, "_versions", "v_000000")
+    os.makedirs(stale, exist_ok=True)
+    assert resolve_clustered_table(live).endswith("v_000001")
+    assert read_clustered_table(spark, live).count() == 1024
