@@ -201,8 +201,15 @@ DRIVER_WINDOW = [
     "ome_channel_windows",
     "ome_scale_recurrence",
     "grid_block_slices",
-    # parquet sink round-trip
-    "sink_parquet_roundtrip",
+    # parquet sink — round-13 rotation (VERDICT round 12 window note):
+    # sink_parquet_roundtrip rotates to the tail after eleven
+    # consecutive driver greens (r2–r12); the write→read loop machinery
+    # stays in window via sink_zorder_clustered_scan (a parquet
+    # write→scan loop through the round-12 clustered-layout operator —
+    # the new operator that deserves a driver row more than the
+    # machinery twin does; registered r12, never driver-sampled). The
+    # CSV sink/scan leg keeps its local oracle differential.
+    "sink_zorder_clustered_scan",
     # streaming — round-10 rotation (VERDICT round 9 #4):
     # streaming_sliding_window rotates to the tail after seven
     # consecutive driver greens (r3–r9); overlapping windows are the
@@ -210,7 +217,15 @@ DRIVER_WINDOW = [
     # query. In: streaming_stream_left_join — outer stream-stream join
     # state (null-padding on watermark expiry) is semantically distinct
     # from the round-9-confirmed inner join and never driver-confirmed.
-    "streaming_tumbling_window",
+    # round-13 rotation (VERDICT round 12 #6): streaming_tumbling_window
+    # rotates to the tail after ten consecutive driver greens (r3–r12);
+    # the watermarked window-agg machinery keeps
+    # streaming_late_data_policy (a tumbling window agg + late policy)
+    # and streaming_session_window in window. In:
+    # streaming_clustered_ingest — the foreachBatch + append-mode
+    # zorder_layout composition the round-12 layout work proved in
+    # tests (test_streaming_layout.py), made driver-checkable.
+    "streaming_clustered_ingest",
     "streaming_stream_left_join",
     "streaming_session_window",
     "streaming_stateful_totals",

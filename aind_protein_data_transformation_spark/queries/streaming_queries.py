@@ -506,3 +506,82 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "click_id", "user_id", "gap_us")
         .orderBy("purchase_id", "click_id")
     )
+
+
+@query(
+    "streaming_clustered_ingest",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 20 AND 60
+      AND value BETWEEN 5.0 AND 50.0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a Z-order clustered lake table — the
+    composition the layout operator exists for at 100 TB
+    (operators/layout.py + tests/test_streaming_layout.py, measured
+    BENCH.md round 12): ``foreachBatch`` lands every micro-batch
+    through ``zorder_layout(mode="append", edges=<shared>)``, so the
+    table is ALREADY clustered on (user_id, value) as it arrives — no
+    post-hoc re-layout pass, history never re-shuffled. The first
+    batch's sketch pass snapshots the bin edges; every later batch
+    reuses them (``edges=``), giving one key space and zero extra
+    sketch passes per append — the write-side twin of the incremental
+    LSH indexes' never-re-scan-history rule. Explicit ``bits`` keeps
+    every batch in one exact key space (the operator's ``bits=None``
+    default would law-size per batch).
+
+    The returned answer is the predicate shape the layout serves — a
+    multi-column (user_id, value) box with NO time term, which an
+    arrival-time layout cannot prune — aggregated from the files the
+    stream just wrote. The oracle runs the same box aggregate on the
+    source events table: replay equivalence proves every row arrived
+    exactly once AND the cluster-write lost, duplicated, re-typed
+    nothing. (The pruning geometry itself is deterministic
+    footer-measured in tests/test_streaming_layout.py; correctness
+    rows check answers, not clocks.)"""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import zorder_layout
+
+    out_root = tempfile.mkdtemp(prefix="clustered_ingest_")
+    lake = f"{out_root}/lake"
+    state: dict = {"edges": None}
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        state["edges"] = zorder_layout(
+            batch_df, ["user_id", "value"], lake, bits=5, num_files=2,
+            mode="append", edges=state["edges"],
+        )
+
+    ev = read_events_stream(spark, sf_dir)
+    handle = (
+        ev.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_root}/_ckpt")
+        .start()
+    )
+    handle.awaitTermination()
+    shutil.rmtree(f"{out_root}/_ckpt", ignore_errors=True)
+
+    landed = spark.read.parquet(lake)
+    return (
+        landed.filter(
+            (F.col("user_id") >= 20) & (F.col("user_id") <= 60)
+            & (F.col("value") >= 5.0) & (F.col("value") <= 50.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

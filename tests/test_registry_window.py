@@ -25,16 +25,25 @@ REQUIRED_IN_WINDOW = {
     "ome_channel_windows",
     "ome_scale_recurrence",
     "grid_block_slices",
-    "streaming_tumbling_window",
     # (streaming_sliding_window earned seven greens r3–r9 and rotated
-    # to the tail in round 10; tumbling keeps the windowed-agg slot)
+    # to the tail in round 10; streaming_tumbling_window earned ten
+    # r3–r12 and rotated in round 13 — late_data_policy + session keep
+    # the windowed-agg machinery in window)
     "streaming_session_window",
     "streaming_stateful_totals",
     "streaming_dedup_watermark",
     "streaming_late_data_policy",
     # new this round
     "similarity_kmeans_assign",
-    "sink_parquet_roundtrip",
+    # (sink_parquet_roundtrip earned eleven greens r2–r12 and rotated
+    # in round 13; the write→read loop slot passes to the clustered
+    # write below)
+    # promoted round 13 (VERDICT round 12 #6 + r12 window note): the
+    # foreachBatch + append-clustering streaming ingest composition and
+    # the round-12 clustered-layout operator's own query — both never
+    # driver-sampled before
+    "streaming_clustered_ingest",
+    "sink_zorder_clustered_scan",
     # round-2 red rows the round-3 ts fix must show green in the driver
     # (VERDICT.md round 2 "Next round" #1 done-criteria). The inner asof
     # variant and multimodal_payload_stats earned their green rows in
@@ -280,7 +289,11 @@ def test_tail_components_are_covered_in_window():
         # the in-window tumbling query's watermarked window-agg shape
         "dedup_ngram_jaccard": "dedup_minhash_lsh",
         "pipeline_clean_corpus": "text_quality_stats",
-        "streaming_sliding_window": "streaming_tumbling_window",
+        # (tumbling itself rotated round 13 after ten greens r3–r12;
+        # late_data_policy IS a tumbling window agg + watermark policy,
+        # so both tumbling-shape tail queries map there)
+        "streaming_sliding_window": "streaming_late_data_policy",
+        "streaming_tumbling_window": "streaming_late_data_policy",
         # multimodal family rotated fully to the tail round 9
         # (frame_sample driver-green r2–r8): the Arrow-batched
         # mapInPandas numpy-kernel surface is driven in-window by the
@@ -307,15 +320,15 @@ def test_tail_components_are_covered_in_window():
         # parquet sink per micro-batch
         "q_approx_aggregates": "q1_pricing_summary",
         "q_sketch_reaggregation": "q1_pricing_summary",
-        "streaming_foreachbatch_sink": "streaming_tumbling_window",
-        # new in round 12 — the z-order clustered write's CHECKED claim
-        # (write→scan row fidelity through a re-layout) is the loop
-        # sink_parquet_roundtrip keeps in window; the operator's own
-        # claim (multi-column pruning geometry) is deterministic and
-        # pinned in tests/test_layout.py + scripts/exp_zorder.py.
-        # Rotation candidate for round 13 (a new operator deserves a
-        # driver row more than a machinery twin does).
-        "sink_zorder_clustered_scan": "sink_parquet_roundtrip",
+        # foreachBatch micro-batch landing is exactly the in-window
+        # clustered-ingest query's machinery (foreachBatch + batch
+        # parquet writes per micro-batch)
+        "streaming_foreachbatch_sink": "streaming_clustered_ingest",
+        # rotated round 13 after eleven greens r2–r12: the parquet
+        # write→scan loop stays in window via the clustered write (the
+        # round-12 operator promoted in its place); the CSV sink/scan
+        # leg keeps its local oracle differential
+        "sink_parquet_roundtrip": "sink_zorder_clustered_scan",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
@@ -445,7 +458,7 @@ DRIVER_GREEN_ROUNDS = {
 # their queries never left the window.
 COMPONENT_QUERIES = {
     "scan+sink": ["q1_pricing_summary", "sink_parquet_roundtrip",
-                  "q_json_functions"],
+                  "sink_zorder_clustered_scan", "q_json_functions"],
     "projection+filter": ["q1_pricing_summary", "q_string_functions"],
     "equi_outer_join": ["q3_shipping_priority", "q_outer_join_order_fill"],
     "semi_anti_join": ["q_semi_join_customers_with_orders",
@@ -494,7 +507,8 @@ COMPONENT_QUERIES = {
                               "streaming_session_window",
                               "streaming_dedup_watermark",
                               "streaming_late_data_policy",
-                              "streaming_foreachbatch_sink"],
+                              "streaming_foreachbatch_sink",
+                              "streaming_clustered_ingest"],
     "reshape_pivot": ["q_pivot_status_by_priority", "q_pivot_status_matrix"],
     "reshape_unpivot": ["q_unpivot_flag_measures",
                         "q_unpivot_nation_metrics"],
@@ -533,8 +547,8 @@ def test_rotated_out_queries_earned_their_rest():
     its first green."""
     window = set(DRIVER_WINDOW)
     promoted_this_round = {
-        "q_grouping_sets",
-        "text_tfidf_keywords",
+        "streaming_clustered_ingest",
+        "sink_zorder_clustered_scan",
     }
     fam_of = {}
     for fam, qs in COMPONENT_QUERIES.items():
