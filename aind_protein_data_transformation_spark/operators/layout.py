@@ -110,6 +110,28 @@ def _numeric_expr(df: DataFrame, col: str) -> Column:
     at every query boundary by the registry wrapper, so the cast is
     deterministic); decimals and the integer family cast losslessly for
     binning purposes (bin boundaries only need ORDER, not exact values).
+
+    STRING columns bin through an order-preserving byte-prefix
+    surrogate: the first 6 bytes of the UTF-8 encoding, zero-padded and
+    decoded base-256 (pure built-ins —
+    ``conv(rpad(hex(substring(encode(col))...)))`` — inside whole-stage
+    codegen). 48 bits fit a double exactly, and zero-padding preserves
+    bytewise lexicographic order (``"b" > "ab"`` survives the
+    numerification), which is Spark's default binary collation. Two
+    caveats, both QUALITY-only (binning needs order, not identity):
+    values sharing a >=6-byte prefix collapse into one bin (a table of
+    URLs all starting ``https://`` clusters on nothing — strip the
+    common prefix or cluster a higher-entropy column), and the order is
+    bytewise, not locale collation. Regime note: the surrogate's value
+    is HIGH-cardinality strings (url/domain prefixes, document ids),
+    where hive ``partitionBy`` would explode into per-value
+    directories; for a low-cardinality string (a 5-value ``lang``
+    column), ``partitionBy`` gives perfect directory-level pruning and
+    dominates — use it instead. Parquet min/max stats on the stored
+    string column remain exact strings, so
+    :func:`layout_scan_fraction` boxes and Spark's pushed string-range
+    filters prune against the REAL values — the surrogate only places
+    rows, it is never stored.
     """
     dtype = dict(df.dtypes).get(col)
     if dtype is None:
@@ -118,9 +140,12 @@ def _numeric_expr(df: DataFrame, col: str) -> Column:
         return F.col(col).cast("timestamp").cast("double")
     if dtype in _NUMERIC_TYPES or dtype.startswith("decimal"):
         return F.col(col).cast("double")
+    if dtype == "string":
+        prefix = F.substring(F.encode(F.col(col), "UTF-8"), 1, 6)
+        return F.conv(F.rpad(F.hex(prefix), 12, "0"), 16, 10).cast("double")
     raise ValueError(
         f"zorder column {col!r} has non-orderable-numeric type {dtype}; "
-        "cast strings to a numeric surrogate (e.g. a hash or code) first"
+        "cast to a numeric surrogate (e.g. a hash or code) first"
     )
 
 
@@ -514,6 +539,11 @@ def zorder_layout(
             "helper key would silently replace it and the stored schema "
             "would no longer be the input schema; rename it first"
         )
+    # A manifest-compacted table's live unit is a versioned directory
+    # under <path>/_versions — route the write there, so appends after
+    # a swap="manifest" compact stay visible to resolved readers
+    # instead of landing invisibly in the root.
+    out_path = resolve_clustered_table(out_path, spark=df.sparkSession)
     if bits is None:
         if edges is not None:
             # smallest width whose 2^bits - 1 bins fit the provided
@@ -581,31 +611,47 @@ _VERSIONS_DIR = "_versions"
 _CURRENT_POINTER = "_CURRENT"
 
 
-def resolve_clustered_table(path: str) -> str:
+def resolve_clustered_table(path: str, spark=None) -> str:
     """Resolve the LIVE data directory of a clustered table.
 
     Tables compacted with ``swap="manifest"`` keep their data in
     versioned units under ``<path>/_versions/`` with a small
     ``_CURRENT`` pointer file naming the live one (the Delta/Iceberg
-    commit shape: data directories are immutable, only the pointer
-    changes). Tables never manifest-compacted resolve to ``path``
-    itself. Readers in the manifest regime must go through this helper
-    (or :func:`read_clustered_table`); a raw
-    ``spark.read.parquet(path)`` on a manifest table fails loudly
-    (the root holds only the hidden ``_versions`` dir) rather than
-    returning stale data.
+    commit shape: retired units are immutable, only the pointer
+    changes; the LIVE unit still accepts appends —
+    :func:`zorder_layout` routes them there). Tables never
+    manifest-compacted resolve to ``path`` itself. Readers in the
+    manifest regime must go through this helper (or
+    :func:`read_clustered_table`); a raw ``spark.read.parquet(path)``
+    on a manifest table fails loudly (the root holds only the hidden
+    ``_versions`` dir) rather than returning stale data.
+
+    Pass ``spark`` to resolve non-local paths: the pointer is then
+    read through the Hadoop FileSystem for the path's scheme (one
+    small-object GET); without it only local pointers are visible.
     """
     pointer = os.path.join(path, _VERSIONS_DIR, _CURRENT_POINTER)
     if os.path.isfile(pointer):
         with open(pointer) as f:
             version = f.read().strip()
         return os.path.join(path, _VERSIONS_DIR, version)
+    if spark is not None and not os.path.isdir(path):
+        fs, jpointer = _hadoop_fs(spark, pointer)
+        if fs.exists(jpointer):
+            stream = fs.open(jpointer)
+            try:
+                version = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                ).strip()
+            finally:
+                stream.close()
+            return os.path.join(path, _VERSIONS_DIR, version)
     return path
 
 
 def read_clustered_table(spark, path: str) -> DataFrame:
     """``spark.read.parquet`` through :func:`resolve_clustered_table`."""
-    return spark.read.parquet(resolve_clustered_table(path))
+    return spark.read.parquet(resolve_clustered_table(path, spark=spark))
 
 
 def compact_clustered_table(
@@ -678,7 +724,7 @@ def compact_clustered_table(
     path = df_or_path
     if spark is None:
         raise ValueError("spark session required when passing a path")
-    live_dir = resolve_clustered_table(path)
+    live_dir = resolve_clustered_table(path, spark=spark)
     live = spark.read.parquet(live_dir)
 
     def _fingerprint(d: DataFrame):
@@ -793,11 +839,18 @@ def layout_scan_fraction(
             return _dt.datetime.combine(v, _dt.time.min)
         return v
 
+    # manifest tables measure their LIVE unit; hidden (_/.-prefixed)
+    # entries are pruned from the walk exactly as Spark's file listing
+    # prunes them, so versioned/retired units never double-count
+    path = resolve_clustered_table(path)
     files = []
     if os.path.isdir(path):
-        for root, _dirs, names in os.walk(path):
+        for root, dirs, names in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             files.extend(
-                os.path.join(root, n) for n in names if n.endswith(".parquet")
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
             )
     else:
         files = [path]

@@ -155,3 +155,60 @@ def sink_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "sink_zorder_string_scan",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE source BETWEEN 'src10' AND 'src16'
+      AND n_chars BETWEEN 100 AND 300
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sink_zorder_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-column clustered write → string-box pruned scan (round
+    13: ``operators/layout._numeric_expr`` bins strings through an
+    order-preserving 6-byte UTF-8 prefix surrogate, pure built-ins).
+
+    Clusters documents on (source, n_chars) — a string key and a
+    numeric key interleaved — then answers a string-range + numeric
+    band box from the written files. The string range deliberately
+    crosses the classic lexicographic trap (``'src10' < 'src2'``
+    bytewise): both the surrogate's placement and the read-side
+    predicate must agree with the oracle's string collation or rows
+    appear/vanish at the band edges. The surrogate only PLACES rows —
+    the stored column and its parquet min/max stats are the real
+    strings, so correctness never depends on the 6-byte prefix
+    (pruning geometry for string boxes is test-pinned equal to Spark's
+    own ``numOutputRows`` in tests/test_layout.py). Regime note in the
+    operator docstring: high-cardinality strings are the surrogate's
+    territory; a 5-value lang column should use ``partitionBy``.
+
+    Tail query (position >50): the in-window driver representative for
+    the clustered-write loop is ``sink_zorder_clustered_scan``; this
+    one keeps the string path under the local oracle differential."""
+    from ..operators.layout import zorder_layout
+
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_sink_zorder_str")
+    docs = load_table(spark, sf_dir, "documents")
+    zorder_layout(
+        docs, ["source", "n_chars"], out, bits=4, num_files=4,
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            (F.col("source") >= "src10") & (F.col("source") <= "src16")
+            & (F.col("n_chars") >= 100) & (F.col("n_chars") <= 300)
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )

@@ -329,6 +329,11 @@ def test_tail_components_are_covered_in_window():
         # round-12 operator promoted in its place); the CSV sink/scan
         # leg keeps its local oracle differential
         "sink_parquet_roundtrip": "sink_zorder_clustered_scan",
+        # round-13 string-surrogate variant of the same clustered
+        # write→scan loop (string placement + string box predicate);
+        # the string-specific claims are pinned in tests/test_layout.py
+        # (byte-order equivalence, numOutputRows equality on strings)
+        "sink_zorder_string_scan": "sink_zorder_clustered_scan",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
