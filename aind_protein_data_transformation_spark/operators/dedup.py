@@ -753,6 +753,17 @@ def append_minhash_shard(
     re-running after any crash is idempotent at the result level.
     Both tables are validated BEFORE the first write so a malformed
     index fails cleanly up front.
+
+    Session-cache footgun: the append invalidates the relation cache of
+    the session that RUNS it. A probe from a DIFFERENT session — the
+    common case being Structured Streaming's ``foreachBatch``, which
+    hands the callback a CLONED session while user code holds the
+    outer one — can replay a stale cached file listing of the
+    bands/sigs tables and silently miss just-appended shards. Call
+    ``spark.catalog.refreshTable`` on both tables in the probing
+    session after cross-session appends (the dedup-at-ingest
+    composition in tests/test_streaming_dedup_ingest.py does exactly
+    this).
     """
     n_buckets = _table_num_buckets(spark, f"{name}_bands")
     sig_buckets = _table_num_buckets(spark, f"{name}_sigs")
