@@ -340,7 +340,11 @@ def append_srp_shard(
     historical corpus is never read or re-signed. Bucket counts come
     from the existing table metadata (a mismatched spec would poison
     the bucketed join silently), and the shard's dimension is checked
-    against the index up front (:func:`_check_dim`).
+    against the index up front (:func:`_check_dim`). Session-cache
+    footgun shared with ``append_minhash_shard`` (see its docstring):
+    probes from a DIFFERENT session than the appending one (e.g. the
+    outer session while appends run inside a ``foreachBatch`` clone)
+    must ``refreshTable`` both tables first.
 
     Ordering contract (see module notes): vecs FIRST, bands second —
     a crash between the writes leaves orphan vector rows, which no

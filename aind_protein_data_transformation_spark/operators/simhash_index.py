@@ -305,7 +305,10 @@ def append_simhash_shard(
     Sigs FIRST, bands second (the minhash ordering contract): a crash
     between the writes leaves orphan sig rows, which no probe can
     reach; re-running completes the index and duplicate rows change no
-    probe result."""
+    probe result. Session-cache footgun shared with
+    ``append_minhash_shard`` (see its docstring): probes from a
+    DIFFERENT session than the appending one must ``refreshTable``
+    both tables first."""
     band_buckets = table_num_buckets(spark, f"{name}_bands")
     sig_buckets = table_num_buckets(spark, f"{name}_sigs")
     bits, n_chunks = _resolve_geometry(
