@@ -533,11 +533,11 @@ def zorder_layout(
         raise ValueError(f"unknown curve {curve!r}; morton or hilbert")
     if mode not in ("overwrite", "append", "error", "errorifexists"):
         raise ValueError(f"unsupported write mode {mode!r}")
-    if "__zkey" in df.columns or "__hkey" in df.columns:
+    if "__zkey" in df.columns:
         raise ValueError(
-            "input already has a __zkey/__hkey column — the layout's "
-            "helper key would silently replace it and the stored schema "
-            "would no longer be the input schema; rename it first"
+            "input already has a __zkey column — the layout's helper "
+            "key would silently replace it and the stored schema would "
+            "no longer be the input schema; rename it first"
         )
     # A manifest-compacted table's live unit is a versioned directory
     # under <path>/_versions — route the write there, so appends after
@@ -630,23 +630,83 @@ def resolve_clustered_table(path: str, spark=None) -> str:
     read through the Hadoop FileSystem for the path's scheme (one
     small-object GET); without it only local pointers are visible.
     """
+    version = _read_pointer(path, spark)
+    if version is not None:
+        return os.path.join(path, _VERSIONS_DIR, version)
+    return path
+
+
+def _read_pointer(path: str, spark=None) -> str | None:
+    """The manifest pointer's content (live version name), or None for
+    a flat/never-compacted table. Local file fast path; Hadoop
+    FileSystem for non-local schemes when ``spark`` is available."""
     pointer = os.path.join(path, _VERSIONS_DIR, _CURRENT_POINTER)
     if os.path.isfile(pointer):
         with open(pointer) as f:
-            version = f.read().strip()
-        return os.path.join(path, _VERSIONS_DIR, version)
+            return f.read().strip()
     if spark is not None and not os.path.isdir(path):
         fs, jpointer = _hadoop_fs(spark, pointer)
         if fs.exists(jpointer):
             stream = fs.open(jpointer)
             try:
-                version = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                return spark._jvm.org.apache.commons.io.IOUtils.toString(
                     stream, "UTF-8"
                 ).strip()
             finally:
                 stream.close()
-            return os.path.join(path, _VERSIONS_DIR, version)
-    return path
+    return None
+
+
+def _commit_pointer(versions_root: str, version: str, spark) -> None:
+    """Atomically make ``version`` the live unit. Local filesystems:
+    write-tmp + ``os.replace`` (atomic on POSIX). Non-local schemes:
+    a single-object overwrite through the Hadoop FileSystem — on
+    S3-class stores one small PUT, which is atomic per object (readers
+    see the old or the new pointer, never a partial one)."""
+    pointer = os.path.join(versions_root, _CURRENT_POINTER)
+    if os.path.isdir(versions_root):
+        tmp_pointer = pointer + ".tmp"
+        with open(tmp_pointer, "w") as f:
+            f.write(version)
+        os.replace(tmp_pointer, pointer)
+        return
+    fs, jpointer = _hadoop_fs(spark, pointer)
+    stream = fs.create(jpointer, True)
+    try:
+        stream.write(bytearray(version.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _delete_tree(p: str, spark) -> None:
+    """Best-effort recursive delete, scheme-portable."""
+    if os.path.isdir(p) or os.path.isfile(p):
+        import shutil
+
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return
+    try:
+        fs, jp = _hadoop_fs(spark, p)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+    except Exception:
+        pass  # best-effort: an unreferenced unit is inert garbage
+
+
+def _list_entries(path: str, spark) -> list[str]:
+    """Child entry names of ``path``, scheme-portable."""
+    if os.path.isdir(path):
+        return os.listdir(path)
+    fs, jp = _hadoop_fs(spark, path)
+    if not fs.exists(jp):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jp)]
 
 
 def read_clustered_table(spark, path: str) -> DataFrame:
@@ -693,18 +753,21 @@ def compact_clustered_table(
     Delta/Iceberg commit shape): the re-cluster lands in an immutable
     versioned unit ``<path>/_versions/v_NNNNNN`` (underscore-prefixed,
     so Spark's listing never sees it as data), and promotion is ONE
-    small-file update of ``<path>/_versions/_CURRENT`` — here a
-    write-tmp + ``os.replace`` (atomic on POSIX); on an object store
-    the same update maps to a single-object PUT, which is atomic
-    per-object, and the big data directories are never renamed at all.
-    Readers resolve through :func:`resolve_clustered_table`. Crash
-    points: before the pointer update the live table is untouched and
-    the half-built version dir is overwritten by the retried compact
-    (the version number is recomputed from the pointer); after the
-    pointer update the new unit is live and the previous unit is
-    unreferenced garbage (removed best-effort last; a crash before
-    that removal leaves it collectible — delete any ``v_*`` dir the
-    pointer doesn't name).
+    small-file update of ``<path>/_versions/_CURRENT`` — write-tmp +
+    ``os.replace`` on local filesystems (atomic on POSIX), a
+    single-object overwrite through the Hadoop FileSystem on non-local
+    schemes (on S3-class stores one small PUT, atomic per object); the
+    big data directories are never renamed at all, so promotion stays
+    O(1) where directory rename is O(data). Readers resolve through
+    :func:`resolve_clustered_table`. Crash points: before the pointer
+    commit the live table is untouched and the half-built version dir
+    is overwritten by the retried compact (the version number is
+    recomputed from the pointer); after the commit the new unit is
+    live and everything the pointer doesn't name — the previous unit,
+    stale flat files in the root — is unreferenced garbage, removed
+    best-effort last AND re-swept by every later compact, so a crash
+    inside the cleanup window costs temporary storage, never
+    correctness.
 
     Accepts a path (str); ``spark`` is required then. ``bits=None``
     law-sizes the re-clustered geometry (see :func:`zorder_layout`).
@@ -740,16 +803,9 @@ def compact_clustered_table(
             F.sum(F.xxhash64(j, F.lit("salt")).cast("decimal(38,0)")).alias("s2"),
         ).collect()[0]
 
-    if swap == "manifest":
-        versions_root = os.path.join(path, _VERSIONS_DIR)
-        pointer = os.path.join(versions_root, _CURRENT_POINTER)
-        current = None
-        if os.path.isfile(pointer):
-            with open(pointer) as f:
-                current = f.read().strip()
-        next_n = (int(current.split("_")[1]) + 1) if current else 1
-        next_version = f"v_{next_n:06d}"
-        target = os.path.join(versions_root, next_version)
+    def _recluster_and_verify(target: str, untouched: str):
+        # shared by both regimes: one re-cluster into ``target``, then
+        # the fingerprint gate BEFORE anything is promoted
         edges = zorder_layout(
             live, cols, target, bits=bits, num_files=num_files,
             row_group_bytes=row_group_bytes, compression=compression,
@@ -758,47 +814,35 @@ def compact_clustered_table(
         if _fingerprint(spark.read.parquet(target)) != _fingerprint(live):
             raise RuntimeError(
                 f"compact of {path} changed the row multiset; {target} "
-                "kept for inspection, live pointer untouched"
+                f"kept for inspection, {untouched} untouched"
             )
-        tmp_pointer = pointer + ".tmp"
-        with open(tmp_pointer, "w") as f:
-            f.write(next_version)
-        os.replace(tmp_pointer, pointer)  # the commit: one small file
-        # previous unit is now unreferenced — remove best-effort
+        return edges
+
+    if swap == "manifest":
+        versions_root = os.path.join(path, _VERSIONS_DIR)
+        current = _read_pointer(path, spark)
+        next_n = (int(current.split("_")[1]) + 1) if current else 1
+        next_version = f"v_{next_n:06d}"
+        target = os.path.join(versions_root, next_version)
+        edges = _recluster_and_verify(target, "live pointer")
+        _commit_pointer(versions_root, next_version, spark)
+        # everything the pointer doesn't name is now unreferenced —
+        # remove best-effort: the previous unit, AND any stale flat
+        # files in the root (swept on EVERY compact, not only the
+        # first, so a crash between a past commit and its cleanup
+        # cannot strand a stale shadow copy forever)
         if current:
-            shutil.rmtree(os.path.join(versions_root, current),
-                          ignore_errors=True)
-        else:
-            # first manifest compact of a flat table: the flat files
-            # are redundant with v_000001; remove them so a raw read
-            # of the root fails loudly instead of returning stale data
-            for entry in os.listdir(path):
-                if entry == _VERSIONS_DIR:
-                    continue
-                full = os.path.join(path, entry)
-                if os.path.isdir(full):
-                    shutil.rmtree(full, ignore_errors=True)
-                else:
-                    try:
-                        os.remove(full)
-                    except OSError:
-                        pass
+            _delete_tree(os.path.join(versions_root, current), spark)
+        for entry in _list_entries(path, spark):
+            if entry != _VERSIONS_DIR:
+                _delete_tree(os.path.join(path, entry), spark)
         return edges
 
     tmp = path.rstrip("/") + ".compact"
     retired = path.rstrip("/") + ".retired"
     for leftover in (tmp, retired):
         shutil.rmtree(leftover, ignore_errors=True)
-    edges = zorder_layout(
-        live, cols, tmp, bits=bits, num_files=num_files,
-        row_group_bytes=row_group_bytes, compression=compression,
-        curve=curve,
-    )
-    if _fingerprint(spark.read.parquet(tmp)) != _fingerprint(live):
-        raise RuntimeError(
-            f"compact of {path} changed the row multiset; {tmp} kept for "
-            "inspection, live table untouched"
-        )
+    edges = _recluster_and_verify(tmp, "live table")
     os.rename(path, retired)
     os.rename(tmp, path)
     shutil.rmtree(retired, ignore_errors=True)

@@ -315,9 +315,14 @@ def streaming_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregates; equality with the batch oracle proves every row
     arrived exactly once (availableNow + idempotent overwrite-by-batch).
     """
+    import os
+    import shutil
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="feb_sink_")
+    # fixed path, cleared up front — a fresh mkdtemp per invocation
+    # leaks one landed copy of events per driver run
+    out_dir = os.path.join(tempfile.gettempdir(), "spark_graft_feb_sink")
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").option("compression", "zstd").parquet(
@@ -545,12 +550,18 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing. (The pruning geometry itself is deterministic
     footer-measured in tests/test_streaming_layout.py; correctness
     rows check answers, not clocks.)"""
+    import os
     import shutil
     import tempfile
 
     from ..operators.layout import zorder_layout
 
-    out_root = tempfile.mkdtemp(prefix="clustered_ingest_")
+    # fixed path, cleared up front: append-mode clustering accumulates
+    # files, so a fresh dir per invocation (mkdtemp) would leak a full
+    # clustered copy of events into /tmp on every driver run
+    out_root = os.path.join(tempfile.gettempdir(),
+                            "spark_graft_clustered_ingest")
+    shutil.rmtree(out_root, ignore_errors=True)
     lake = f"{out_root}/lake"
     state: dict = {"edges": None}
 

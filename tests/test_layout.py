@@ -578,9 +578,15 @@ def test_zorder_layout_rejects_helper_column_collision(spark, tmp_path):
     df = spark.createDataFrame([Row(a=1.0, __zkey=2.0)])
     with pytest.raises(ValueError, match="__zkey"):
         zorder_layout(df, ["a"], str(tmp_path / "never"), bits=2)
+    # __zkey is the ONLY helper name the layout creates — a user column
+    # named __hkey is untouched and round-trips (the broadcast-join
+    # rename that once used it is gone)
     df2 = spark.createDataFrame([Row(a=1.0, __hkey=2.0)])
-    with pytest.raises(ValueError, match="__zkey/__hkey"):
-        zorder_layout(df2, ["a"], str(tmp_path / "never2"), bits=2)
+    out = str(tmp_path / "hkey_ok")
+    zorder_layout(df2, ["a"], out, bits=2, num_files=1, curve="hilbert")
+    back = spark.read.parquet(out)
+    assert back.columns == df2.columns
+    assert back.collect()[0]["__hkey"] == 2.0
 
 
 def test_default_bits_law_sizes_and_beats_bits8(spark, tmp_path):
