@@ -923,3 +923,44 @@ def test_scan_fraction_predicts_spark_reader_on_strings(spark, tmp_path):
     g = layout_scan_fraction(out, {"url": ("c", "e")})
     assert scan_rows == g["rows_kept"], (scan_rows, g)
     assert g["rows_kept"] < g["rows"]
+
+
+def test_manifest_swap_through_hadoop_filesystem_branch(spark, tmp_path):
+    """The scheme-portable half of the manifest regime, exercised live:
+    a ``file:`` URI defeats every local os.* fast path (os.path.isdir
+    on the URI string is False), so pointer read/commit, garbage
+    delete, and the root sweep all route through the Hadoop FileSystem
+    — the same code an s3a:// table would run, minus the network."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        _read_pointer,
+        compact_clustered_table,
+        read_clustered_table,
+        resolve_clustered_table,
+    )
+
+    local_root = tmp_path / "t"
+    uri = "file:" + str(local_root)
+    df = spark.createDataFrame(
+        [Row(a=float(a), b=float(b)) for a in range(32) for b in range(32)]
+    )
+    zorder_layout(df, ["a", "b"], uri, bits=4, num_files=2)
+    assert _read_pointer(uri, spark) is None
+
+    compact_clustered_table(uri, ["a", "b"], bits=4, num_files=2,
+                            spark=spark, swap="manifest")
+    # pointer readable only through the Hadoop branch (no local file
+    # at the literal URI string), resolution + read work end to end
+    assert _read_pointer(uri, spark) == "v_000001"
+    assert resolve_clustered_table(uri, spark=spark).endswith("v_000001")
+    assert read_clustered_table(spark, uri).count() == 1024
+    # the flat files were swept through the Hadoop delete; only the
+    # hidden _versions dir remains on disk
+    assert os.listdir(local_root) == ["_versions"]
+
+    # second compact through the same branch: commit overwrites the
+    # pointer via fs.create(overwrite) and retires v_000001
+    compact_clustered_table(uri, ["a", "b"], bits=4, num_files=2,
+                            spark=spark, swap="manifest")
+    assert _read_pointer(uri, spark) == "v_000002"
+    assert not (local_root / "_versions" / "v_000001").exists()
+    assert read_clustered_table(spark, uri).count() == 1024
