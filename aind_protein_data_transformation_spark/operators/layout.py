@@ -526,7 +526,12 @@ def zorder_layout(
     Returns the bin edges used (callers re-deriving the key — e.g. to
     route point lookups to files — need the same edges; persisting them
     next to the data is the caller's business, same geometry-is-identity
-    rule as the LSH index stamps).
+    rule as the LSH index stamps). A sidecar stored in the table
+    directory must use a HIDDEN name (underscore/dot-prefixed, e.g.
+    ``_edges.json`` — the ``_delta_log`` convention): Spark's listing
+    skips hidden entries, so readers don't try to parse it as parquet,
+    and the manifest compact's stale-data sweep (which removes only
+    ``*.parquet`` entries) leaves it alone either way.
     """
     cols = list(cols)
     if curve not in ("morton", "hilbert"):
@@ -623,8 +628,9 @@ def resolve_clustered_table(path: str, spark=None) -> str:
     manifest-compacted resolve to ``path`` itself. Readers in the
     manifest regime must go through this helper (or
     :func:`read_clustered_table`); a raw ``spark.read.parquet(path)``
-    on a manifest table fails loudly (the root holds only the hidden
-    ``_versions`` dir) rather than returning stale data.
+    on a manifest table fails loudly (the root holds no data files —
+    only the hidden ``_versions`` dir plus any non-data sidecars the
+    caller keeps there) rather than returning stale data.
 
     Pass ``spark`` to resolve non-local paths: the pointer is then
     read through the Hadoop FileSystem for the path's scheme (one
@@ -639,30 +645,44 @@ def resolve_clustered_table(path: str, spark=None) -> str:
 def _read_pointer(path: str, spark=None) -> str | None:
     """The manifest pointer's content (live version name), or None for
     a flat/never-compacted table. Local file fast path; Hadoop
-    FileSystem for non-local schemes when ``spark`` is available."""
+    FileSystem for non-local schemes when ``spark`` is available.
+
+    A BLANK pointer reads as None, never as an empty version name: an
+    empty ``_CURRENT`` is a mid-commit or crashed-commit state, and an
+    empty version would make :func:`resolve_clustered_table` return
+    ``<path>/_versions/`` — the union of EVERY unit (silent duplicate
+    rows). None instead resolves to the (empty) root, so every
+    downstream read fails loudly."""
     pointer = os.path.join(path, _VERSIONS_DIR, _CURRENT_POINTER)
+    version = None
     if os.path.isfile(pointer):
         with open(pointer) as f:
-            return f.read().strip()
-    if spark is not None and not os.path.isdir(path):
+            version = f.read().strip()
+    elif spark is not None and not os.path.isdir(path):
         fs, jpointer = _hadoop_fs(spark, pointer)
         if fs.exists(jpointer):
             stream = fs.open(jpointer)
             try:
-                return spark._jvm.org.apache.commons.io.IOUtils.toString(
+                version = spark._jvm.org.apache.commons.io.IOUtils.toString(
                     stream, "UTF-8"
                 ).strip()
             finally:
                 stream.close()
-    return None
+    return version or None
 
 
 def _commit_pointer(versions_root: str, version: str, spark) -> None:
-    """Atomically make ``version`` the live unit. Local filesystems:
-    write-tmp + ``os.replace`` (atomic on POSIX). Non-local schemes:
-    a single-object overwrite through the Hadoop FileSystem — on
-    S3-class stores one small PUT, which is atomic per object (readers
-    see the old or the new pointer, never a partial one)."""
+    """Make ``version`` the live unit via one small-file update. Local
+    filesystems: write-tmp + ``os.replace`` (atomic on POSIX, no
+    partial or empty state ever visible). Non-local schemes: a
+    single-object overwrite through the Hadoop FileSystem — on
+    S3-class stores one small PUT, atomic per object (readers see the
+    old or the new pointer, never a partial one). On HDFS,
+    create(overwrite) is NOT a single atomic PUT: a reader racing the
+    commit can observe an empty or partial ``_CURRENT`` — which
+    :func:`_read_pointer`'s blank-as-None rule and the
+    nonexistent-unit read turn into a LOUD transient failure (retry),
+    never a silent multi-unit read."""
     pointer = os.path.join(versions_root, _CURRENT_POINTER)
     if os.path.isdir(versions_root):
         tmp_pointer = pointer + ".tmp"
@@ -692,9 +712,7 @@ def _delete_tree(p: str, spark) -> None:
                 pass
         return
     try:
-        fs, jp = _hadoop_fs(spark, p)
-        if fs.exists(jp):
-            fs.delete(jp, True)
+        _hadoop_delete(spark, p)
     except Exception:
         pass  # best-effort: an unreferenced unit is inert garbage
 
@@ -787,7 +805,13 @@ def compact_clustered_table(
     path = df_or_path
     if spark is None:
         raise ValueError("spark session required when passing a path")
-    live_dir = resolve_clustered_table(path, spark=spark)
+    # ONE pointer read feeds both the live snapshot and (in the
+    # manifest branch) the next version number — two reads could
+    # straddle a concurrent commit and number the new unit against a
+    # different state than the one fingerprint-verified
+    current = _read_pointer(path, spark)
+    live_dir = (os.path.join(path, _VERSIONS_DIR, current)
+                if current else path)
     live = spark.read.parquet(live_dir)
 
     def _fingerprint(d: DataFrame):
@@ -820,21 +844,24 @@ def compact_clustered_table(
 
     if swap == "manifest":
         versions_root = os.path.join(path, _VERSIONS_DIR)
-        current = _read_pointer(path, spark)
         next_n = (int(current.split("_")[1]) + 1) if current else 1
         next_version = f"v_{next_n:06d}"
         target = os.path.join(versions_root, next_version)
         edges = _recluster_and_verify(target, "live pointer")
         _commit_pointer(versions_root, next_version, spark)
         # everything the pointer doesn't name is now unreferenced —
-        # remove best-effort: the previous unit, AND any stale flat
+        # remove best-effort: the previous unit, AND stale flat DATA
         # files in the root (swept on EVERY compact, not only the
         # first, so a crash between a past commit and its cleanup
-        # cannot strand a stale shadow copy forever)
+        # cannot strand a stale shadow copy forever). Only
+        # parquet-looking entries are swept: caller sidecars stored
+        # next to the data (edge snapshots, markers — the
+        # zorder_layout docstring invites them) are not data and are
+        # left alone.
         if current:
             _delete_tree(os.path.join(versions_root, current), spark)
         for entry in _list_entries(path, spark):
-            if entry != _VERSIONS_DIR:
+            if entry != _VERSIONS_DIR and entry.endswith(".parquet"):
                 _delete_tree(os.path.join(path, entry), spark)
         return edges
 

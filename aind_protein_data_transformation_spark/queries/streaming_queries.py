@@ -558,7 +558,10 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fixed path, cleared up front: append-mode clustering accumulates
     # files, so a fresh dir per invocation (mkdtemp) would leak a full
-    # clustered copy of events into /tmp on every driver run
+    # clustered copy of events into /tmp on every driver run. Fixed
+    # paths assume one runner per machine — the repo-wide sink-query
+    # convention (sink_parquet_roundtrip etc.), and the bench/verify
+    # docs already forbid concurrent Spark workloads here.
     out_root = os.path.join(tempfile.gettempdir(),
                             "spark_graft_clustered_ingest")
     shutil.rmtree(out_root, ignore_errors=True)

@@ -953,9 +953,10 @@ def test_manifest_swap_through_hadoop_filesystem_branch(spark, tmp_path):
     assert _read_pointer(uri, spark) == "v_000001"
     assert resolve_clustered_table(uri, spark=spark).endswith("v_000001")
     assert read_clustered_table(spark, uri).count() == 1024
-    # the flat files were swept through the Hadoop delete; only the
-    # hidden _versions dir remains on disk
-    assert os.listdir(local_root) == ["_versions"]
+    # the flat DATA files were swept through the Hadoop delete;
+    # non-data residue (_SUCCESS, .crc) may remain but no parquet does
+    assert not [n for n in os.listdir(local_root) if n.endswith(".parquet")]
+    assert "_versions" in os.listdir(local_root)
 
     # second compact through the same branch: commit overwrites the
     # pointer via fs.create(overwrite) and retires v_000001
@@ -964,3 +965,66 @@ def test_manifest_swap_through_hadoop_filesystem_branch(spark, tmp_path):
     assert _read_pointer(uri, spark) == "v_000002"
     assert not (local_root / "_versions" / "v_000001").exists()
     assert read_clustered_table(spark, uri).count() == 1024
+
+
+def test_blank_pointer_fails_loudly_never_multi_unit(spark, tmp_path):
+    """An empty _CURRENT (mid-commit / crashed-commit state on stores
+    without atomic small-file replace) must resolve as if no pointer
+    existed — loud downstream failure — NEVER as an empty version name,
+    which would join to _versions/ itself and silently read EVERY unit
+    at once (duplicate rows)."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        _read_pointer,
+        compact_clustered_table,
+        resolve_clustered_table,
+    )
+
+    live = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(a=float(a), b=float(b)) for a in range(16) for b in range(16)]
+    )
+    zorder_layout(df, ["a", "b"], live, bits=3, num_files=2)
+    compact_clustered_table(live, ["a", "b"], bits=3, num_files=2,
+                            spark=spark, swap="manifest")
+    pointer = os.path.join(live, "_versions", "_CURRENT")
+    with open(pointer, "w") as f:
+        f.write("")  # simulate the crashed-commit state
+
+    assert _read_pointer(live, spark) is None
+    assert resolve_clustered_table(live) == live  # root, not _versions/
+    # and the root holds no data files, so the read fails LOUDLY
+    with pytest.raises(Exception):
+        spark.read.parquet(resolve_clustered_table(live)).collect()
+
+
+def test_manifest_sweep_preserves_caller_sidecars(spark, tmp_path):
+    """The post-commit root sweep removes stale DATA files only: a
+    caller-persisted sidecar next to the data (the edge snapshot the
+    zorder_layout docstring invites — HIDDEN-named per the Spark
+    sidecar convention, or any flat read would parse it as parquet)
+    survives every compact."""
+    import json
+
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_clustered_table,
+        read_clustered_table,
+    )
+
+    live = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(a=float(a), b=float(b)) for a in range(16) for b in range(16)]
+    )
+    edges = zorder_layout(df, ["a", "b"], live, bits=3, num_files=2)
+    sidecar = os.path.join(live, "_edges.json")
+    with open(sidecar, "w") as f:
+        json.dump(edges, f)
+
+    for _ in range(2):
+        compact_clustered_table(live, ["a", "b"], bits=3, num_files=2,
+                                spark=spark, swap="manifest")
+    assert os.path.isfile(sidecar)          # sidecar survived both sweeps
+    with open(sidecar) as f:
+        assert json.load(f) == edges
+    # while the stale flat DATA files are gone
+    assert not [n for n in os.listdir(live) if n.endswith(".parquet")]
+    assert read_clustered_table(spark, live).count() == 256
