@@ -45,6 +45,13 @@ from __future__ import annotations
 import os
 from typing import Sequence
 
+# Hard dependency, deliberate: the hilbert re-rank below is a
+# ``pandas_udf`` whose type hints are strings under ``from __future__
+# import annotations`` and resolve in MODULE globals, so ``pd`` must be
+# importable at module load — a function-local import cannot satisfy the
+# hint resolution. pyspark's own Arrow paths (pandas_udf, mapInPandas)
+# already require pandas, so this adds no dependency the engine could
+# otherwise run without.
 import pandas as pd  # noqa: F401  (resolves pandas_udf type hints)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -56,6 +63,7 @@ __all__ = [
     "zorder_layout",
     "hilbert_from_morton",
     "compact_clustered_table",
+    "vacuum_clustered_table",
     "resolve_clustered_table",
     "read_clustered_table",
     "layout_scan_fraction",
@@ -635,6 +643,14 @@ def resolve_clustered_table(path: str, spark=None) -> str:
     Pass ``spark`` to resolve non-local paths: the pointer is then
     read through the Hadoop FileSystem for the path's scheme (one
     small-object GET); without it only local pointers are visible.
+
+    Reader-vs-cleanup boundary: a resolved unit stays readable across
+    the NEXT :func:`compact_clustered_table` — its cleanup keeps the
+    ``keep_versions`` (default 1) most recent retired generations
+    precisely so a scan that resolved just before the pointer commit
+    can finish. A reader that outlives more compacts than that (or an
+    explicit :func:`vacuum_clustered_table`) loses its files LOUDLY
+    mid-scan — re-resolve and retry; never silently wrong data.
     """
     version = _read_pointer(path, spark)
     if version is not None:
@@ -642,10 +658,54 @@ def resolve_clustered_table(path: str, spark=None) -> str:
     return path
 
 
+def _path_scheme(path: str) -> str | None:
+    """URI scheme of ``path`` (``file``, ``s3a``, ``hdfs``, ...), or
+    None for a scheme-less path."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", path)
+    return m.group(1).lower() if m else None
+
+
+def _use_local_fs(path: str, spark) -> bool:
+    """Dispatch the pointer protocol on the path's SCHEME, never by
+    probing the driver's local disk: when the session's default FS is
+    remote (HDFS/S3), a same-named directory that happens to exist on
+    the driver's local disk must NOT capture the pointer read/commit —
+    that would resolve the manifest against the wrong filesystem and
+    silently see no manifest. Scheme-less paths follow
+    ``fs.defaultFS`` (the same rule Spark itself applies); an explicit
+    ``file:`` URI goes through the Hadoop FileSystem when a session is
+    available (same bytes, and it keeps the Hadoop branch exercised by
+    the local twin tests), plain Python I/O otherwise."""
+    scheme = _path_scheme(path)
+    if scheme is None:
+        if spark is None:
+            return True
+        default = spark._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        return default.startswith("file:")
+    if scheme == "file":
+        return spark is None
+    return False
+
+
+def _strip_file_scheme(path: str) -> str:
+    """``file:``-URI → plain local path (for the no-session fallback)."""
+    if path.startswith("file://"):
+        rest = path[len("file://"):]
+        return rest if rest.startswith("/") else "/" + rest
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
 def _read_pointer(path: str, spark=None) -> str | None:
     """The manifest pointer's content (live version name), or None for
-    a flat/never-compacted table. Local file fast path; Hadoop
-    FileSystem for non-local schemes when ``spark`` is available.
+    a flat/never-compacted table. Scheme-dispatched: local Python I/O
+    for local paths, the Hadoop FileSystem for everything else (see
+    :func:`_use_local_fs`).
 
     A BLANK pointer reads as None, never as an empty version name: an
     empty ``_CURRENT`` is a mid-commit or crashed-commit state, and an
@@ -655,10 +715,12 @@ def _read_pointer(path: str, spark=None) -> str | None:
     downstream read fails loudly."""
     pointer = os.path.join(path, _VERSIONS_DIR, _CURRENT_POINTER)
     version = None
-    if os.path.isfile(pointer):
-        with open(pointer) as f:
-            version = f.read().strip()
-    elif spark is not None and not os.path.isdir(path):
+    if _use_local_fs(path, spark):
+        local = _strip_file_scheme(pointer)
+        if os.path.isfile(local):
+            with open(local) as f:
+                version = f.read().strip()
+    else:
         fs, jpointer = _hadoop_fs(spark, pointer)
         if fs.exists(jpointer):
             stream = fs.open(jpointer)
@@ -684,11 +746,12 @@ def _commit_pointer(versions_root: str, version: str, spark) -> None:
     nonexistent-unit read turn into a LOUD transient failure (retry),
     never a silent multi-unit read."""
     pointer = os.path.join(versions_root, _CURRENT_POINTER)
-    if os.path.isdir(versions_root):
-        tmp_pointer = pointer + ".tmp"
+    if _use_local_fs(versions_root, spark):
+        local = _strip_file_scheme(pointer)
+        tmp_pointer = local + ".tmp"
         with open(tmp_pointer, "w") as f:
             f.write(version)
-        os.replace(tmp_pointer, pointer)
+        os.replace(tmp_pointer, local)
         return
     fs, jpointer = _hadoop_fs(spark, pointer)
     stream = fs.create(jpointer, True)
@@ -700,14 +763,15 @@ def _commit_pointer(versions_root: str, version: str, spark) -> None:
 
 def _delete_tree(p: str, spark) -> None:
     """Best-effort recursive delete, scheme-portable."""
-    if os.path.isdir(p) or os.path.isfile(p):
+    if _use_local_fs(p, spark):
         import shutil
 
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+        local = _strip_file_scheme(p)
+        if os.path.isdir(local):
+            shutil.rmtree(local, ignore_errors=True)
         else:
             try:
-                os.remove(p)
+                os.remove(local)
             except OSError:
                 pass
         return
@@ -719,8 +783,9 @@ def _delete_tree(p: str, spark) -> None:
 
 def _list_entries(path: str, spark) -> list[str]:
     """Child entry names of ``path``, scheme-portable."""
-    if os.path.isdir(path):
-        return os.listdir(path)
+    if _use_local_fs(path, spark):
+        local = _strip_file_scheme(path)
+        return os.listdir(local) if os.path.isdir(local) else []
     fs, jp = _hadoop_fs(spark, path)
     if not fs.exists(jp):
         return []
@@ -742,6 +807,7 @@ def compact_clustered_table(
     curve: str = "morton",
     spark=None,
     swap: str = "rename",
+    keep_versions: int = 1,
 ) -> dict[str, list[float]]:
     """Re-cluster an incrementally-appended table back to the global
     bound, verify, then swap — the table-level twin of the index
@@ -781,11 +847,30 @@ def compact_clustered_table(
     commit the live table is untouched and the half-built version dir
     is overwritten by the retried compact (the version number is
     recomputed from the pointer); after the commit the new unit is
-    live and everything the pointer doesn't name — the previous unit,
-    stale flat files in the root — is unreferenced garbage, removed
+    live and everything the pointer doesn't name — prior units, stale
+    flat files in the root — is unreferenced garbage, removed
     best-effort last AND re-swept by every later compact, so a crash
     inside the cleanup window costs temporary storage, never
     correctness.
+
+    **Reader retention window** (``keep_versions``, manifest regime
+    only): cleanup keeps the ``keep_versions`` most recently RETIRED
+    versioned units (default 1 — the immediately-previous unit), so a
+    reader that resolved the old pointer just before the commit can
+    finish its scan — the same retired-snapshot grace Delta/Iceberg
+    give in-flight readers, with :func:`vacuum_clustered_table` as the
+    separate explicit vacuum. The boundary: a reader is safe while its
+    resolved unit is within the newest ``keep_versions`` retired
+    units — with the default, any scan that outlives ONE further
+    compact loses its files (loudly, mid-collect — never silently
+    wrong). Two deliberate edges: ``keep_versions=0`` restores eager
+    cleanup for single-runner deployments that never overlap reads
+    with compacts, and the FIRST compact's sweep of the pre-manifest
+    flat root files is always eager regardless — the blank-pointer
+    hardening requires the root to hold no data (a crashed commit
+    resolves there and must fail loudly, never serve a stale flat
+    copy), so readers of the not-yet-converted flat state get no
+    grace; convert during a quiet window.
 
     Accepts a path (str); ``spark`` is required then. ``bits=None``
     law-sizes the re-clustered geometry (see :func:`zorder_layout`).
@@ -850,16 +935,20 @@ def compact_clustered_table(
         edges = _recluster_and_verify(target, "live pointer")
         _commit_pointer(versions_root, next_version, spark)
         # everything the pointer doesn't name is now unreferenced —
-        # remove best-effort: the previous unit, AND stale flat DATA
-        # files in the root (swept on EVERY compact, not only the
-        # first, so a crash between a past commit and its cleanup
-        # cannot strand a stale shadow copy forever). Only
-        # parquet-looking entries are swept: caller sidecars stored
-        # next to the data (edge snapshots, markers — the
-        # zorder_layout docstring invites them) are not data and are
-        # left alone.
-        if current:
-            _delete_tree(os.path.join(versions_root, current), spark)
+        # remove best-effort, EXCEPT the newest ``keep_versions``
+        # retired units (the in-flight-reader grace window; see
+        # docstring). Re-swept by every later compact, so a crash
+        # between a past commit and its cleanup cannot strand a stale
+        # shadow copy forever. Stale flat DATA files in the root are
+        # always swept eagerly (see _retired_units: the blank-pointer
+        # hardening needs an empty root), and only parquet-looking root
+        # entries are: caller sidecars stored next to the data (edge
+        # snapshots, markers — the zorder_layout docstring invites
+        # them) are not data and are left alone.
+        for unit in _retired_units(path, next_version, spark)[
+            max(0, int(keep_versions)):
+        ]:
+            _delete_tree(unit, spark)
         for entry in _list_entries(path, spark):
             if entry != _VERSIONS_DIR and entry.endswith(".parquet"):
                 _delete_tree(os.path.join(path, entry), spark)
@@ -874,6 +963,58 @@ def compact_clustered_table(
     os.rename(tmp, path)
     shutil.rmtree(retired, ignore_errors=True)
     return edges
+
+
+def _retired_units(path: str, live_version: str, spark) -> list[str]:
+    """Paths of the retired versioned units of a manifest table, NEWEST
+    first (descending version number, live unit excluded). The
+    retention slice ``[keep_versions:]`` over this list grants the
+    in-flight-reader grace window to the most recently retired units.
+
+    Deliberately EXCLUDES the pre-manifest flat root files: those are
+    always swept eagerly, because the blank-pointer hardening depends
+    on it — a crashed later commit reads as no-pointer and resolves to
+    the ROOT, which must then hold no data so the read fails loudly;
+    a retained flat generation there would be served as silently-stale
+    data instead. The first compact therefore gives no grace to
+    readers of the pre-manifest flat state — convert during a quiet
+    window (the same boundary as Delta's CONVERT)."""
+    versions_root = os.path.join(path, _VERSIONS_DIR)
+    return [
+        os.path.join(versions_root, e)
+        for e in sorted(
+            (
+                e
+                for e in _list_entries(versions_root, spark)
+                if e.startswith("v_") and e != live_version
+            ),
+            key=lambda e: int(e.split("_")[1]),
+            reverse=True,
+        )
+    ]
+
+
+def vacuum_clustered_table(path: str, spark, keep_versions: int = 0) -> list[str]:
+    """Explicitly remove retired generations a compact's retention
+    window kept (the separate-vacuum half of the Delta/Iceberg shape:
+    ``compact_clustered_table(keep_versions=1)`` leaves the previous
+    unit for in-flight readers; this call reclaims it once no reader
+    can still hold it — a boundary only the DEPLOYMENT knows, which is
+    why vacuum is explicit and never implied by a compact).
+
+    ``keep_versions`` has the same meaning as on the compact (0 here:
+    remove every retired generation). No-op on a never-manifest-
+    compacted table. Returns the paths removed."""
+    current = _read_pointer(path, spark)
+    if current is None:
+        return []
+    removed: list[str] = []
+    for unit in _retired_units(path, current, spark)[
+        max(0, int(keep_versions)):
+    ]:
+        _delete_tree(unit, spark)
+        removed.append(unit)
+    return removed
 
 
 def layout_scan_fraction(

@@ -720,13 +720,27 @@ def test_manifest_compact_swap_and_resolve(spark, tmp_path):
     with pytest.raises(Exception):
         spark.read.parquet(live).collect()
 
-    # second compact: pointer moves to v_000002, v_000001 retired
+    # second compact: pointer moves to v_000002; v_000001 is retired
+    # but RETAINED (keep_versions=1 default — the in-flight-reader
+    # grace window); the explicit vacuum reclaims it
     compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
                             spark=spark, swap="manifest")
     v2 = resolve_clustered_table(live)
     assert v2.endswith("v_000002")
+    assert os.path.isdir(v1)                       # grace window
+    assert read_clustered_table(spark, live).count() == 1024
+    from aind_protein_data_transformation_spark.operators.layout import vacuum_clustered_table
+    removed = vacuum_clustered_table(live, spark)
+    assert removed == [v1]
     assert not os.path.exists(v1)
     assert read_clustered_table(spark, live).count() == 1024
+
+    # keep_versions=0 restores eager cleanup: the third compact removes
+    # v_000002 immediately
+    compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
+                            spark=spark, swap="manifest", keep_versions=0)
+    assert resolve_clustered_table(live).endswith("v_000003")
+    assert not os.path.exists(v2)
 
     with pytest.raises(ValueError, match="swap regime"):
         compact_clustered_table(live, ["a"], spark=spark, swap="copy")
@@ -823,11 +837,13 @@ def test_append_after_manifest_compact_stays_visible(spark, tmp_path):
     geo = layout_scan_fraction(live, {"a": (None, None), "b": (None, None)})
     assert geo["rows"] == 1024
 
-    # second compact folds the appended rows into v_000002
+    # second compact folds the appended rows into v_000002; v_000001
+    # stays for the retention window (keep_versions=1 default) and the
+    # live read is unaffected by its presence
     compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
                             spark=spark, swap="manifest")
     assert resolve_clustered_table(live).endswith("v_000002")
-    assert not os.path.exists(v1)
+    assert os.path.isdir(v1)
     assert read_clustered_table(spark, live).count() == 1024
 
 
@@ -927,10 +943,12 @@ def test_scan_fraction_predicts_spark_reader_on_strings(spark, tmp_path):
 
 def test_manifest_swap_through_hadoop_filesystem_branch(spark, tmp_path):
     """The scheme-portable half of the manifest regime, exercised live:
-    a ``file:`` URI defeats every local os.* fast path (os.path.isdir
-    on the URI string is False), so pointer read/commit, garbage
-    delete, and the root sweep all route through the Hadoop FileSystem
-    — the same code an s3a:// table would run, minus the network."""
+    the pointer protocol dispatches on the path SCHEME (layout.py
+    ``_use_local_fs`` — never by probing the driver's local disk), and
+    an explicit ``file:`` URI with a session routes pointer
+    read/commit, garbage delete, and the root sweep through the Hadoop
+    FileSystem — the same code an s3a:// table would run, minus the
+    network."""
     from aind_protein_data_transformation_spark.operators.layout import (
         _read_pointer,
         compact_clustered_table,
@@ -960,8 +978,10 @@ def test_manifest_swap_through_hadoop_filesystem_branch(spark, tmp_path):
 
     # second compact through the same branch: commit overwrites the
     # pointer via fs.create(overwrite) and retires v_000001
+    # (keep_versions=0 so the retired-unit delete itself exercises the
+    # Hadoop branch too)
     compact_clustered_table(uri, ["a", "b"], bits=4, num_files=2,
-                            spark=spark, swap="manifest")
+                            spark=spark, swap="manifest", keep_versions=0)
     assert _read_pointer(uri, spark) == "v_000002"
     assert not (local_root / "_versions" / "v_000001").exists()
     assert read_clustered_table(spark, uri).count() == 1024
@@ -1028,3 +1048,109 @@ def test_manifest_sweep_preserves_caller_sidecars(spark, tmp_path):
     # while the stale flat DATA files are gone
     assert not [n for n in os.listdir(live) if n.endswith(".parquet")]
     assert read_clustered_table(spark, live).count() == 256
+
+
+def test_manifest_retention_keeps_in_flight_reader_alive(spark, tmp_path):
+    """The reader-vs-cleanup boundary (VERDICT round 13 #2): a
+    DataFrame resolved against the pre-compact live unit still
+    collects correctly AFTER a compact promotes the next version —
+    keep_versions=1 (the default) retains the immediately-previous
+    unit exactly for that reader. The explicit vacuum then reclaims
+    it, after which the stale plan fails LOUDLY (missing files), never
+    silently wrong."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_clustered_table,
+        resolve_clustered_table,
+        vacuum_clustered_table,
+    )
+
+    live = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(a=float(a), b=float(b)) for a in range(32) for b in range(32)]
+    )
+    zorder_layout(df, ["a", "b"], live, bits=4, num_files=2)
+    compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
+                            spark=spark, swap="manifest")
+    v1 = resolve_clustered_table(live)
+
+    # the in-flight reader: resolved v_000001, scan not yet finished
+    reader = spark.read.parquet(v1)
+
+    compact_clustered_table(live, ["a", "b"], bits=4, num_files=2,
+                            spark=spark, swap="manifest")
+    assert resolve_clustered_table(live).endswith("v_000002")
+    # the pre-compact reader finishes its scan against the retained unit
+    assert reader.count() == 1024
+    assert reader.agg(F.sum("a")).collect()[0][0] == 32 * sum(range(32))
+
+    # explicit vacuum reclaims the retained unit; the stale reader now
+    # fails loudly on its next action
+    assert vacuum_clustered_table(live, spark) == [v1]
+    with pytest.raises(Exception):
+        spark.read.parquet(v1).collect()
+    # fresh resolution is unaffected
+    fresh = spark.read.parquet(resolve_clustered_table(live))
+    assert fresh.count() == 1024
+
+
+def test_vacuum_respects_keep_versions_and_flat_noop(spark, tmp_path):
+    """vacuum(keep_versions=k) keeps the k newest retired units;
+    vacuum on a never-manifest-compacted table is a no-op."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_clustered_table,
+        resolve_clustered_table,
+        vacuum_clustered_table,
+    )
+
+    live = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(a=float(a), b=float(b)) for a in range(16) for b in range(16)]
+    )
+    zorder_layout(df, ["a", "b"], live, bits=3, num_files=2)
+    assert vacuum_clustered_table(live, spark) == []  # flat: no-op
+
+    # three compacts with an unbounded window: v1 and v2 both retained
+    for _ in range(3):
+        compact_clustered_table(live, ["a", "b"], bits=3, num_files=2,
+                                spark=spark, swap="manifest",
+                                keep_versions=10)
+    assert resolve_clustered_table(live).endswith("v_000003")
+    vroot = os.path.join(live, "_versions")
+    assert os.path.isdir(os.path.join(vroot, "v_000001"))
+    assert os.path.isdir(os.path.join(vroot, "v_000002"))
+
+    # keep the newest retired unit (v2), reclaim the older (v1)
+    removed = vacuum_clustered_table(live, spark, keep_versions=1)
+    assert removed == [os.path.join(vroot, "v_000001")]
+    assert os.path.isdir(os.path.join(vroot, "v_000002"))
+
+
+def test_pointer_protocol_dispatches_on_scheme(spark, tmp_path):
+    """The pointer protocol picks local-vs-Hadoop by path SCHEME, never
+    by probing the driver's local disk (ADVICE round 13): a remote
+    scheme routes to the Hadoop FileSystem even when a same-named
+    directory exists locally; scheme-less paths follow fs.defaultFS;
+    file: URIs go through Hadoop when a session is available and plain
+    I/O otherwise."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        _strip_file_scheme,
+        _use_local_fs,
+    )
+
+    local_dir = str(tmp_path / "shadow")
+    os.makedirs(local_dir)
+    # remote scheme: NEVER local, even though the local twin dir exists
+    assert not _use_local_fs("s3a:/" + local_dir, spark)
+    assert not _use_local_fs("hdfs://nn" + local_dir, spark)
+    # scheme-less under a file: defaultFS (the test session): local
+    assert _use_local_fs(local_dir, spark)
+    assert _use_local_fs(local_dir + "/nonexistent", spark)  # no probing
+    # scheme-less without a session: local (the no-spark resolve path)
+    assert _use_local_fs(local_dir, None)
+    # explicit file: URI — Hadoop with a session, plain I/O without
+    assert not _use_local_fs("file:" + local_dir, spark)
+    assert _use_local_fs("file:" + local_dir, None)
+
+    assert _strip_file_scheme("file:///x/y") == "/x/y"
+    assert _strip_file_scheme("file:/x/y") == "/x/y"
+    assert _strip_file_scheme("/x/y") == "/x/y"
