@@ -530,22 +530,37 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest into a Z-order clustered lake table — the
     composition the layout operator exists for at 100 TB
     (operators/layout.py + tests/test_streaming_layout.py, measured
-    BENCH.md round 12): ``foreachBatch`` lands every micro-batch
-    through ``zorder_layout(mode="append", edges=<shared>)``, so the
-    table is ALREADY clustered on (user_id, value) as it arrives — no
-    post-hoc re-layout pass, history never re-shuffled. The first
-    batch's sketch pass snapshots the bin edges; every later batch
-    reuses them (``edges=``), giving one key space and zero extra
-    sketch passes per append — the write-side twin of the incremental
-    LSH indexes' never-re-scan-history rule. Explicit ``bits`` keeps
-    every batch in one exact key space (the operator's ``bits=None``
-    default would law-size per batch).
+    BENCH.md round 12): ``foreachBatch`` lands every micro-batch as a
+    clustered unit, so the table is ALREADY clustered on
+    (user_id, value) as it arrives — no post-hoc re-layout pass,
+    history never re-shuffled. The first batch's sketch pass snapshots
+    the bin edges; every later batch reuses them (``edges=``), giving
+    one key space and zero extra sketch passes per append — the
+    write-side twin of the incremental LSH indexes'
+    never-re-scan-history rule. Explicit ``bits`` keeps every batch in
+    one exact key space (the operator's ``bits=None`` default would
+    law-size per batch).
+
+    The landing is IDEMPOTENT per batch: ``foreachBatch`` is
+    at-least-once under crash replay, so each micro-batch clusters
+    into its own ``batch=<id>`` unit with ``mode="overwrite"`` — a
+    replayed batch replaces its own (possibly partial) unit instead of
+    appending a duplicate copy, the same overwrite-by-batch-id rule as
+    the sibling ``streaming_foreachbatch_sink``. Per-batch units cost
+    the pruning nothing — row-group min/max boxes are a per-group
+    property regardless of which unit holds the group — and they are
+    the natural compaction granularity (``compact_clustered_table``
+    folds the k oldest units on whatever cadence the incremental-vs-
+    global gap justifies). A transactional single-dir ``mode="append"``
+    landing remains the right shape on stores with atomic commit
+    (Delta-style); on plain parquet, batch-keyed overwrite is the form
+    that makes replay exactly-once.
 
     The returned answer is the predicate shape the layout serves — a
     multi-column (user_id, value) box with NO time term, which an
     arrival-time layout cannot prune — aggregated from the files the
     stream just wrote. The oracle runs the same box aggregate on the
-    source events table: replay equivalence proves every row arrived
+    source events table: replay equivalence proves every row landed
     exactly once AND the cluster-write lost, duplicated, re-typed
     nothing. (The pruning geometry itself is deterministic
     footer-measured in tests/test_streaming_layout.py; correctness
@@ -570,8 +585,8 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         state["edges"] = zorder_layout(
-            batch_df, ["user_id", "value"], lake, bits=5, num_files=2,
-            mode="append", edges=state["edges"],
+            batch_df, ["user_id", "value"], f"{lake}/batch={batch_id}",
+            bits=5, num_files=2, mode="overwrite", edges=state["edges"],
         )
 
     ev = read_events_stream(spark, sf_dir)
@@ -584,7 +599,7 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     handle.awaitTermination()
     shutil.rmtree(f"{out_root}/_ckpt", ignore_errors=True)
 
-    landed = spark.read.parquet(lake)
+    landed = spark.read.parquet(f"{lake}/batch=*")
     return (
         landed.filter(
             (F.col("user_id") >= 20) & (F.col("user_id") <= 60)

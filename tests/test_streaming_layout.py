@@ -137,3 +137,48 @@ def test_stream_lands_clustered(spark, split_sf_dir, tmp_path):
     assert g_clustered["fraction_rows_kept"] < 0.7
     assert (g_clustered["fraction_rows_kept"]
             < g_naive["fraction_rows_kept"] - 0.2)
+
+
+def test_batch_keyed_landing_is_replay_idempotent(spark, split_sf_dir, tmp_path):
+    """The registered streaming_clustered_ingest query lands each
+    micro-batch as an OVERWRITE of its own ``batch=<id>`` unit.
+    foreachBatch is at-least-once under crash replay, so the pinned
+    claim is: a replayed batch — including one whose first attempt
+    landed only partially before the crash — leaves the lake multiset
+    exactly equal to one copy of the source, and a replay of an
+    already-fully-landed batch changes nothing."""
+    lake = str(tmp_path / "lake")
+    cols = ["user_id", "value"]
+    ev = load_table(spark, split_sf_dir, "events")
+    batches = [
+        ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+
+    def land(batch_df, batch_id, edges):
+        return zorder_layout(
+            batch_df, cols, f"{lake}/batch={batch_id}",
+            bits=5, num_files=1, mode="overwrite", edges=edges,
+        )
+
+    def fp(d):
+        cols_all = sorted(d.columns)
+        return tuple(d.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64(F.to_json(F.struct(*cols_all)))
+                  .cast("decimal(38,0)")),
+        ).collect()[0])
+
+    edges = land(batches[0], 0, None)
+    # batch 1's first attempt "crashes" after landing a partial unit
+    land(batches[1].limit(50), 1, edges)
+    # replay (at-least-once): the full batch OVERWRITES its own unit
+    land(batches[1], 1, edges)
+    land(batches[2], 2, edges)
+    landed = spark.read.parquet(f"{lake}/batch=*")
+    assert fp(landed.select(*ev.columns)) == fp(ev)
+
+    # replaying an already-fully-landed batch is a no-op on the multiset
+    land(batches[2], 2, edges)
+    landed = spark.read.parquet(f"{lake}/batch=*")
+    assert fp(landed.select(*ev.columns)) == fp(ev)
