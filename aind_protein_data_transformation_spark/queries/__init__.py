@@ -38,6 +38,15 @@ DRIVER_WINDOW = [
     # relational core (scan, filter, hash agg, equi/broadcast join)
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # round-14 rotation (VERDICT round 13 #3): the bucketed co-located
+    # join — the zero-Exchange write-side layout contract — gets its
+    # first driver row (registered this round with an in-query plan
+    # assertion: any Exchange in the joined plan raises). Out:
+    # q_semi_join_customers_with_orders after twelve consecutive greens
+    # (r1–r13), the longest-serving join veteran; LeftSemi shares
+    # Catalyst's join machinery with the in-window LeftAnti row, which
+    # also inherits its tail twins (subquery rewrites etc.).
+    "sink_bucketed_join",
     # join variants — round-11 rotation (VERDICT round 10 #2): the anti
     # join rotated to the tail in round 4 as a LeftSemi machinery twin,
     # but LeftAnti is the one join TYPE whose own query has the shortest
@@ -45,7 +54,6 @@ DRIVER_WINDOW = [
     # q_lead_lag_gaps (driver-green r1, r5–r10 — the analytic-window
     # family keeps the frame/ranking machinery in window via
     # q_window_running_totals and q_window_interval_range).
-    "q_semi_join_customers_with_orders",
     "q_anti_join_customers_without_orders",
     # round-7 rotation (VERDICT round 6 #6): q_outer_join_order_fill
     # rotates to the tail after six consecutive driver greens (r1-r6);
@@ -209,7 +217,14 @@ DRIVER_WINDOW = [
     # the new operator that deserves a driver row more than the
     # machinery twin does; registered r12, never driver-sampled). The
     # CSV sink/scan leg keeps its local oracle differential.
-    "sink_zorder_clustered_scan",
+    # round-14 rotation (VERDICT round 13 #4): sink_zorder_clustered_scan
+    # rotates to the tail after its first-exposure r13 green — the
+    # string-surrogate variant carries genuinely new machinery
+    # (layout.py order-preserving 6-byte UTF-8 prefix) and takes the
+    # clustered write→scan slot for ITS first driver row. These two
+    # and sink_bucketed_join are the last non-twin never-sampled
+    # queries; after they land, rotation stops per the declared policy.
+    "sink_zorder_string_scan",
     # streaming — round-10 rotation (VERDICT round 9 #4):
     # streaming_sliding_window rotates to the tail after seven
     # consecutive driver greens (r3–r9); overlapping windows are the

@@ -158,6 +158,89 @@ def sink_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join (plans/scale.py
+    ``write_bucketed``) — the write-side layout contract that removes
+    the join shuffle entirely, driver-checkable end to end.
+
+    The 100-TB problem: orders ⋈ lineitem on the order key runs in
+    every pipeline, and at fact-fact scale NEITHER side broadcasts —
+    each run pays two full shuffles of the big tables. Bucketing both
+    tables into the same bucket count on the join key at WRITE time
+    makes every subsequent join read co-located buckets directly:
+    SortMergeJoin with zero Exchange, the one shuffle pathology AQE
+    cannot remove at runtime (AQE can only resize/convert exchanges
+    that are already in the plan; bucketing removes them from the plan
+    altogether). The write cost amortizes across every downstream run
+    — the same layout-work-once-pay-back-every-scan argument as the
+    Z-order sink.
+
+    The zero-shuffle property IS the lever, so the query asserts it:
+    if the joined plan contains any Exchange the query raises (a red
+    driver row, never a silently-shuffled green). ``hint("merge")``
+    pins SortMergeJoin without touching any session conf (at sandbox
+    SF the dimension side would otherwise broadcast; at 100 TB SMJ is
+    what the planner picks anyway). The final groupBy aggregates the
+    joined rows — that exchange is inherent to the aggregation (its
+    input is already bucket-local), and the assertion deliberately
+    covers the JOIN subplan only.
+
+    Correctness leg: the bucketed write must not lose, duplicate, or
+    re-type rows, so the oracle runs the same join+aggregate on the
+    ORIGINAL tables — any row the bucketed write→scan loop corrupts
+    breaks the hash."""
+    from ..plans.scale import write_bucketed
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_bucketed_join")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    write_bucketed(orders, "graft_orders_bkt", "o_orderkey", 8,
+                   ["o_orderkey"], path=f"{root}/orders")
+    write_bucketed(li, "graft_lineitem_bkt", "o_orderkey", 8,
+                    ["o_orderkey"], path=f"{root}/lineitem")
+    joined = (
+        spark.table("graft_orders_bkt")
+        .hint("merge")
+        .join(spark.table("graft_lineitem_bkt"), "o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise RuntimeError(
+            "bucketed join planned an Exchange — the zero-shuffle "
+            "layout contract broke:\n" + plan
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                .cast("decimal(25,6)")
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "sink_zorder_string_scan",
     oracle="""
     SELECT source,
@@ -189,9 +272,11 @@ def sink_zorder_string_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator docstring: high-cardinality strings are the surrogate's
     territory; a 5-value lang column should use ``partitionBy``.
 
-    Tail query (position >50): the in-window driver representative for
-    the clustered-write loop is ``sink_zorder_clustered_scan``; this
-    one keeps the string path under the local oracle differential."""
+    Rotated INTO the driver window round 14 (VERDICT round 13 #4) for
+    its first driver row — the string surrogate is genuinely new
+    machinery, unlike the tail's machinery twins;
+    ``sink_zorder_clustered_scan`` holds the numeric clustered-write
+    family via its r13 ledger green plus the local differential."""
     from ..operators.layout import zorder_layout
 
     out = os.path.join(tempfile.gettempdir(), "spark_graft_sink_zorder_str")

@@ -39,11 +39,18 @@ REQUIRED_IN_WINDOW = {
     # in round 13; the write→read loop slot passes to the clustered
     # write below)
     # promoted round 13 (VERDICT round 12 #6 + r12 window note): the
-    # foreachBatch + append-clustering streaming ingest composition and
-    # the round-12 clustered-layout operator's own query — both never
-    # driver-sampled before
+    # foreachBatch + per-batch-clustering streaming ingest composition,
+    # green on first exposure (sink_zorder_clustered_scan likewise r13
+    # and rotated to the tail in round 14 — the clustered write→scan
+    # slot passes to the string-surrogate variant below)
     "streaming_clustered_ingest",
-    "sink_zorder_clustered_scan",
+    # promoted round 14 (VERDICT round 13 #3/#4): the last two non-twin
+    # never-driver-sampled queries — the zero-Exchange bucketed
+    # co-located join (plan-asserted in the query itself) and the
+    # string-surrogate clustered write→scan. After these land green,
+    # rotation stops per the declared policy.
+    "sink_bucketed_join",
+    "sink_zorder_string_scan",
     # round-2 red rows the round-3 ts fix must show green in the driver
     # (VERDICT.md round 2 "Next round" #1 done-criteria). The inner asof
     # variant and multimodal_payload_stats earned their green rows in
@@ -133,7 +140,7 @@ def test_tail_components_are_covered_in_window():
         "q8_market_share": "q3_shipping_priority",
         "q10_returned_items": "q3_shipping_priority",
         "q14_promo_share": "q1_pricing_summary",
-        "q4_order_priority": "q_semi_join_customers_with_orders",
+        "q4_order_priority": "q_anti_join_customers_without_orders",
         "q6_forecast_revenue": "q1_pricing_summary",
         "q9_product_type_profit": "q3_shipping_priority",
         # q13 is a left-outer join + grouped count; with
@@ -145,29 +152,29 @@ def test_tail_components_are_covered_in_window():
         # (scalar -> single-row broadcast NLJ, exists -> LeftSemi); with
         # q_scalar_subquery rotated to the tail in round 4 the subquery
         # family's in-window representative is the semi join
-        "q15_top_supplier": "q_semi_join_customers_with_orders",
-        "q17_small_quantity_revenue": "q_semi_join_customers_with_orders",
+        "q15_top_supplier": "q_anti_join_customers_without_orders",
+        "q17_small_quantity_revenue": "q_anti_join_customers_without_orders",
         "q19_disjunctive_pushdown": "q1_pricing_summary",
-        "q22_dormant_customers": "q_semi_join_customers_with_orders",
+        "q22_dormant_customers": "q_anti_join_customers_without_orders",
         # round-3 completion of the 22 TPC-H shapes: each maps to the
         # in-window representative of its dominant operator family
-        "q2_min_acctbal_supplier": "q_semi_join_customers_with_orders",
-        "q11_important_suppliers": "q_semi_join_customers_with_orders",
-        "q16_supplier_part_counts": "q_semi_join_customers_with_orders",
+        "q2_min_acctbal_supplier": "q_anti_join_customers_without_orders",
+        "q11_important_suppliers": "q_anti_join_customers_without_orders",
+        "q16_supplier_part_counts": "q_anti_join_customers_without_orders",
         # rotated to the tail round 4 (two green driver rounds each);
         # LeftSemi/LeftAnti share Catalyst's join machinery, the asof
         # variants share one operator, payload/frame share the binary
         # metadata plumbing
         # (q_anti_join_customers_without_orders rotated back INTO the
         # window round 11 — VERDICT round 10 #2)
-        "q_scalar_subquery": "q_semi_join_customers_with_orders",
+        "q_scalar_subquery": "q_anti_join_customers_without_orders",
         "asof_inner_error_context": "asof_purchase_last_click",
         # the skew-resistant banded form, answer-identical by property
         # test and by shared oracle with the in-window plain form
         "asof_banded_last_click": "asof_purchase_last_click",
         "multimodal_payload_stats": "similarity_ivf_ann",
-        "q20_excess_share_suppliers": "q_semi_join_customers_with_orders",
-        "q21_sole_blame_suppliers": "q_semi_join_customers_with_orders",
+        "q20_excess_share_suppliers": "q_anti_join_customers_without_orders",
+        "q21_sole_blame_suppliers": "q_anti_join_customers_without_orders",
         # deterministic hash-keyed sampling/sharding: the portable-hash
         # + bucketed-groupBy family is represented by exact dedup
         # (sample_hash_split rotated to the tail round 8 after four
@@ -231,7 +238,7 @@ def test_tail_components_are_covered_in_window():
         # explode-over-tokens: the in-window BPE token counter drives
         # the same split+explode+hash-agg machinery
         "q_explode_tokens": "text_token_count_bpe",
-        "q_exists_subquery": "q_semi_join_customers_with_orders",
+        "q_exists_subquery": "q_anti_join_customers_without_orders",
         "q_percentiles_exact": "q_percentiles_rank_select",
         # MAD = two composed rank-select passes; the percentile
         # family's in-window representative covers the machinery
@@ -325,15 +332,22 @@ def test_tail_components_are_covered_in_window():
         # parquet writes per micro-batch)
         "streaming_foreachbatch_sink": "streaming_clustered_ingest",
         # rotated round 13 after eleven greens r2–r12: the parquet
-        # write→scan loop stays in window via the clustered write (the
-        # round-12 operator promoted in its place); the CSV sink/scan
-        # leg keeps its local oracle differential
-        "sink_parquet_roundtrip": "sink_zorder_clustered_scan",
-        # round-13 string-surrogate variant of the same clustered
-        # write→scan loop (string placement + string box predicate);
-        # the string-specific claims are pinned in tests/test_layout.py
-        # (byte-order equivalence, numOutputRows equality on strings)
-        "sink_zorder_string_scan": "sink_zorder_clustered_scan",
+        # write→scan loop stays in window via the clustered write
+        # queries; the CSV sink/scan leg keeps its local oracle
+        # differential
+        "sink_parquet_roundtrip": "sink_zorder_string_scan",
+        # rotated round 14 after its first-exposure r13 green (VERDICT
+        # round 13 #4): the clustered write→scan slot passes to the
+        # string-surrogate variant, which is the same zorder_layout →
+        # pruned-box-scan loop plus the round-13 string machinery
+        "sink_zorder_clustered_scan": "sink_zorder_string_scan",
+        # rotated round 14 after twelve consecutive greens r1–r13, the
+        # longest-serving join veteran (VERDICT round 13 #3 freed the
+        # slot for the bucketed join): LeftSemi is the same
+        # BroadcastHashJoin machinery as the in-window LeftAnti row
+        # over the same two tables
+        "q_semi_join_customers_with_orders":
+            "q_anti_join_customers_without_orders",
     }
     window = set(DRIVER_WINDOW)
     tail = [n for n in queries() if n not in window]
@@ -469,7 +483,8 @@ DRIVER_GREEN_ROUNDS = {
 # their queries never left the window.
 COMPONENT_QUERIES = {
     "scan+sink": ["q1_pricing_summary", "sink_parquet_roundtrip",
-                  "sink_zorder_clustered_scan", "q_json_functions"],
+                  "sink_zorder_clustered_scan", "sink_zorder_string_scan",
+                  "sink_bucketed_join", "q_json_functions"],
     "projection+filter": ["q1_pricing_summary", "q_string_functions"],
     "equi_outer_join": ["q3_shipping_priority", "q_outer_join_order_fill"],
     "semi_anti_join": ["q_semi_join_customers_with_orders",
@@ -558,8 +573,8 @@ def test_rotated_out_queries_earned_their_rest():
     its first green."""
     window = set(DRIVER_WINDOW)
     promoted_this_round = {
-        "streaming_clustered_ingest",
-        "sink_zorder_clustered_scan",
+        "sink_bucketed_join",
+        "sink_zorder_string_scan",
     }
     fam_of = {}
     for fam, qs in COMPONENT_QUERIES.items():
