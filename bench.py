@@ -120,6 +120,120 @@ def _sf_from_dir(sf_dir: str) -> float:
     return -1.0
 
 
+def _measure_pass(spark, q, names: list[str], sf_dir: str) -> dict:
+    """One full measurement pass: session floor, best-of-5 per query,
+    and the same-session DuckDB comparator — everything a gate ratio
+    needs, measured inside one time window so the pair is same-minute.
+
+    Session floor: the fixed cost of ANY query on this harness —
+    Catalyst round-trips + noop job scheduling on a one-row plan.
+    Measured so the decomposition can separate per-query constants
+    (which are flat at any SF) from data-proportional body time (which
+    is what scales). Best-of-5 on a warmed plan, the same protocol the
+    queries get: the single cold measurement used through round 4
+    included one-time codegen (~0.22s) and overstated the floor ~3x —
+    several warm queries clocked UNDER it, which is impossible for a
+    true floor (true warm floor ~0.06s on a quiet VM).
+
+    Best of 5 runs per query: the harness VM shows ±50% run-to-run
+    noise; run 1 additionally pays one-time Catalyst/Janino codegen
+    compilation, the same way the DuckDB comparator numbers in
+    BENCH.md amortize their first run. cold-warm ≈ compile+noise
+    constants; warm-floor ≈ the data-proportional body. The gate is a
+    ratio of two best-estimates — 5 samples per side (the comparator
+    runs 5 too) tightens both minima symmetrically; measured pairs
+    ranged 1.32x-1.89x at best-of-3 purely from draw luck.
+    """
+    floor_df = spark.range(1)
+    floor_df.write.format("noop").mode("overwrite").save()
+    floor = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        floor_df.write.format("noop").mode("overwrite").save()
+        floor = min(floor, time.perf_counter() - t0)
+    floor = round(floor, 4)
+
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for name in names:
+        fn = q.REGISTRY[name].fn
+        best = float("inf")
+        first = None
+        # Prepared-statement model: the DataFrame (parsed + analyzed
+        # logical plan) is built once per session and every timed run
+        # executes it end-to-end — optimization, physical planning,
+        # and all data movement re-run per save(); only parse/analyze
+        # of the static SQL is reused. DuckDB's equivalent (parse) is
+        # ~1 ms/query, so re-parsing there is not billed either way;
+        # Spark's is 30-80 ms of py4j + analyzer time that would be
+        # amortized by any real deployment's plan cache.
+        df = fn(spark, sf_dir)
+        # Exception to the prepared-statement model: a fn() that did
+        # eager work (localCheckpoint / iterative loops) must be
+        # rebuilt per run so that work is billed inside the timing —
+        # otherwise all 5 runs (cold included) reuse the pinned RDD
+        # and under-report vs the fully-re-executing comparator.
+        rebuild = _plan_has_eager_rdd(df)
+        for _ in range(5):
+            t0 = time.perf_counter()
+            if rebuild:
+                df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            first = dt if first is None else first
+            best = min(best, dt)
+            # Full re-execution per run, matching the DuckDB
+            # comparator: clearing between RUNS drops any
+            # internally-persist()ed subtree so a rebuilt plan can
+            # never serve run 2 from run 1's cache (with memoized
+            # base relations the canonicalized plans now match, so
+            # without this the warm runs would skip the data work).
+            # Catalog metadata (file listing, schema) staying warm
+            # across runs is fair: DuckDB's registered views keep
+            # theirs too. Drain the tracked-persist handles as well:
+            # clearCache drops the cached data but leaves the
+            # handles pinned driver-side (queries/cache.py), and a
+            # 5-runs x full-suite loop would accumulate hundreds.
+            q.cache.release_caches()
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
+        cold[name] = round(first, 4)
+
+    # Same-session DuckDB comparator (identical methodology: the
+    # oracle SQL best-of-5 on 32 threads, run back-to-back with the
+    # Spark suite above). The BASELINE.md gate is a RATIO, and this
+    # VM's absolute timings drift ±50% between sessions — a ratio of
+    # two same-minute measurements is meaningful where a ratio of a
+    # fresh numerator over a days-old denominator is not. Failure to
+    # produce the comparator (missing module, oracle drift) never
+    # fails the bench — the Spark numbers above stand alone.
+    duck = None
+    duck_err = None
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_duckdb",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts",
+                "bench_duckdb.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        duck = mod.run_comparator(sf_dir, names, runs=5)
+    except Exception as exc:  # pragma: no cover - diagnostic path
+        duck_err = repr(exc)
+    return {
+        "floor": floor,
+        "timings": timings,
+        "cold": cold,
+        "duck": duck,
+        "duck_err": duck_err,
+    }
+
+
 def main(argv: list[str]) -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     run_all = "--all" in argv
@@ -142,80 +256,23 @@ def main(argv: list[str]) -> int:
             "noop"
         ).mode("overwrite").save()
 
-        # Session floor: the fixed cost of ANY query on this harness —
-        # Catalyst round-trips + noop job scheduling on a one-row plan.
-        # Measured so the decomposition below can separate per-query
-        # constants (which are flat at any SF) from data-proportional
-        # body time (which is what scales). Best-of-5 on a warmed plan,
-        # the same protocol the queries get: the single cold measurement
-        # used through round 4 included one-time codegen (~0.22s) and
-        # overstated the floor ~3x — several warm queries clocked UNDER
-        # it, which is impossible for a true floor (true warm floor
-        # ~0.06s on a quiet VM).
-        floor_df = spark.range(1)
-        floor_df.write.format("noop").mode("overwrite").save()
-        floor = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            floor_df.write.format("noop").mode("overwrite").save()
-            floor = min(floor, time.perf_counter() - t0)
-        floor = round(floor, 4)
-
-        # Best of 5 runs per query: the harness VM shows ±50% run-to-run
-        # noise; run 1 additionally pays one-time Catalyst/Janino codegen
-        # compilation, the same way the DuckDB comparator numbers in
-        # BENCH.md amortize their first run. cold-warm ≈ compile+noise
-        # constants; warm-floor ≈ the data-proportional body.
-        timings: dict[str, float] = {}
-        cold: dict[str, float] = {}
-        for name in names:
-            fn = q.REGISTRY[name].fn
-            best = float("inf")
-            first = None
-            # Prepared-statement model: the DataFrame (parsed + analyzed
-            # logical plan) is built once per session and every timed run
-            # executes it end-to-end — optimization, physical planning,
-            # and all data movement re-run per save(); only parse/analyze
-            # of the static SQL is reused. DuckDB's equivalent (parse) is
-            # ~1 ms/query, so re-parsing there is not billed either way;
-            # Spark's is 30-80 ms of py4j + analyzer time that would be
-            # amortized by any real deployment's plan cache.
-            df = fn(spark, sf_dir)
-            # Exception to the prepared-statement model: a fn() that did
-            # eager work (localCheckpoint / iterative loops) must be
-            # rebuilt per run so that work is billed inside the timing —
-            # otherwise all 5 runs (cold included) reuse the pinned RDD
-            # and under-report vs the fully-re-executing comparator.
-            rebuild = _plan_has_eager_rdd(df)
-            # best-of-5: this VM's per-run noise is ±50%, and the gate
-            # is a ratio of two best-estimates — 5 samples per side
-            # (the comparator runs 5 too) tightens both minima
-            # symmetrically; measured pairs ranged 1.32×-1.89× at
-            # best-of-3 purely from draw luck.
-            for _ in range(5):
-                t0 = time.perf_counter()
-                if rebuild:
-                    df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-                first = dt if first is None else first
-                best = min(best, dt)
-                # Full re-execution per run, matching the DuckDB
-                # comparator: clearing between RUNS drops any
-                # internally-persist()ed subtree so a rebuilt plan can
-                # never serve run 2 from run 1's cache (with memoized
-                # base relations the canonicalized plans now match, so
-                # without this the warm runs would skip the data work).
-                # Catalog metadata (file listing, schema) staying warm
-                # across runs is fair: DuckDB's registered views keep
-                # theirs too. Drain the tracked-persist handles as well:
-                # clearCache drops the cached data but leaves the
-                # handles pinned driver-side (queries/cache.py), and a
-                # 5-runs x full-suite loop would accumulate hundreds.
-                q.cache.release_caches()
-                spark.catalog.clearCache()
-            timings[name] = round(best, 4)
-            cold[name] = round(first, 4)
+        passes = [_measure_pass(spark, q, names, sf_dir)]
+        # Elevated-session self-defense (VERDICT r13 #6): when the
+        # measured floor reads >2x the quiet-VM reference, the whole
+        # SESSION carries an environment multiplier (r13's driver run
+        # read 2.69x and inflated every wall time ~30%, plans
+        # untouched). Re-measure ONCE — same protocol, same session,
+        # Spark suite AND comparator together so the pair stays
+        # same-minute — and emit whichever pass ran on the quieter
+        # floor; both floors land in the JSON line so the artifact
+        # records that it defended itself instead of needing
+        # quiet-pair archaeology in BENCH.md.
+        if passes[0]["floor"] / _QUIET_VM_FLOOR_S > 2.0:
+            passes.append(_measure_pass(spark, q, names, sf_dir))
+        chosen = min(passes, key=lambda p: p["floor"])
+        floor = chosen["floor"]
+        timings = chosen["timings"]
+        cold = chosen["cold"]
 
         total = round(sum(timings.values()), 4)
         out = {
@@ -233,6 +290,11 @@ def main(argv: list[str]) -> int:
             "session_floor_seconds": floor,
             "floor_vs_quiet": round(floor / _QUIET_VM_FLOOR_S, 2),
         }
+        if len(passes) > 1:
+            # the self-defense ran: record every pass's floor so the
+            # artifact shows both the elevated reading and the one the
+            # emitted numbers came from
+            out["session_floors_all_passes"] = [p["floor"] for p in passes]
         # Everything beyond the driver-contract keys goes to the sidecar
         # so the stdout line never outgrows the driver's tail capture.
         detail = {
@@ -241,35 +303,15 @@ def main(argv: list[str]) -> int:
             "session_floor_seconds": floor,
             "sf": out["sf"],
         }
-        # Same-session DuckDB comparator (identical methodology: the
-        # oracle SQL best-of-5 on 32 threads, run back-to-back with the
-        # Spark suite above). The BASELINE.md gate is a RATIO, and this
-        # VM's absolute timings drift ±50% between sessions — a ratio of
-        # two same-minute measurements is meaningful where a ratio of a
-        # fresh numerator over a days-old denominator is not. Failure to
-        # produce the comparator (missing module, oracle drift) never
-        # fails the bench — the Spark numbers above stand alone.
-        try:
-            import importlib.util
-
-            spec = importlib.util.spec_from_file_location(
-                "bench_duckdb",
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "scripts",
-                    "bench_duckdb.py",
-                ),
-            )
-            mod = importlib.util.module_from_spec(spec)
-            spec.loader.exec_module(mod)
-            duck = mod.run_comparator(sf_dir, names, runs=5)
+        duck = chosen["duck"]
+        if duck is not None:
             duck_total = round(sum(duck.values()), 4)
             out["duckdb_comparator_seconds"] = duck_total
             detail["duckdb_queries"] = duck
             if duck_total > 0:
                 out["ratio_vs_duckdb"] = round(total / duck_total, 3)
-        except Exception as exc:  # pragma: no cover - diagnostic path
-            out["duckdb_comparator_error"] = repr(exc)
+        else:
+            out["duckdb_comparator_error"] = chosen["duck_err"]
         sidecar = _sidecar_path(
             sf_dir,
             is_headline_run=(not subset and not run_all),
