@@ -754,3 +754,41 @@ def q_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(lambda d: sorted_small(d, "c_nationkey", "metric"))
     )
+
+
+@query(
+    "q_salted_sum_skewproof",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_salted_sum_skewproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (plans/scale.py ``salted_sum``) —
+    the skew lever for HOT aggregation keys, oracle-checked.
+
+    The 100-TB problem: AQE splits skewed JOIN partitions but a skewed
+    groupBy still funnels each hot key through one task. ``salted_sum``
+    fans every key across ``n_salts`` partial aggregates
+    (groupBy((key, salt)) -> groupBy(key)); the partials are exact
+    DECIMAL(25,6) sums, so the merged result is identical to the direct
+    aggregate for every possible salt assignment — which is exactly
+    what the oracle checks (l_returnflag has 3 values over all of
+    lineitem: every key IS a hot key here). Phase geometry (two
+    aggregation exchanges, key+salt then key) is plan-asserted in
+    tests/test_scale.py.
+
+    Tail query (position >50): the hash-aggregate family's in-window
+    representative is q1_pricing_summary; this row keeps the salting
+    lever under the local oracle differential."""
+    from ..plans.scale import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        salted_sum(li, "l_returnflag", "l_quantity", n_salts=8,
+                   out_col="total")
+        .transform(lambda d: sorted_small(d, "l_returnflag"))
+    )

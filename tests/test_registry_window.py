@@ -341,6 +341,10 @@ def test_tail_components_are_covered_in_window():
         # string-surrogate variant, which is the same zorder_layout →
         # pruned-box-scan loop plus the round-13 string machinery
         "sink_zorder_clustered_scan": "sink_zorder_string_scan",
+        # round-14 tail addition: the salting lever's oracle row — a
+        # two-phase hash aggregate, the q1 conditional/hash-agg family
+        # (phase geometry plan-asserted in tests/test_scale.py)
+        "q_salted_sum_skewproof": "q1_pricing_summary",
         # rotated round 14 after twelve consecutive greens r1–r13, the
         # longest-serving join veteran (VERDICT round 13 #3 freed the
         # slot for the bucketed join): LeftSemi is the same
