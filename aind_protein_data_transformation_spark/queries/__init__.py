@@ -237,9 +237,10 @@ DRIVER_WINDOW = [
     # the watermarked window-agg machinery keeps
     # streaming_late_data_policy (a tumbling window agg + late policy)
     # and streaming_session_window in window. In:
-    # streaming_clustered_ingest — the foreachBatch + append-mode
+    # streaming_clustered_ingest — the foreachBatch + per-batch
     # zorder_layout composition the round-12 layout work proved in
-    # tests (test_streaming_layout.py), made driver-checkable.
+    # tests (test_streaming_layout.py), made driver-checkable (and
+    # made idempotent per batch id in round 14).
     "streaming_clustered_ingest",
     "streaming_stream_left_join",
     "streaming_session_window",
