@@ -64,6 +64,8 @@ __all__ = [
     "hilbert_from_morton",
     "compact_clustered_table",
     "vacuum_clustered_table",
+    "save_edge_snapshot",
+    "load_edge_snapshot",
     "resolve_clustered_table",
     "read_clustered_table",
     "layout_scan_fraction",
@@ -622,6 +624,74 @@ def zorder_layout(
 #: subdirectory holding the manifest regime's versioned units + pointer.
 _VERSIONS_DIR = "_versions"
 _CURRENT_POINTER = "_CURRENT"
+#: Hidden sidecar name for the persisted bin-edge snapshot (the
+#: ``_delta_log`` naming convention: Spark's listing skips it, and the
+#: manifest compact's stale-data sweep removes only ``*.parquet``).
+_EDGES_SIDECAR = "_edges.json"
+
+
+def save_edge_snapshot(
+    path: str, edges: dict[str, list[float]], spark=None
+) -> None:
+    """Persist the bin edges next to the data as the hidden
+    ``_edges.json`` sidecar — the concrete form of the zorder_layout
+    docstring's persist-the-edges invitation, and what makes an append
+    pipeline RESTARTABLE in one key space: a restarted ingest (new
+    driver, empty memory) reloads the snapshot instead of re-sketching,
+    so every batch before and after the restart shares the exact same
+    key geometry. Edges are always ``col -> list[float]``
+    (``quantile_bin_edges`` numeric-izes dates/strings before
+    sketching), so plain JSON round-trips them exactly. Atomic on local
+    filesystems (write-tmp + replace), single-object overwrite through
+    the Hadoop FileSystem elsewhere — same dispatch as the manifest
+    pointer. The sidecar lives at the table ROOT (not inside a
+    versioned unit), so it survives every manifest compact — pinned in
+    tests/test_layout.py's sidecar-sweep test."""
+    import json
+
+    sidecar = os.path.join(path, _EDGES_SIDECAR)
+    payload = json.dumps(edges, sort_keys=True)
+    if _use_local_fs(path, spark):
+        local = _strip_file_scheme(sidecar)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = local + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, local)
+        return
+    fs, jp = _hadoop_fs(spark, sidecar)
+    stream = fs.create(jp, True)
+    try:
+        stream.write(bytearray(payload.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def load_edge_snapshot(
+    path: str, spark=None
+) -> dict[str, list[float]] | None:
+    """The persisted bin-edge snapshot for a clustered table, or None
+    if none was saved (first-ever run; the caller then sketches once
+    and saves). See :func:`save_edge_snapshot`."""
+    import json
+
+    sidecar = os.path.join(path, _EDGES_SIDECAR)
+    if _use_local_fs(path, spark):
+        local = _strip_file_scheme(sidecar)
+        if not os.path.isfile(local):
+            return None
+        with open(local) as f:
+            return json.loads(f.read())
+    fs, jp = _hadoop_fs(spark, sidecar)
+    if not fs.exists(jp):
+        return None
+    stream = fs.open(jp)
+    try:
+        return json.loads(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        )
+    finally:
+        stream.close()
 
 
 def resolve_clustered_table(path: str, spark=None) -> str:

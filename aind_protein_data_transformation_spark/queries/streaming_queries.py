@@ -539,7 +539,11 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-side twin of the incremental LSH indexes'
     never-re-scan-history rule. Explicit ``bits`` keeps every batch in
     one exact key space (the operator's ``bits=None`` default would
-    law-size per batch).
+    law-size per batch). The snapshot is PERSISTED as the lake's hidden
+    ``_edges.json`` sidecar (``save_edge_snapshot``), so a restarted
+    stream — new driver, empty memory — reloads the same key space
+    instead of re-sketching into a different one (restart pinned in
+    tests/test_streaming_layout.py).
 
     The landing is IDEMPOTENT per batch: ``foreachBatch`` is
     at-least-once under crash replay, so each micro-batch clusters
@@ -569,7 +573,11 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..operators.layout import zorder_layout
+    from ..operators.layout import (
+        load_edge_snapshot,
+        save_edge_snapshot,
+        zorder_layout,
+    )
 
     # fixed path, cleared up front: append-mode clustering accumulates
     # files, so a fresh dir per invocation (mkdtemp) would leak a full
@@ -581,13 +589,20 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "spark_graft_clustered_ingest")
     shutil.rmtree(out_root, ignore_errors=True)
     lake = f"{out_root}/lake"
-    state: dict = {"edges": None}
+    # the edge snapshot is PERSISTED next to the data (_edges.json):
+    # a restarted ingest (new driver, empty memory) reloads it instead
+    # of re-sketching, so every batch before and after a restart shares
+    # one exact key space (restart pinned in tests/test_streaming_layout)
+    state: dict = {"edges": load_edge_snapshot(lake, spark)}
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = state["edges"] is None
         state["edges"] = zorder_layout(
             batch_df, ["user_id", "value"], f"{lake}/batch={batch_id}",
             bits=5, num_files=2, mode="overwrite", edges=state["edges"],
         )
+        if fresh:
+            save_edge_snapshot(lake, state["edges"], spark)
 
     ev = read_events_stream(spark, sf_dir)
     handle = (

@@ -182,3 +182,60 @@ def test_batch_keyed_landing_is_replay_idempotent(spark, split_sf_dir, tmp_path)
     land(batches[2], 2, edges)
     landed = spark.read.parquet(f"{lake}/batch=*")
     assert fp(landed.select(*ev.columns)) == fp(ev)
+
+
+def test_edge_snapshot_survives_restart(spark, split_sf_dir, tmp_path):
+    """The persisted edge snapshot makes the ingest restartable in ONE
+    key space: phase 1 (fresh lake) sketches once and saves
+    ``_edges.json``; phase 2 simulates a driver restart (empty memory,
+    same lake) and must land its batches with ZERO new sketch passes,
+    reusing the loaded snapshot — so every unit before and after the
+    restart shares the exact same key geometry."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        load_edge_snapshot,
+        save_edge_snapshot,
+    )
+
+    lake = str(tmp_path / "lake")
+    cols = ["user_id", "value"]
+    ev = load_table(spark, split_sf_dir, "events")
+    batches = [
+        ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(4)) == i)
+        for i in range(4)
+    ]
+
+    real_quantile_bin_edges = layout_mod.quantile_bin_edges
+    passes = {"n": 0}
+
+    def counting(*a, **kw):
+        passes["n"] += 1
+        return real_quantile_bin_edges(*a, **kw)
+
+    def run_phase(batch_ids):
+        # what streaming_clustered_ingest's foreachBatch closure does,
+        # from a COLD start: load-or-None, sketch only if None, save
+        edges = load_edge_snapshot(lake, spark)
+        for bid in batch_ids:
+            fresh = edges is None
+            edges = zorder_layout(
+                batches[bid], cols, f"{lake}/batch={bid}",
+                bits=5, num_files=1, mode="overwrite", edges=edges,
+            )
+            if fresh:
+                save_edge_snapshot(lake, edges, spark)
+        return edges
+
+    layout_mod.quantile_bin_edges = counting
+    try:
+        e1 = run_phase([0, 1])
+        assert passes["n"] == 1            # one sketch, then saved
+        e2 = run_phase([2, 3])             # "restart": empty memory
+        assert passes["n"] == 1            # reloaded, NO re-sketch
+    finally:
+        layout_mod.quantile_bin_edges = real_quantile_bin_edges
+    assert e2 == e1                         # one key space across restart
+    assert load_edge_snapshot(lake, spark) == e1
+
+    # and the landed lake is exactly one copy of the source
+    landed = spark.read.parquet(f"{lake}/batch=*")
+    assert landed.count() == ev.count()
