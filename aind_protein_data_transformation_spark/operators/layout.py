@@ -714,13 +714,16 @@ def resolve_clustered_table(path: str, spark=None) -> str:
     read through the Hadoop FileSystem for the path's scheme (one
     small-object GET); without it only local pointers are visible.
 
-    Reader-vs-cleanup boundary: a resolved unit stays readable across
-    the NEXT :func:`compact_clustered_table` — its cleanup keeps the
-    ``keep_versions`` (default 1) most recent retired generations
-    precisely so a scan that resolved just before the pointer commit
-    can finish. A reader that outlives more compacts than that (or an
-    explicit :func:`vacuum_clustered_table`) loses its files LOUDLY
-    mid-scan — re-resolve and retry; never silently wrong data.
+    Reader-vs-cleanup boundary: a resolved versioned unit stays
+    readable across the NEXT :func:`compact_clustered_table` — its
+    cleanup keeps the ``keep_versions`` (default 1) most recently
+    retired units precisely so a scan that resolved just before the
+    pointer commit can finish. A reader that outlives more compacts
+    than that (or an explicit :func:`vacuum_clustered_table`) loses
+    its files LOUDLY mid-scan — re-resolve and retry; never silently
+    wrong data. (Readers of a not-yet-converted FLAT table get no such
+    grace across the first compact — see the eager flat-sweep note in
+    the compact docstring.)
     """
     version = _read_pointer(path, spark)
     if version is not None:
