@@ -986,6 +986,17 @@ def test_manifest_swap_through_hadoop_filesystem_branch(spark, tmp_path):
     assert not (local_root / "_versions" / "v_000001").exists()
     assert read_clustered_table(spark, uri).count() == 1024
 
+    # third compact with the retention default, then an explicit vacuum
+    # — both resolving, listing, and deleting through the Hadoop branch
+    from aind_protein_data_transformation_spark.operators.layout import vacuum_clustered_table
+    compact_clustered_table(uri, ["a", "b"], bits=4, num_files=2,
+                            spark=spark, swap="manifest")
+    assert (local_root / "_versions" / "v_000002").exists()   # retained
+    removed = vacuum_clustered_table(uri, spark)
+    assert [os.path.basename(p) for p in removed] == ["v_000002"]
+    assert not (local_root / "_versions" / "v_000002").exists()
+    assert read_clustered_table(spark, uri).count() == 1024
+
 
 def test_blank_pointer_fails_loudly_never_multi_unit(spark, tmp_path):
     """An empty _CURRENT (mid-commit / crashed-commit state on stores
