@@ -64,6 +64,7 @@ __all__ = [
     "hilbert_from_morton",
     "compact_clustered_table",
     "vacuum_clustered_table",
+    "compact_ingest_units",
     "save_edge_snapshot",
     "load_edge_snapshot",
     "resolve_clustered_table",
@@ -972,19 +973,6 @@ def compact_clustered_table(
                 if current else path)
     live = spark.read.parquet(live_dir)
 
-    def _fingerprint(d: DataFrame):
-        # Order-insensitive multiset fingerprint that stays a ONE-ROW
-        # collect at any scale: row count plus two independent wrapped
-        # hash sums (decimal(38) so 100-TB row counts cannot overflow
-        # the sum itself). An engine bug that drops, duplicates, or
-        # rewrites rows moves at least one of the three.
-        j = F.to_json(F.struct(*sorted(d.columns)))
-        return d.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(j).cast("decimal(38,0)")).alias("s1"),
-            F.sum(F.xxhash64(j, F.lit("salt")).cast("decimal(38,0)")).alias("s2"),
-        ).collect()[0]
-
     def _recluster_and_verify(target: str, untouched: str):
         # shared by both regimes: one re-cluster into ``target``, then
         # the fingerprint gate BEFORE anything is promoted
@@ -993,7 +981,8 @@ def compact_clustered_table(
             row_group_bytes=row_group_bytes, compression=compression,
             curve=curve,
         )
-        if _fingerprint(spark.read.parquet(target)) != _fingerprint(live):
+        if (_multiset_fingerprint(spark.read.parquet(target))
+                != _multiset_fingerprint(live)):
             raise RuntimeError(
                 f"compact of {path} changed the row multiset; {target} "
                 f"kept for inspection, {untouched} untouched"
@@ -1036,6 +1025,20 @@ def compact_clustered_table(
     os.rename(tmp, path)
     shutil.rmtree(retired, ignore_errors=True)
     return edges
+
+
+def _multiset_fingerprint(d: DataFrame):
+    """Order-insensitive multiset fingerprint that stays a ONE-ROW
+    collect at any scale: row count plus two independent wrapped hash
+    sums (decimal(38) so 100-TB row counts cannot overflow the sum
+    itself). An engine bug that drops, duplicates, or rewrites rows
+    moves at least one of the three."""
+    j = F.to_json(F.struct(*sorted(d.columns)))
+    return d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(j).cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.xxhash64(j, F.lit("salt")).cast("decimal(38,0)")).alias("s2"),
+    ).collect()[0]
 
 
 def _retired_units(path: str, live_version: str, spark) -> list[str]:
@@ -1088,6 +1091,134 @@ def vacuum_clustered_table(path: str, spark, keep_versions: int = 0) -> list[str
         _delete_tree(unit, spark)
         removed.append(unit)
     return removed
+
+
+def _rename(src: str, dst: str, spark) -> None:
+    """Directory rename, scheme-portable (atomic on POSIX/HDFS; on
+    object stores a per-object copy — see compact_ingest_units)."""
+    if _use_local_fs(src, spark):
+        os.rename(_strip_file_scheme(src), _strip_file_scheme(dst))
+        return
+    fs, jsrc = _hadoop_fs(spark, src)
+    if not fs.rename(jsrc, spark._jvm.org.apache.hadoop.fs.Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def _ingest_unit_span(name: str) -> tuple[int, int] | None:
+    """(lo, hi) batch-id span of an ingest unit directory name:
+    ``batch=<id>`` spans (id, id); a folded ``batch=c<lo>-<hi>`` spans
+    its range; anything else is not an ingest unit."""
+    if not name.startswith("batch="):
+        return None
+    val = name[len("batch="):]
+    if val.startswith("c") and "-" in val:
+        lo, _, hi = val[1:].partition("-")
+        try:
+            return int(lo), int(hi)
+        except ValueError:
+            return None
+    try:
+        return int(val), int(val)
+    except ValueError:
+        return None
+
+
+def compact_ingest_units(
+    lake: str,
+    cols: Sequence[str],
+    spark,
+    bits: int | None = None,
+    num_files: int | None = None,
+    row_group_bytes: int | None = None,
+    compression: str = "zstd",
+    curve: str = "morton",
+    keep_last: int = 1,
+) -> dict:
+    """Fold the older ``batch=<id>`` units of a batch-keyed ingest lake
+    (the ``streaming_clustered_ingest`` layout) into ONE re-clustered
+    unit — the ingest-side compactor that keeps the unit count bounded
+    while preserving both of the lake's contracts: readers keep
+    glob-reading ``<lake>/batch=*`` and the streaming landing stays
+    idempotent (future batch ids are monotone, so they can never
+    collide with a folded unit's range name).
+
+    Mechanism (verify-then-promote, like every compact here):
+
+    1. REPAIR: delete any unit whose batch-id span is contained in a
+       folded unit's range — the duplicates a crash between a previous
+       fold's rename and its deletes left behind. Every later call
+       re-sweeps, so a crash costs temporary duplicate storage that the
+       next compact removes, and the repair runs BEFORE candidates are
+       chosen so a retry converges instead of re-folding duplicates.
+    2. Candidates = every unit except the ``keep_last``
+       newest-by-span-end (the hot tail the stream is still near);
+       no-op with fewer than 2 candidates.
+    3. One ``zorder_layout`` over the union of candidate units into the
+       HIDDEN staging dir ``<lake>/.fold_tmp`` (dot-prefixed: invisible
+       to both the glob and any flat listing), reusing the lake's
+       persisted edge snapshot when present so the folded unit stays in
+       the SAME key space as the stream's appends; multiset fingerprint
+       must equal the candidates' union BEFORE anything is promoted.
+    4. Promote with ONE directory rename to ``batch=c<lo>-<hi>``, then
+       delete the subsumed units (crash window covered by step 1).
+
+    Boundary, same as ``swap="rename"``: the promote rename is atomic
+    on POSIX/HDFS and a per-object copy on S3-class stores — at an
+    object-store deployment fold into a manifest-compacted table
+    (``compact_clustered_table(swap="manifest")``) instead of a
+    batch-keyed lake. Single-runner assumption as repo-wide: one
+    compactor at a time (the stream itself never touches folded names).
+
+    Returns ``{"folded": n_units, "unit": name_or_None,
+    "edges": edges_or_None, "repaired": [names...]}``.
+    """
+    entries = _list_entries(lake, spark)
+    spans = {
+        e: span for e in entries
+        if (span := _ingest_unit_span(e)) is not None
+    }
+    # repair pass: a unit strictly contained in ANOTHER unit's span is
+    # a crash leftover already subsumed by the fold that named the span
+    repaired = [
+        name
+        for name, (lo, hi) in spans.items()
+        for other, (olo, ohi) in spans.items()
+        if other != name and olo <= lo and hi <= ohi
+        and (ohi - olo) > (hi - lo)
+    ]
+    for name in repaired:
+        _delete_tree(os.path.join(lake, name), spark)
+        del spans[name]
+    _delete_tree(os.path.join(lake, ".fold_tmp"), spark)
+
+    ordered = sorted(spans, key=lambda n: spans[n][1])
+    candidates = ordered[: max(0, len(ordered) - max(0, int(keep_last)))]
+    if len(candidates) < 2:
+        return {"folded": 0, "unit": None, "edges": None,
+                "repaired": repaired}
+    lo = min(spans[n][0] for n in candidates)
+    hi = max(spans[n][1] for n in candidates)
+    union = spark.read.parquet(
+        *[os.path.join(lake, n) for n in candidates]
+    )
+    staging = os.path.join(lake, ".fold_tmp")
+    edges = zorder_layout(
+        union, list(cols), staging, bits=bits, num_files=num_files,
+        row_group_bytes=row_group_bytes, compression=compression,
+        curve=curve, edges=load_edge_snapshot(lake, spark),
+    )
+    if (_multiset_fingerprint(spark.read.parquet(staging))
+            != _multiset_fingerprint(union)):
+        raise RuntimeError(
+            f"ingest fold of {lake} changed the row multiset; "
+            f"{staging} kept for inspection, original units untouched"
+        )
+    folded_name = f"batch=c{lo}-{hi}"
+    _rename(staging, os.path.join(lake, folded_name), spark)
+    for n in candidates:
+        _delete_tree(os.path.join(lake, n), spark)
+    return {"folded": len(candidates), "unit": folded_name,
+            "edges": edges, "repaired": repaired}
 
 
 def layout_scan_fraction(

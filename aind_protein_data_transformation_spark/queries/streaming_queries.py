@@ -553,9 +553,11 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sibling ``streaming_foreachbatch_sink``. Per-batch units cost
     the pruning nothing — row-group min/max boxes are a per-group
     property regardless of which unit holds the group — and they are
-    the natural compaction granularity (``compact_clustered_table``
-    folds the k oldest units on whatever cadence the incremental-vs-
-    global gap justifies). A transactional single-dir ``mode="append"``
+    the natural compaction granularity: ``compact_ingest_units`` folds
+    the older units into one re-clustered ``batch=c<lo>-<hi>`` unit
+    (verify-then-rename, crash-repaired by range containment, glob
+    contract preserved) on whatever cadence the incremental-vs-global
+    gap justifies. A transactional single-dir ``mode="append"``
     landing remains the right shape on stores with atomic commit
     (Delta-style); on plain parquet, batch-keyed overwrite is the form
     that makes replay exactly-once.

@@ -239,3 +239,128 @@ def test_edge_snapshot_survives_restart(spark, split_sf_dir, tmp_path):
     # and the landed lake is exactly one copy of the source
     landed = spark.read.parquet(f"{lake}/batch=*")
     assert landed.count() == ev.count()
+
+
+def test_compact_ingest_units_folds_and_preserves(spark, split_sf_dir, tmp_path):
+    """The ingest-side compactor: folding the older batch units into
+    one re-clustered unit preserves the glob-read multiset exactly,
+    keeps the hot tail untouched, names the folded unit by its id
+    range, and reuses the persisted edge snapshot (no new sketch)."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_ingest_units,
+        load_edge_snapshot,
+        save_edge_snapshot,
+    )
+
+    lake = str(tmp_path / "lake")
+    cols = ["user_id", "value"]
+    ev = load_table(spark, split_sf_dir, "events")
+    batches = [
+        ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(4)) == i)
+        for i in range(4)
+    ]
+    edges = None
+    for i, b in enumerate(batches):
+        edges = zorder_layout(
+            b, cols, f"{lake}/batch={i}", bits=5, num_files=1,
+            mode="overwrite", edges=edges,
+        )
+    save_edge_snapshot(lake, edges, spark)
+
+    def fp(d):
+        cs = sorted(d.columns)
+        return tuple(d.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64(F.to_json(F.struct(*cs)))
+                  .cast("decimal(38,0)")),
+        ).collect()[0])
+
+    before = fp(spark.read.parquet(f"{lake}/batch=*"))
+
+    real_sketch = layout_mod.quantile_bin_edges
+    passes = {"n": 0}
+    layout_mod.quantile_bin_edges = (
+        lambda *a, **kw: (passes.__setitem__("n", passes["n"] + 1)
+                          or real_sketch(*a, **kw))
+    )
+    try:
+        report = compact_ingest_units(lake, cols, spark, bits=5,
+                                      num_files=1, keep_last=1)
+    finally:
+        layout_mod.quantile_bin_edges = real_sketch
+    assert passes["n"] == 0                    # snapshot reused, no sketch
+    assert report["folded"] == 3
+    assert report["unit"] == "batch=c0-2"
+    assert report["edges"] == edges
+    names = sorted(n for n in os.listdir(lake) if n.startswith("batch="))
+    assert names == ["batch=3", "batch=c0-2"]
+    assert fp(spark.read.parquet(f"{lake}/batch=*")) == before
+
+    # fewer than 2 candidates: no-op
+    report2 = compact_ingest_units(lake, cols, spark, bits=5, keep_last=1)
+    assert report2["folded"] == 0 and report2["unit"] is None
+
+    # a later fold subsumes the earlier folded unit + the matured tail
+    zorder_layout(batches[0].limit(40), cols, f"{lake}/batch=4",
+                  bits=5, num_files=1, mode="overwrite", edges=edges)
+    before2 = fp(spark.read.parquet(f"{lake}/batch=*"))
+    report3 = compact_ingest_units(lake, cols, spark, bits=5,
+                                   num_files=1, keep_last=1)
+    assert report3["folded"] == 2              # c0-2 + batch=3
+    assert report3["unit"] == "batch=c0-3"
+    names = sorted(n for n in os.listdir(lake) if n.startswith("batch="))
+    assert names == ["batch=4", "batch=c0-3"]
+    assert fp(spark.read.parquet(f"{lake}/batch=*")) == before2
+
+
+def test_compact_ingest_units_repairs_crash_leftovers(spark, split_sf_dir, tmp_path):
+    """Crash between the fold's rename and its deletes leaves the
+    subsumed originals next to the folded unit (duplicates visible).
+    The NEXT call's repair pass removes exactly the contained units
+    before choosing candidates, so the retry converges and the glob
+    multiset returns to one copy."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_ingest_units,
+    )
+
+    lake = str(tmp_path / "lake")
+    cols = ["user_id", "value"]
+    ev = load_table(spark, split_sf_dir, "events")
+    batches = [
+        ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    edges = None
+    for i, b in enumerate(batches):
+        edges = zorder_layout(
+            b, cols, f"{lake}/batch={i}", bits=5, num_files=1,
+            mode="overwrite", edges=edges,
+        )
+
+    def fp(d):
+        cs = sorted(d.columns)
+        return tuple(d.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64(F.to_json(F.struct(*cs)))
+                  .cast("decimal(38,0)")),
+        ).collect()[0])
+
+    one_copy = fp(spark.read.parquet(f"{lake}/batch=*"))
+
+    # simulate the crash state: the fold of batches 0-1 completed its
+    # rename but died before deleting the originals
+    union01 = spark.read.parquet(f"{lake}/batch=0", f"{lake}/batch=1")
+    zorder_layout(union01, cols, f"{lake}/batch=c0-1", bits=5,
+                  num_files=1, mode="overwrite", edges=edges)
+    dup = fp(spark.read.parquet(f"{lake}/batch=*"))
+    assert dup != one_copy                     # duplicates ARE visible
+
+    report = compact_ingest_units(lake, cols, spark, bits=5,
+                                  num_files=1, keep_last=1)
+    assert sorted(report["repaired"]) == ["batch=0", "batch=1"]
+    assert fp(spark.read.parquet(f"{lake}/batch=*")) == one_copy
+    names = sorted(n for n in os.listdir(lake) if n.startswith("batch="))
+    # after repair the candidates were c0-1 + nothing older than the
+    # kept tail (batch=2) -> fewer than 2 candidates, no fold ran
+    assert names == ["batch=2", "batch=c0-1"]
+    assert report["folded"] == 0
