@@ -1179,13 +1179,15 @@ def compact_ingest_units(
     }
     # repair pass: a unit strictly contained in ANOTHER unit's span is
     # a crash leftover already subsumed by the fold that named the span
-    repaired = [
+    # (dict-deduped: after TWO crashed folds a unit can sit inside two
+    # ranges at once and must still be deleted exactly once)
+    repaired = list(dict.fromkeys(
         name
         for name, (lo, hi) in spans.items()
         for other, (olo, ohi) in spans.items()
         if other != name and olo <= lo and hi <= ohi
         and (ohi - olo) > (hi - lo)
-    ]
+    ))
     for name in repaired:
         _delete_tree(os.path.join(lake, name), spark)
         del spans[name]

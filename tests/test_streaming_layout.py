@@ -364,3 +364,58 @@ def test_compact_ingest_units_repairs_crash_leftovers(spark, split_sf_dir, tmp_p
     # kept tail (batch=2) -> fewer than 2 candidates, no fold ran
     assert names == ["batch=2", "batch=c0-1"]
     assert report["folded"] == 0
+
+
+def test_compact_ingest_units_repairs_nested_crash_ranges(spark, split_sf_dir, tmp_path):
+    """Double-crash state: a unit sits inside TWO folded ranges at once
+    (c0-1 from a crashed first fold, c0-2 from a crashed second whose
+    candidates included c0-1). The repair pass must delete each
+    contained unit exactly once and leave one copy of the data."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_ingest_units,
+    )
+
+    lake = str(tmp_path / "lake")
+    cols = ["user_id", "value"]
+    ev = load_table(spark, split_sf_dir, "events")
+    batches = [
+        ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(4)) == i)
+        for i in range(4)
+    ]
+    edges = None
+    for i, b in enumerate(batches):
+        edges = zorder_layout(
+            b, cols, f"{lake}/batch={i}", bits=5, num_files=1,
+            mode="overwrite", edges=edges,
+        )
+
+    def fp(d):
+        cs = sorted(d.columns)
+        return tuple(d.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64(F.to_json(F.struct(*cs)))
+                  .cast("decimal(38,0)")),
+        ).collect()[0])
+
+    one_copy = fp(spark.read.parquet(f"{lake}/batch=*"))
+
+    # crashed fold 1: c0-1 landed, originals 0,1 not deleted
+    u01 = spark.read.parquet(f"{lake}/batch=0", f"{lake}/batch=1")
+    zorder_layout(u01, cols, f"{lake}/batch=c0-1", bits=5,
+                  num_files=1, mode="overwrite", edges=edges)
+    # crashed fold 2 over {c0-1, 2}: c0-2 landed, nothing deleted —
+    # batch=0/1 are now inside BOTH c0-1 and c0-2
+    u012 = spark.read.parquet(
+        f"{lake}/batch=0", f"{lake}/batch=1", f"{lake}/batch=2"
+    )
+    zorder_layout(u012, cols, f"{lake}/batch=c0-2", bits=5,
+                  num_files=1, mode="overwrite", edges=edges)
+
+    report = compact_ingest_units(lake, cols, spark, bits=5,
+                                  num_files=1, keep_last=1)
+    assert sorted(report["repaired"]) == [
+        "batch=0", "batch=1", "batch=2", "batch=c0-1"
+    ]
+    assert fp(spark.read.parquet(f"{lake}/batch=*")) == one_copy
+    names = sorted(n for n in os.listdir(lake) if n.startswith("batch="))
+    assert names == ["batch=3", "batch=c0-2"]
