@@ -103,7 +103,17 @@ DRIVER_WINDOW = [
     # record after rollup (r1–r11) and cube (r11); it shares the
     # Expand-based plan but GROUPING SETS' explicit set list is the one
     # grouping form never driver-confirmed.
-    "q_math_functions",
+    # round-15 rotation (VERDICT round 14 #2): the skew-salting lever —
+    # the two-phase exact-DECIMAL salted aggregate (plans/scale.py:64),
+    # registered round 14 as the last non-twin never-driver-sampled
+    # query — gets its driver row. Out: q_math_functions after ten
+    # greens (r1–r4, r8–r14), the projection-over-scan veteran with the
+    # longest current streak; the scalar-pack shape keeps its local
+    # oracle differential and q1's codegen'd projection+conditional
+    # aggregates as the in-window twin. After this lands green,
+    # rotation stops per the declared policy — any future registry
+    # addition earns a row the same way.
+    "q_salted_sum_skewproof",
     "q_grouping_sets",
     # round-9 rotation (VERDICT round 8 #2): q_json_functions rotates to
     # the tail after seven consecutive driver greens (r2–r8); the

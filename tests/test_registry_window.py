@@ -51,6 +51,12 @@ REQUIRED_IN_WINDOW = {
     # rotation stops per the declared policy.
     "sink_bucketed_join",
     "sink_zorder_string_scan",
+    # promoted round 15 (VERDICT round 14 #2): the skew-salting lever —
+    # two-phase exact-DECIMAL salted aggregate (plans/scale.py) — was
+    # the last non-twin never-driver-sampled query after the r14
+    # additions; one like-for-like swap (out: q_math_functions, ten
+    # greens) and rotation stops for real.
+    "q_salted_sum_skewproof",
     # round-2 red rows the round-3 ts fix must show green in the driver
     # (VERDICT.md round 2 "Next round" #1 done-criteria). The inner asof
     # variant and multimodal_payload_stats earned their green rows in
@@ -196,7 +202,7 @@ def test_tail_components_are_covered_in_window():
         # rotated to the tail round 9 after seven greens (r2–r8); the
         # scalar projection-over-scan shape keeps date/math/conditional
         # in window (nested-JSON parsing keeps its local oracle suite)
-        "q_json_functions": "q_math_functions",
+        "q_json_functions": "q1_pricing_summary",
         # SemDeDup-style cluster-bucketed representative keep: the
         # bucketed embedding near-dup family's in-window representative
         # (dedup_semantic_keep rotated INTO the window round 11)
@@ -225,7 +231,7 @@ def test_tail_components_are_covered_in_window():
         "q_lead_lag_gaps": "q_window_running_totals",
         # rotated to the tail round 11 (greens r1-r4, r8-r10); the scalar
         # projection-over-scan shape keeps math/conditional in window
-        "q_date_functions": "q_math_functions",
+        "q_date_functions": "q1_pricing_summary",
         "q_ntile_wealth_deciles": "q_window_running_totals",
         # (q_grouping_sets rotated INTO the window round 12 — VERDICT
         # round 11 #2 — completing the grouping-analytics trio)
@@ -260,21 +266,21 @@ def test_tail_components_are_covered_in_window():
         # date/math in window, and the array-HOF machinery
         # (aggregate/transform/zip_with) is driven end-to-end by the
         # in-window cosine/IVF similarity queries via functions/vector.py
-        "q_string_functions": "q_math_functions",
+        "q_string_functions": "q1_pricing_summary",
         "q_array_functions": "similarity_cosine_topk",
         "doc_fingerprint_winnow": "text_quality_stats",
         "q_stddev_variance": "q1_pricing_summary",
         "q_minmax_by": "q1_pricing_summary",
         # json rotated out round 9; map/json scalar shapes share the
         # projection-over-scan machinery with the in-window date pack
-        "q_map_functions": "q_math_functions",
+        "q_map_functions": "q1_pricing_summary",
         "text_lang_id": "text_quality_stats",
         # (text_tfidf_keywords rotated INTO the window round 12 —
         # VERDICT round 11 #2 — the curation family's last never-green)
         # rotated to the tail round 12 after seven greens (r1–r4,
         # r8–r11); the scalar projection-over-scan shape keeps
         # q_math_functions in window
-        "q_conditional_price_bands": "q_math_functions",
+        "q_conditional_price_bands": "q1_pricing_summary",
         # rotated to the tail round 12 after nine consecutive greens
         # (r3–r11); the curation family keeps decontamination + PII in
         # window plus the incoming tf-idf rotation
@@ -341,10 +347,12 @@ def test_tail_components_are_covered_in_window():
         # string-surrogate variant, which is the same zorder_layout →
         # pruned-box-scan loop plus the round-13 string machinery
         "sink_zorder_clustered_scan": "sink_zorder_string_scan",
-        # round-14 tail addition: the salting lever's oracle row — a
-        # two-phase hash aggregate, the q1 conditional/hash-agg family
-        # (phase geometry plan-asserted in tests/test_scale.py)
-        "q_salted_sum_skewproof": "q1_pricing_summary",
+        # rotated round 15 after ten greens (r1–r4, r8–r14), freeing the
+        # slot for q_salted_sum_skewproof's first driver row (VERDICT
+        # round 14 #2): the scalar projection-over-scan shape is q1's
+        # codegen'd projection + conditional aggregates, and the pack
+        # keeps its local oracle differential
+        "q_math_functions": "q1_pricing_summary",
         # rotated round 14 after twelve consecutive greens r1–r13, the
         # longest-serving join veteran (VERDICT round 13 #3 freed the
         # slot for the bucketed join): LeftSemi is the same
@@ -375,110 +383,116 @@ def test_tail_components_are_covered_in_window():
 # (i.e. is scheduled for its first driver row this round).
 DRIVER_GREEN_ROUNDS = {
     "asof_inner_error_context": (3,),
-    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "dedup_cluster_components": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "dedup_cluster_components": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "dedup_exact": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
     "dedup_simhash": (1, 2, 3, 4, 5, 6, 7,),
     "doc_fingerprint_winnow": (1, 2, 3, 4),
-    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "multimodal_frame_sample": (2, 3, 4, 5, 6, 7, 8,),
     "multimodal_payload_stats": (2, 3),
-    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "q10_returned_items": (1,),
     "q12_shipmode_priority": (2,),
     "q14_promo_share": (1,),
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "q5_local_supplier_volume": (1,),
     "q7_nation_volume": (1,),
     "q8_market_share": (1,),
-    "q_anti_join_customers_without_orders": (1, 2, 3, 11, 12, 13,),
+    "q_anti_join_customers_without_orders": (1, 2, 3, 11, 12, 13, 14,),
     "q_approx_aggregates": (2, 3, 4, 5),
     "q_array_functions": (1, 2, 3, 4, 5, 6, 7,),
     "q_conditional_price_bands": (1, 2, 3, 4, 8, 9, 10, 11,),
-    "q_cube_status_priority": (1, 11, 12, 13,),
+    "q_cube_status_priority": (1, 11, 12, 13, 14,),
     "q_date_functions": (1, 2, 3, 4, 8, 9, 10,),
     "q_distinct_agg": (1,),
     "q_exists_subquery": (1,),
     "q_explode_tokens": (1,),
-    "q_grouping_sets": (1, 12, 13,),
+    "q_grouping_sets": (1, 12, 13, 14,),
     "q_json_functions": (2, 3, 4, 5, 6, 7, 8,),
     "q_lead_lag_gaps": (1, 5, 6, 7, 8, 9, 10,),
     "q_map_functions": (1,),
-    "q_math_functions": (1, 2, 3, 4, 8, 9, 10, 11, 12, 13,),
+    "q_math_functions": (1, 2, 3, 4, 8, 9, 10, 11, 12, 13, 14,),
     "q_minmax_by": (1,),
     "q_ntile_wealth_deciles": (1,),
     "q_outer_join_order_fill": (1, 2, 3, 4, 5, 6,),
     "q_percentiles_exact": (1,),
-    "q_percentiles_rank_select": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "q_pivot_status_by_priority": (5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "q_percentiles_rank_select": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q_pivot_status_by_priority": (5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "q_rank_variants": (1,),
-    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "q_scalar_subquery": (1, 2, 3),
     "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "q_sessionize_events": (5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "q_sessionize_events": (5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "q_stddev_variance": (1,),
     "q_string_functions": (1, 2, 3, 4, 5, 6, 7,),
     "q_theta_join_price_band": (1, 2, 3, 4, 5, 6, 7, 8,),
     "q_topk_per_group": (1,),
-    "q_window_interval_range": (5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "q_window_interval_range": (5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "sample_hash_split": (4, 5, 6, 7,),
-    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,),
-    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "streaming_foreachbatch_sink": (2, 3, 4, 5),
-    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "streaming_session_window": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "streaming_session_window": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "streaming_sliding_window": (3, 4, 5, 6, 7, 8, 9,),
-    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "streaming_tumbling_window": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12,),
     "text_lang_id": (1,),
-    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
+    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
     "text_repetition_stats": (3, 4, 5, 6, 7, 8, 9, 10, 11,),
-    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "text_unigram_logprob": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "q_corr_regr_aggregates": (6, 7, 8, 9, 10, 11, 12, 13,),
-    "q_unpivot_flag_measures": (6, 7, 8, 9, 10, 11, 12, 13,),
-    "pyramid_channel_stats": (7, 8, 9, 10, 11, 12, 13,),
-    "dedup_embedding_srp": (8, 9, 10, 11, 12, 13,),
+    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "text_unigram_logprob": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q_corr_regr_aggregates": (6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q_unpivot_flag_measures": (6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "pyramid_channel_stats": (7, 8, 9, 10, 11, 12, 13, 14,),
+    "dedup_embedding_srp": (8, 9, 10, 11, 12, 13, 14,),
     # first driver rows round 9 (the last three never-confirmed
     # components, VERDICT round 8 #2)
-    "embedding_quantize_int8": (9, 10, 11, 12, 13,),
-    "streaming_stream_join": (9, 10, 11, 12, 13,),
-    "pack_sequences_fixed": (9, 10, 11, 12, 13,),
+    "embedding_quantize_int8": (9, 10, 11, 12, 13, 14,),
+    "streaming_stream_join": (9, 10, 11, 12, 13, 14,),
+    "pack_sequences_fixed": (9, 10, 11, 12, 13, 14,),
     # first driver rows round 10 (VERDICT round 9 #4 rotations:
     # outer stream-join state, PII regex scan, A-ES reservoir)
-    "pii_redact_scan": (10, 11, 12, 13,),
-    "sample_weighted_reservoir": (10, 11, 12, 13,),
-    "streaming_stream_left_join": (10, 11, 12, 13,),
+    "pii_redact_scan": (10, 11, 12, 13, 14,),
+    "sample_weighted_reservoir": (10, 11, 12, 13, 14,),
+    "streaming_stream_left_join": (10, 11, 12, 13, 14,),
     # first driver row round 11 (VERDICT round 10 #2 rotation:
     # SemDeDup cluster-bucketed representative keep)
-    "dedup_semantic_keep": (11, 12, 13,),
+    "dedup_semantic_keep": (11, 12, 13, 14,),
     # first driver row round 12 (VERDICT round 11 #2 rotation: the
     # curation family's last never-driver-green algorithm; green on
     # first exposure alongside q_grouping_sets' first row completing
     # the rollup/cube/grouping-sets trio)
-    "text_tfidf_keywords": (12, 13,),
+    "text_tfidf_keywords": (12, 13, 14,),
     # first driver rows round 13 (VERDICT round 12 #6 + window note):
     # both green on first exposure — the round-12 clustered-layout
     # operator's own write→scan query and the foreachBatch +
     # append-clustering streaming-ingest composition
     "sink_zorder_clustered_scan": (13,),
-    "streaming_clustered_ingest": (13,),
+    "streaming_clustered_ingest": (13, 14,),
+    # first driver rows round 14 (VERDICT round 13 #3/#4): both green on
+    # first exposure — the zero-Exchange bucketed co-located join (plan
+    # assertion inside the query) and the order-preserving
+    # string-surrogate clustered write→scan
+    "sink_bucketed_join": (14,),
+    "sink_zorder_string_scan": (14,),
 }
 
 # SURVEY.md §2B component families -> the registry queries that exercise
@@ -577,8 +591,7 @@ def test_rotated_out_queries_earned_their_rest():
     its first green."""
     window = set(DRIVER_WINDOW)
     promoted_this_round = {
-        "sink_bucketed_join",
-        "sink_zorder_string_scan",
+        "q_salted_sum_skewproof",
     }
     fam_of = {}
     for fam, qs in COMPONENT_QUERIES.items():
