@@ -65,6 +65,9 @@ __all__ = [
     "compact_clustered_table",
     "vacuum_clustered_table",
     "compact_ingest_units",
+    "repair_ingest_units",
+    "resolve_ingest_units",
+    "read_ingest_lake",
     "save_edge_snapshot",
     "load_edge_snapshot",
     "resolve_clustered_table",
@@ -713,7 +716,9 @@ def resolve_clustered_table(path: str, spark=None) -> str:
 
     Pass ``spark`` to resolve non-local paths: the pointer is then
     read through the Hadoop FileSystem for the path's scheme (one
-    small-object GET); without it only local pointers are visible.
+    small-object GET). A session is REQUIRED for a remote-scheme path —
+    resolving one without a session raises ``ValueError`` (never a
+    silent flat-path fallback that would miss the manifest).
 
     Reader-vs-cleanup boundary: a resolved versioned unit stays
     readable across the NEXT :func:`compact_clustered_table` — its
@@ -751,7 +756,13 @@ def _use_local_fs(path: str, spark) -> bool:
     ``fs.defaultFS`` (the same rule Spark itself applies); an explicit
     ``file:`` URI goes through the Hadoop FileSystem when a session is
     available (same bytes, and it keeps the Hadoop branch exercised by
-    the local twin tests), plain Python I/O otherwise."""
+    the local twin tests), plain Python I/O otherwise.
+
+    A remote-scheme path with NO session raises immediately: the only
+    way to reach that filesystem is through the session's Hadoop
+    FileSystem, and falling through would crash later with an opaque
+    AttributeError inside :func:`_hadoop_fs` (or, worse for a reader,
+    look like "no pointer here")."""
     scheme = _path_scheme(path)
     if scheme is None:
         if spark is None:
@@ -762,6 +773,12 @@ def _use_local_fs(path: str, spark) -> bool:
         return default.startswith("file:")
     if scheme == "file":
         return spark is None
+    if spark is None:
+        raise ValueError(
+            f"spark session required for non-local path {path!r}: the "
+            f"{scheme}:// filesystem is only reachable through the "
+            "session's Hadoop FileSystem"
+        )
     return False
 
 
@@ -1123,6 +1140,91 @@ def _ingest_unit_span(name: str) -> tuple[int, int] | None:
         return None
 
 
+def _ingest_spans(lake: str, spark) -> dict[str, tuple[int, int]]:
+    """Name → (lo, hi) span of every ingest unit under ``lake``."""
+    return {
+        e: span for e in _list_entries(lake, spark)
+        if (span := _ingest_unit_span(e)) is not None
+    }
+
+
+def _subsumed_units(spans: dict[str, tuple[int, int]]) -> list[str]:
+    """Units strictly contained in ANOTHER unit's span — the retired
+    generation a previous fold left for in-flight readers, plus any
+    crash leftovers (same sweep covers both). Dict-deduped: after two
+    crashed folds a unit can sit inside two ranges at once and must
+    still appear exactly once. Span-ordered (listing order is
+    filesystem-dependent) so repair/report output is deterministic."""
+    ordered = sorted(spans.items(), key=lambda kv: (kv[1], kv[0]))
+    return list(dict.fromkeys(
+        name
+        for name, (lo, hi) in ordered
+        for other, (olo, ohi) in ordered
+        if other != name and olo <= lo and hi <= ohi
+        and (ohi - olo) > (hi - lo)
+    ))
+
+
+def resolve_ingest_units(lake: str, spark=None) -> list[str]:
+    """LIVE unit paths of a batch-keyed ingest lake — every
+    ``batch=<id>`` / ``batch=c<lo>-<hi>`` unit whose span is NOT
+    contained in another unit's span. This is the lake's reader
+    protocol (the glob-regime twin of :func:`resolve_clustered_table`):
+    after a fold, the subsumed originals are RETAINED on disk for
+    in-flight readers (see :func:`compact_ingest_units`), so a raw
+    ``spark.read.parquet("<lake>/batch=*")`` would double-count them;
+    span-filtering here reads exactly one copy in EVERY state the
+    single-runner lifecycle can produce — mid-fold, post-fold,
+    post-crash — because containment is decided per listing: a fold's
+    only visible mutation is the promote rename, so a concurrent
+    listing either misses the folded unit (reads the still-present
+    originals) or sees it (and drops the originals). Read-only and
+    cheap: one directory listing plus pure-Python span math, safe to
+    call at reader startup with no compactor coordination.
+    """
+    spans = _ingest_spans(lake, spark)
+    dead = set(_subsumed_units(spans))
+    return [
+        os.path.join(lake, n)
+        for n in sorted(spans, key=lambda n: (spans[n][1], spans[n][0]))
+        if n not in dead
+    ]
+
+
+def read_ingest_lake(spark, lake: str) -> DataFrame:
+    """``spark.read.parquet`` over :func:`resolve_ingest_units` — the
+    supported way to read a batch-keyed ingest lake once
+    :func:`compact_ingest_units` runs on it (a raw ``batch=*`` glob
+    double-counts the retained generation between a fold and the next
+    repair). An empty lake fails loudly in the parquet reader rather
+    than returning an empty frame."""
+    units = resolve_ingest_units(lake, spark)
+    if not units:
+        raise FileNotFoundError(f"no ingest units under {lake}")
+    return spark.read.parquet(*units)
+
+
+def repair_ingest_units(lake: str, spark=None) -> list[str]:
+    """Delete every subsumed ingest unit (the retired generation and
+    any crash leftovers) plus a stale ``.fold_tmp`` staging dir, and
+    return the deleted unit names. This is the fold's own step 1,
+    exposed so callers can reclaim the retained generation's storage
+    early — or restore the flat one-copy invariant for legacy
+    ``batch=*`` glob readers — without paying for a full fold. Cheap:
+    one listing, pure-Python span containment, the deletes. Same
+    single-runner convention as the fold (never run concurrently with
+    one); resolver readers (:func:`resolve_ingest_units`) that resolved
+    BEFORE the previous fold lose their retained files here, exactly
+    like outliving ``keep_versions`` in the manifest regime — loudly,
+    never silently wrong."""
+    spans = _ingest_spans(lake, spark)
+    dead = _subsumed_units(spans)
+    for name in dead:
+        _delete_tree(os.path.join(lake, name), spark)
+    _delete_tree(os.path.join(lake, ".fold_tmp"), spark)
+    return dead
+
+
 def compact_ingest_units(
     lake: str,
     cols: Sequence[str],
@@ -1137,30 +1239,52 @@ def compact_ingest_units(
     """Fold the older ``batch=<id>`` units of a batch-keyed ingest lake
     (the ``streaming_clustered_ingest`` layout) into ONE re-clustered
     unit — the ingest-side compactor that keeps the unit count bounded
-    while preserving both of the lake's contracts: readers keep
-    glob-reading ``<lake>/batch=*`` and the streaming landing stays
-    idempotent (future batch ids are monotone, so they can never
-    collide with a folded unit's range name).
+    while preserving the lake's contracts: readers resolve live units
+    through :func:`resolve_ingest_units` / :func:`read_ingest_lake`,
+    and the streaming landing stays idempotent (future batch ids are
+    monotone, so they can never collide with a folded unit's range
+    name).
 
     Mechanism (verify-then-promote, like every compact here):
 
-    1. REPAIR: delete any unit whose batch-id span is contained in a
-       folded unit's range — the duplicates a crash between a previous
-       fold's rename and its deletes left behind. Every later call
-       re-sweeps, so a crash costs temporary duplicate storage that the
-       next compact removes, and the repair runs BEFORE candidates are
-       chosen so a retry converges instead of re-folding duplicates.
-    2. Candidates = every unit except the ``keep_last``
+    1. REPAIR (:func:`repair_ingest_units`): delete any unit whose
+       batch-id span is contained in another unit's range — the retired
+       generation the PREVIOUS fold left in place, plus any crash
+       leftovers (same sweep). Repair runs BEFORE candidates are chosen
+       so a retry converges instead of re-folding duplicates.
+    2. Candidates = every live unit except the ``keep_last``
        newest-by-span-end (the hot tail the stream is still near);
-       no-op with fewer than 2 candidates.
+       no-op with fewer than 2 candidates. ``keep_last >= 1`` is a
+       CORRECTNESS requirement, not a tuning knob, and 0 raises:
+       ``foreachBatch`` is at-least-once, so the newest batch id can
+       always be re-landed by a replay — if its (possibly partial)
+       first copy were folded into a range, the next repair would
+       delete the fully-replayed unit as "contained" and permanently
+       lose the rows the partial copy was missing.
     3. One ``zorder_layout`` over the union of candidate units into the
        HIDDEN staging dir ``<lake>/.fold_tmp`` (dot-prefixed: invisible
-       to both the glob and any flat listing), reusing the lake's
-       persisted edge snapshot when present so the folded unit stays in
-       the SAME key space as the stream's appends; multiset fingerprint
-       must equal the candidates' union BEFORE anything is promoted.
-    4. Promote with ONE directory rename to ``batch=c<lo>-<hi>``, then
-       delete the subsumed units (crash window covered by step 1).
+       to the resolver, any glob, and any flat listing), reusing the
+       lake's persisted edge snapshot when present so the folded unit
+       stays in the SAME key space as the stream's appends; multiset
+       fingerprint must equal the candidates' union BEFORE anything is
+       promoted. On a fingerprint mismatch the staging is renamed to
+       ``<lake>/.fold_failed`` (replacing any earlier failure) so a
+       routine retry's step-1 sweep cannot clobber the evidence, and
+       the call raises with the originals untouched.
+    4. Promote with ONE directory rename to ``batch=c<lo>-<hi>``. The
+       subsumed units are RETAINED in place as the retired generation —
+       deleted by the NEXT fold's repair pass (or an explicit
+       :func:`repair_ingest_units`), never by this one. That is the
+       same one-generation reader grace the manifest compact gives
+       (``compact_clustered_table`` ``keep_versions``): a reader that
+       resolved its unit list just before the promote keeps every
+       listed file alive until the next fold, and a resolver reader
+       listing at ANY point sees exactly one copy of every row — the
+       crash window between rename and delete is gone because there is
+       no delete. Cost: one retained extra copy of the folded span
+       until the next fold/repair. A raw ``batch=*`` glob, by contrast,
+       double-counts the retained generation — glob reads are only
+       valid on a never-folded lake.
 
     Boundary, same as ``swap="rename"``: the promote rename is atomic
     on POSIX/HDFS and a per-object copy on S3-class stores — at an
@@ -1170,34 +1294,27 @@ def compact_ingest_units(
     compactor at a time (the stream itself never touches folded names).
 
     Returns ``{"folded": n_units, "unit": name_or_None,
-    "edges": edges_or_None, "repaired": [names...]}``.
+    "edges": edges_or_None, "repaired": [names...],
+    "retired": [names...]}`` — ``repaired`` is what step 1 deleted,
+    ``retired`` the units this fold subsumed and left for the next
+    sweep.
     """
-    entries = _list_entries(lake, spark)
-    spans = {
-        e: span for e in entries
-        if (span := _ingest_unit_span(e)) is not None
-    }
-    # repair pass: a unit strictly contained in ANOTHER unit's span is
-    # a crash leftover already subsumed by the fold that named the span
-    # (dict-deduped: after TWO crashed folds a unit can sit inside two
-    # ranges at once and must still be deleted exactly once)
-    repaired = list(dict.fromkeys(
-        name
-        for name, (lo, hi) in spans.items()
-        for other, (olo, ohi) in spans.items()
-        if other != name and olo <= lo and hi <= ohi
-        and (ohi - olo) > (hi - lo)
-    ))
-    for name in repaired:
-        _delete_tree(os.path.join(lake, name), spark)
-        del spans[name]
-    _delete_tree(os.path.join(lake, ".fold_tmp"), spark)
+    if int(keep_last) < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): the newest "
+            "batch id can always be re-landed by an at-least-once "
+            "replay, and folding a partial first copy would make the "
+            "next repair delete the fully-replayed unit as contained — "
+            "permanent row loss, not a performance trade"
+        )
+    repaired = repair_ingest_units(lake, spark)
+    spans = _ingest_spans(lake, spark)
 
     ordered = sorted(spans, key=lambda n: spans[n][1])
-    candidates = ordered[: max(0, len(ordered) - max(0, int(keep_last)))]
+    candidates = ordered[: max(0, len(ordered) - int(keep_last))]
     if len(candidates) < 2:
         return {"folded": 0, "unit": None, "edges": None,
-                "repaired": repaired}
+                "repaired": repaired, "retired": []}
     lo = min(spans[n][0] for n in candidates)
     hi = max(spans[n][1] for n in candidates)
     union = spark.read.parquet(
@@ -1211,16 +1328,19 @@ def compact_ingest_units(
     )
     if (_multiset_fingerprint(spark.read.parquet(staging))
             != _multiset_fingerprint(union)):
+        failed = os.path.join(lake, ".fold_failed")
+        _delete_tree(failed, spark)
+        _rename(staging, failed, spark)
         raise RuntimeError(
-            f"ingest fold of {lake} changed the row multiset; "
-            f"{staging} kept for inspection, original units untouched"
+            f"ingest fold of {lake} changed the row multiset; staging "
+            f"kept for inspection at {failed} (replaces any earlier "
+            "failure; repair never touches it), original units untouched"
         )
     folded_name = f"batch=c{lo}-{hi}"
     _rename(staging, os.path.join(lake, folded_name), spark)
-    for n in candidates:
-        _delete_tree(os.path.join(lake, n), spark)
     return {"folded": len(candidates), "unit": folded_name,
-            "edges": edges, "repaired": repaired}
+            "edges": edges, "repaired": repaired,
+            "retired": list(candidates)}
 
 
 def layout_scan_fraction(

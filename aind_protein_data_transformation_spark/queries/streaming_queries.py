@@ -555,12 +555,18 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     property regardless of which unit holds the group — and they are
     the natural compaction granularity: ``compact_ingest_units`` folds
     the older units into one re-clustered ``batch=c<lo>-<hi>`` unit
-    (verify-then-rename, crash-repaired by range containment, glob
-    contract preserved) on whatever cadence the incremental-vs-global
-    gap justifies. A transactional single-dir ``mode="append"``
-    landing remains the right shape on stores with atomic commit
-    (Delta-style); on plain parquet, batch-keyed overwrite is the form
-    that makes replay exactly-once.
+    (verify-then-rename, crash-repaired by range containment) on
+    whatever cadence the incremental-vs-global gap justifies. The fold
+    RETAINS the subsumed units for one generation (deleted by the NEXT
+    fold's repair pass), so a reader that resolved its unit list just
+    before a fold keeps its files alive across it — which is why reads
+    go through ``read_ingest_lake`` / ``resolve_ingest_units`` (span-
+    filtered listing, exactly one copy in every lifecycle state) rather
+    than a raw ``batch=*`` glob, which would double-count the retained
+    generation on a folded lake. A transactional single-dir
+    ``mode="append"`` landing remains the right shape on stores with
+    atomic commit (Delta-style); on plain parquet, batch-keyed
+    overwrite is the form that makes replay exactly-once.
 
     The returned answer is the predicate shape the layout serves — a
     multi-column (user_id, value) box with NO time term, which an
@@ -577,6 +583,7 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.layout import (
         load_edge_snapshot,
+        read_ingest_lake,
         save_edge_snapshot,
         zorder_layout,
     )
@@ -616,7 +623,7 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     handle.awaitTermination()
     shutil.rmtree(f"{out_root}/_ckpt", ignore_errors=True)
 
-    landed = spark.read.parquet(f"{lake}/batch=*")
+    landed = read_ingest_lake(spark, lake)
     return (
         landed.filter(
             (F.col("user_id") >= 20) & (F.col("user_id") <= 60)

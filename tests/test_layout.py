@@ -1165,3 +1165,23 @@ def test_pointer_protocol_dispatches_on_scheme(spark, tmp_path):
     assert _strip_file_scheme("file:///x/y") == "/x/y"
     assert _strip_file_scheme("file:/x/y") == "/x/y"
     assert _strip_file_scheme("/x/y") == "/x/y"
+
+
+def test_remote_scheme_without_session_raises(tmp_path):
+    """A remote-scheme path with NO spark session raises a clear
+    ValueError at the dispatch point (ADVICE round 14): the old
+    fallthrough crashed later with an opaque AttributeError inside
+    ``_hadoop_fs`` — or, for a reader, looked like 'no pointer here'."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        _use_local_fs,
+        load_edge_snapshot,
+        resolve_clustered_table,
+    )
+
+    with pytest.raises(ValueError, match="spark session required"):
+        _use_local_fs("s3a://bucket/table", None)
+    # and the public entry points surface the same message
+    with pytest.raises(ValueError, match="spark session required"):
+        resolve_clustered_table("s3a://bucket/table")
+    with pytest.raises(ValueError, match="spark session required"):
+        load_edge_snapshot("hdfs://nn/table")
