@@ -632,6 +632,42 @@ _CURRENT_POINTER = "_CURRENT"
 #: ``_delta_log`` naming convention: Spark's listing skips it, and the
 #: manifest compact's stale-data sweep removes only ``*.parquet``).
 _EDGES_SIDECAR = "_edges.json"
+#: Commit marker written INSIDE a folded ingest unit, strictly after
+#: every data object: a ``batch=c<lo>-<hi>`` unit is live only once
+#: this file exists, making the fold's commit point one small PUT even
+#: on stores whose directory rename is a non-atomic per-object copy.
+#: Underscore-prefixed, so Spark's parquet listing and the footer-
+#: geometry walk both skip it.
+_FOLD_MARKER = "_FOLD_COMMITTED"
+
+
+def _write_small_file(full_path: str, payload: str, spark=None) -> None:
+    """One small-file overwrite, scheme-dispatched: write-tmp +
+    ``os.replace`` locally (atomic on POSIX), a single-object
+    ``create(overwrite)`` through the Hadoop FileSystem elsewhere
+    (atomic per object on S3-class stores)."""
+    if _use_local_fs(full_path, spark):
+        local = _strip_file_scheme(full_path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        tmp = local + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, local)
+        return
+    fs, jp = _hadoop_fs(spark, full_path)
+    stream = fs.create(jp, True)
+    try:
+        stream.write(bytearray(payload.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _exists(path: str, spark=None) -> bool:
+    """File/dir existence, scheme-dispatched."""
+    if _use_local_fs(path, spark):
+        return os.path.exists(_strip_file_scheme(path))
+    fs, jp = _hadoop_fs(spark, path)
+    return bool(fs.exists(jp))
 
 
 def save_edge_snapshot(
@@ -654,21 +690,7 @@ def save_edge_snapshot(
     import json
 
     sidecar = os.path.join(path, _EDGES_SIDECAR)
-    payload = json.dumps(edges, sort_keys=True)
-    if _use_local_fs(path, spark):
-        local = _strip_file_scheme(sidecar)
-        os.makedirs(os.path.dirname(local), exist_ok=True)
-        tmp = local + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(payload)
-        os.replace(tmp, local)
-        return
-    fs, jp = _hadoop_fs(spark, sidecar)
-    stream = fs.create(jp, True)
-    try:
-        stream.write(bytearray(payload.encode("utf-8")))
-    finally:
-        stream.close()
+    _write_small_file(sidecar, json.dumps(edges, sort_keys=True), spark)
 
 
 def load_edge_snapshot(
@@ -1140,12 +1162,36 @@ def _ingest_unit_span(name: str) -> tuple[int, int] | None:
         return None
 
 
-def _ingest_spans(lake: str, spark) -> dict[str, tuple[int, int]]:
-    """Name → (lo, hi) span of every ingest unit under ``lake``."""
-    return {
-        e: span for e in _list_entries(lake, spark)
-        if (span := _ingest_unit_span(e)) is not None
-    }
+def _is_folded_name(name: str) -> bool:
+    """True for a fold-produced ``batch=c<lo>-<hi>`` unit name."""
+    return name.startswith("batch=c")
+
+
+def _ingest_spans(
+    lake: str, spark
+) -> tuple[dict[str, tuple[int, int]], list[str]]:
+    """(committed spans, uncommitted folded names) of the ingest units
+    under ``lake``. A plain ``batch=<id>`` unit is always committed
+    (the stream's overwrite-by-batch-id replay handles its partial
+    states); a folded ``batch=c<lo>-<hi>`` unit counts only once its
+    ``_FOLD_COMMITTED`` marker exists — a marker-less folded unit is a
+    promote that crashed mid-copy (or pre-marker) and must neither be
+    read nor retire the originals its range covers. Uncommitted names
+    come back span-ordered, separately, for the repair sweep."""
+    spans: dict[str, tuple[int, int]] = {}
+    uncommitted: list[str] = []
+    for e in _list_entries(lake, spark):
+        span = _ingest_unit_span(e)
+        if span is None:
+            continue
+        if _is_folded_name(e) and not _exists(
+            os.path.join(lake, e, _FOLD_MARKER), spark
+        ):
+            uncommitted.append(e)
+            continue
+        spans[e] = span
+    uncommitted.sort(key=lambda n: (_ingest_unit_span(n), n))
+    return spans, uncommitted
 
 
 def _subsumed_units(spans: dict[str, tuple[int, int]]) -> list[str]:
@@ -1175,14 +1221,19 @@ def resolve_ingest_units(lake: str, spark=None) -> list[str]:
     ``spark.read.parquet("<lake>/batch=*")`` would double-count them;
     span-filtering here reads exactly one copy in EVERY state the
     single-runner lifecycle can produce — mid-fold, post-fold,
-    post-crash — because containment is decided per listing: a fold's
-    only visible mutation is the promote rename, so a concurrent
-    listing either misses the folded unit (reads the still-present
-    originals) or sees it (and drops the originals). Read-only and
-    cheap: one directory listing plus pure-Python span math, safe to
-    call at reader startup with no compactor coordination.
+    post-crash — because a folded unit is LIVE only once its
+    ``_FOLD_COMMITTED`` marker exists, written strictly after every
+    data object: a listing concurrent with a promote — even the
+    non-atomic per-object copy an S3-class rename performs — excludes
+    the marker-less partial unit and keeps reading the still-present
+    originals; once the marker lands (one small PUT, the commit
+    point), the folded unit is complete and the originals drop out by
+    span containment. Cheap and read-only: one directory listing, one
+    marker-existence probe per folded unit (folded units stay few by
+    construction), pure-Python span math — safe to call at reader
+    startup with no compactor coordination.
     """
-    spans = _ingest_spans(lake, spark)
+    spans, _ = _ingest_spans(lake, spark)
     dead = set(_subsumed_units(spans))
     return [
         os.path.join(lake, n)
@@ -1205,20 +1256,23 @@ def read_ingest_lake(spark, lake: str) -> DataFrame:
 
 
 def repair_ingest_units(lake: str, spark=None) -> list[str]:
-    """Delete every subsumed ingest unit (the retired generation and
-    any crash leftovers) plus a stale ``.fold_tmp`` staging dir, and
-    return the deleted unit names. This is the fold's own step 1,
-    exposed so callers can reclaim the retained generation's storage
-    early — or restore the flat one-copy invariant for legacy
-    ``batch=*`` glob readers — without paying for a full fold. Cheap:
-    one listing, pure-Python span containment, the deletes. Same
-    single-runner convention as the fold (never run concurrently with
-    one); resolver readers (:func:`resolve_ingest_units`) that resolved
-    BEFORE the previous fold lose their retained files here, exactly
-    like outliving ``keep_versions`` in the manifest regime — loudly,
-    never silently wrong."""
-    spans = _ingest_spans(lake, spark)
-    dead = _subsumed_units(spans)
+    """Delete every dead ingest unit — the retired generation (units
+    span-contained in a COMMITTED folded unit) and any marker-less
+    folded unit (a promote that crashed mid-copy or before its commit
+    marker; its originals are all still live, so deleting the partial
+    is lossless) — plus a stale ``.fold_tmp`` staging dir, and return
+    the deleted unit names. This is the fold's own step 1, exposed so
+    callers can reclaim the retained generation's storage early — or
+    restore the flat one-copy invariant for legacy ``batch=*`` glob
+    readers — without paying for a full fold. Cheap: one listing,
+    pure-Python span containment, the deletes. Same single-runner
+    convention as the fold (never run concurrently with one); resolver
+    readers (:func:`resolve_ingest_units`) that resolved BEFORE the
+    previous fold lose their retained files here, exactly like
+    outliving ``keep_versions`` in the manifest regime — loudly, never
+    silently wrong."""
+    spans, uncommitted = _ingest_spans(lake, spark)
+    dead = _subsumed_units(spans) + uncommitted
     for name in dead:
         _delete_tree(os.path.join(lake, name), spark)
     _delete_tree(os.path.join(lake, ".fold_tmp"), spark)
@@ -1248,10 +1302,12 @@ def compact_ingest_units(
     Mechanism (verify-then-promote, like every compact here):
 
     1. REPAIR (:func:`repair_ingest_units`): delete any unit whose
-       batch-id span is contained in another unit's range — the retired
-       generation the PREVIOUS fold left in place, plus any crash
-       leftovers (same sweep). Repair runs BEFORE candidates are chosen
-       so a retry converges instead of re-folding duplicates.
+       batch-id span is contained in a committed unit's range — the
+       retired generation the PREVIOUS fold left in place — plus any
+       marker-less folded unit (a promote that crashed before its
+       commit marker; lossless to delete, its originals are all still
+       live). Repair runs BEFORE candidates are chosen so a retry
+       converges instead of re-folding duplicates.
     2. Candidates = every live unit except the ``keep_last``
        newest-by-span-end (the hot tail the stream is still near);
        no-op with fewer than 2 candidates. ``keep_last >= 1`` is a
@@ -1271,9 +1327,18 @@ def compact_ingest_units(
        ``<lake>/.fold_failed`` (replacing any earlier failure) so a
        routine retry's step-1 sweep cannot clobber the evidence, and
        the call raises with the originals untouched.
-    4. Promote with ONE directory rename to ``batch=c<lo>-<hi>``. The
-       subsumed units are RETAINED in place as the retired generation —
-       deleted by the NEXT fold's repair pass (or an explicit
+    4. Promote: ONE directory rename to ``batch=c<lo>-<hi>``, then the
+       ``_FOLD_COMMITTED`` marker is written INSIDE the folded unit —
+       strictly after every data object — as the COMMIT POINT (one
+       small PUT, atomic per object on every store). A folded unit
+       without its marker is invisible to the resolver and deleted by
+       the next repair, so even on stores whose rename is a non-atomic
+       per-object copy (S3-class) no reader can observe a partial
+       folded unit: correctness never depends on rename atomicity,
+       only the promote's COST does (per-object copy — budget it, or
+       fold into a manifest-compacted table instead). The subsumed
+       units are RETAINED in place as the retired generation — deleted
+       by the NEXT fold's repair pass (or an explicit
        :func:`repair_ingest_units`), never by this one. That is the
        same one-generation reader grace the manifest compact gives
        (``compact_clustered_table`` ``keep_versions``): a reader that
@@ -1286,12 +1351,8 @@ def compact_ingest_units(
        double-counts the retained generation — glob reads are only
        valid on a never-folded lake.
 
-    Boundary, same as ``swap="rename"``: the promote rename is atomic
-    on POSIX/HDFS and a per-object copy on S3-class stores — at an
-    object-store deployment fold into a manifest-compacted table
-    (``compact_clustered_table(swap="manifest")``) instead of a
-    batch-keyed lake. Single-runner assumption as repo-wide: one
-    compactor at a time (the stream itself never touches folded names).
+    Single-runner assumption as repo-wide: one compactor at a time
+    (the stream itself never touches folded names).
 
     Returns ``{"folded": n_units, "unit": name_or_None,
     "edges": edges_or_None, "repaired": [names...],
@@ -1308,7 +1369,7 @@ def compact_ingest_units(
             "permanent row loss, not a performance trade"
         )
     repaired = repair_ingest_units(lake, spark)
-    spans = _ingest_spans(lake, spark)
+    spans, _ = _ingest_spans(lake, spark)
 
     ordered = sorted(spans, key=lambda n: spans[n][1])
     candidates = ordered[: max(0, len(ordered) - int(keep_last))]
@@ -1338,6 +1399,16 @@ def compact_ingest_units(
         )
     folded_name = f"batch=c{lo}-{hi}"
     _rename(staging, os.path.join(lake, folded_name), spark)
+    # the commit point: one small PUT strictly after every data object
+    # (see step 4 above) — before this lands the folded unit does not
+    # exist as far as the resolver and the next repair are concerned
+    import json
+
+    _write_small_file(
+        os.path.join(lake, folded_name, _FOLD_MARKER),
+        json.dumps({"folded": list(candidates), "lo": lo, "hi": hi}),
+        spark,
+    )
     return {"folded": len(candidates), "unit": folded_name,
             "edges": edges, "repaired": repaired,
             "retired": list(candidates)}

@@ -555,8 +555,10 @@ def streaming_clustered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     property regardless of which unit holds the group — and they are
     the natural compaction granularity: ``compact_ingest_units`` folds
     the older units into one re-clustered ``batch=c<lo>-<hi>`` unit
-    (verify-then-rename, crash-repaired by range containment) on
-    whatever cadence the incremental-vs-global gap justifies. The fold
+    (verify-then-promote; the commit point is a ``_FOLD_COMMITTED``
+    marker PUT after every data object, so a crashed promote is
+    invisible to readers and repaired losslessly by range containment)
+    on whatever cadence the incremental-vs-global gap justifies. The fold
     RETAINS the subsumed units for one generation (deleted by the NEXT
     fold's repair pass), so a reader that resolved its unit list just
     before a fold keeps its files alive across it — which is why reads

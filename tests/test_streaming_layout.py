@@ -327,13 +327,16 @@ def test_compact_ingest_units_folds_and_preserves(spark, split_sf_dir, tmp_path)
 
 
 def test_compact_ingest_units_repairs_crash_leftovers(spark, split_sf_dir, tmp_path):
-    """Crash between the fold's rename and its deletes leaves the
-    subsumed originals next to the folded unit (duplicates visible).
-    The NEXT call's repair pass removes exactly the contained units
-    before choosing candidates, so the retry converges and the glob
-    multiset returns to one copy."""
+    """A promote that crashed BEFORE its commit marker (mid-copy on an
+    object store, or between rename and marker) leaves a marker-less
+    folded unit next to the fully-live originals. The resolver never
+    reads it, and the next call's repair deletes exactly it (lossless —
+    every original is still live) before re-folding; the retry
+    converges to a committed fold of the same span."""
     from aind_protein_data_transformation_spark.operators.layout import (
         compact_ingest_units,
+        read_ingest_lake,
+        resolve_ingest_units,
     )
 
     lake = str(tmp_path / "lake")
@@ -361,31 +364,42 @@ def test_compact_ingest_units_repairs_crash_leftovers(spark, split_sf_dir, tmp_p
     one_copy = fp(spark.read.parquet(f"{lake}/batch=*"))
 
     # simulate the crash state: the fold of batches 0-1 completed its
-    # rename but died before deleting the originals
+    # data copy but died before writing the _FOLD_COMMITTED marker
     union01 = spark.read.parquet(f"{lake}/batch=0", f"{lake}/batch=1")
     zorder_layout(union01, cols, f"{lake}/batch=c0-1", bits=5,
                   num_files=1, mode="overwrite", edges=edges)
     dup = fp(spark.read.parquet(f"{lake}/batch=*"))
-    assert dup != one_copy                     # duplicates ARE visible
+    assert dup != one_copy                 # the raw glob WOULD dup-read
+    # the resolver excludes the uncommitted unit: still exactly one copy
+    assert [os.path.basename(u) for u in resolve_ingest_units(lake)] == [
+        "batch=0", "batch=1", "batch=2"
+    ]
 
     report = compact_ingest_units(lake, cols, spark, bits=5,
                                   num_files=1, keep_last=1)
-    assert sorted(report["repaired"]) == ["batch=0", "batch=1"]
-    assert fp(spark.read.parquet(f"{lake}/batch=*")) == one_copy
+    # repair deleted the marker-less unit, then the retry re-folded the
+    # same span and committed it, retaining the originals one generation
+    assert report["repaired"] == ["batch=c0-1"]
+    assert report["folded"] == 2 and report["unit"] == "batch=c0-1"
+    assert report["retired"] == ["batch=0", "batch=1"]
+    assert fp(read_ingest_lake(spark, lake)) == one_copy
     names = sorted(n for n in os.listdir(lake) if n.startswith("batch="))
-    # after repair the candidates were c0-1 + nothing older than the
-    # kept tail (batch=2) -> fewer than 2 candidates, no fold ran
-    assert names == ["batch=2", "batch=c0-1"]
-    assert report["folded"] == 0
+    assert names == ["batch=0", "batch=1", "batch=2", "batch=c0-1"]
 
 
 def test_compact_ingest_units_repairs_nested_crash_ranges(spark, split_sf_dir, tmp_path):
-    """Double-crash state: a unit sits inside TWO folded ranges at once
-    (c0-1 from a crashed first fold, c0-2 from a crashed second whose
-    candidates included c0-1). The repair pass must delete each
-    contained unit exactly once and leave one copy of the data."""
+    """Double-crash state mixing both repair rules: two COMMITTED folds
+    (c0-1, then c0-2 whose candidates included c0-1) plus a retained
+    original (batch=1) that a crashed repair sweep never deleted —
+    batch=1 now sits inside TWO committed ranges at once and must be
+    deleted exactly once; c0-1 is contained in c0-2; and a marker-less
+    c0-3 from a third fold that crashed pre-commit must be deleted as
+    uncommitted (its span would otherwise swallow the live tail's
+    history). One repair pass converges the lot to one copy."""
     from aind_protein_data_transformation_spark.operators.layout import (
+        _FOLD_MARKER,
         compact_ingest_units,
+        read_ingest_lake,
     )
 
     lake = str(tmp_path / "lake")
@@ -412,24 +426,41 @@ def test_compact_ingest_units_repairs_nested_crash_ranges(spark, split_sf_dir, t
 
     one_copy = fp(spark.read.parquet(f"{lake}/batch=*"))
 
-    # crashed fold 1: c0-1 landed, originals 0,1 not deleted
+    def commit_marker(unit):
+        with open(os.path.join(lake, unit, _FOLD_MARKER), "w") as f:
+            f.write("{}")
+
+    # committed fold 1 over {0, 1}; its NEXT repair deleted batch=0
+    # then crashed before batch=1 (batch=1 survives in two ranges)
     u01 = spark.read.parquet(f"{lake}/batch=0", f"{lake}/batch=1")
     zorder_layout(u01, cols, f"{lake}/batch=c0-1", bits=5,
                   num_files=1, mode="overwrite", edges=edges)
-    # crashed fold 2 over {c0-1, 2}: c0-2 landed, nothing deleted —
-    # batch=0/1 are now inside BOTH c0-1 and c0-2
+    commit_marker("batch=c0-1")
+    # committed fold 2 over {c0-1, 2}
     u012 = spark.read.parquet(
         f"{lake}/batch=0", f"{lake}/batch=1", f"{lake}/batch=2"
     )
     zorder_layout(u012, cols, f"{lake}/batch=c0-2", bits=5,
                   num_files=1, mode="overwrite", edges=edges)
+    commit_marker("batch=c0-2")
+    shutil.rmtree(f"{lake}/batch=0")
+    # fold 3 over {c0-2, 3} crashed BEFORE its marker: uncommitted
+    u0123 = spark.read.parquet(f"{lake}/batch=c0-2", f"{lake}/batch=3")
+    zorder_layout(u0123, cols, f"{lake}/batch=c0-3", bits=5,
+                  num_files=1, mode="overwrite", edges=edges)
+
+    # even in this state the resolver reads exactly one copy
+    assert fp(read_ingest_lake(spark, lake)) == one_copy
 
     report = compact_ingest_units(lake, cols, spark, bits=5,
                                   num_files=1, keep_last=1)
-    assert sorted(report["repaired"]) == [
-        "batch=0", "batch=1", "batch=2", "batch=c0-1"
+    # one sweep: batch=1 (inside BOTH committed ranges) deleted exactly
+    # once, c0-1 (inside c0-2) deleted, uncommitted c0-3 deleted
+    assert report["repaired"] == [
+        "batch=c0-1", "batch=1", "batch=2", "batch=c0-3"
     ]
-    assert fp(spark.read.parquet(f"{lake}/batch=*")) == one_copy
+    assert report["folded"] == 0           # only c0-2 matured: no fold
+    assert fp(read_ingest_lake(spark, lake)) == one_copy
     names = sorted(n for n in os.listdir(lake) if n.startswith("batch="))
     assert names == ["batch=3", "batch=c0-2"]
 
