@@ -1185,3 +1185,50 @@ def test_remote_scheme_without_session_raises(tmp_path):
         resolve_clustered_table("s3a://bucket/table")
     with pytest.raises(ValueError, match="spark session required"):
         load_edge_snapshot("hdfs://nn/table")
+
+
+def test_ingest_fold_through_hadoop_filesystem_branch(spark, tmp_path):
+    """The batch-keyed ingest fold over an explicit ``file:`` URI with
+    a session: unit listing, the per-folded-unit marker existence
+    probe, the ``_FOLD_COMMITTED`` PUT, the promote rename, the
+    edge-snapshot read, and the retained-generation deletes all route
+    through the Hadoop FileSystem — the same code an s3a:// lake would
+    run, minus the network."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_ingest_units,
+        read_ingest_lake,
+        repair_ingest_units,
+        resolve_ingest_units,
+        save_edge_snapshot,
+    )
+
+    local_root = tmp_path / "lake"
+    uri = "file:" + str(local_root)
+    df = spark.createDataFrame(
+        [Row(a=float(a), b=float(b)) for a in range(32) for b in range(32)]
+    )
+    edges = None
+    for i in range(3):
+        edges = zorder_layout(
+            df.filter((F.col("a").cast("int") % 3) == i), ["a", "b"],
+            f"{uri}/batch={i}", bits=4, num_files=1, mode="overwrite",
+            edges=edges,
+        )
+    save_edge_snapshot(uri, edges, spark)      # Hadoop write branch
+
+    assert [os.path.basename(u) for u in resolve_ingest_units(uri, spark)] \
+        == ["batch=0", "batch=1", "batch=2"]
+    report = compact_ingest_units(uri, ["a", "b"], spark, bits=4,
+                                  num_files=1, keep_last=1)
+    assert report["folded"] == 2 and report["unit"] == "batch=c0-1"
+    assert report["edges"] == edges            # snapshot read via Hadoop
+    # the commit marker landed through fs.create at the real local path
+    assert (local_root / "batch=c0-1" / "_FOLD_COMMITTED").exists()
+    # resolver: live units exclude the retained originals
+    assert [os.path.basename(u) for u in resolve_ingest_units(uri, spark)] \
+        == ["batch=c0-1", "batch=2"]
+    assert read_ingest_lake(spark, uri).count() == 1024
+    # reclaim through the Hadoop delete branch
+    assert repair_ingest_units(uri, spark) == ["batch=0", "batch=1"]
+    assert not (local_root / "batch=0").exists()
+    assert read_ingest_lake(spark, uri).count() == 1024
