@@ -683,3 +683,125 @@ def test_zorder_key_matches_python_twin_property(spark, data):
     for r in got:
         vals = [r[f"c{i}"] for i in range(n_cols)]
         assert r.k == py_key(vals), (vals, r.k, py_key(vals))
+
+
+# --------------------------------------------------------------------
+# Ingest-lake fold lifecycle: model-based property over the REAL span
+# algebra (layout._ingest_unit_span / _subsumed_units — the functions
+# the resolver and repair run). Simulates every reachable lifecycle
+# state — land, at-least-once replay of the newest id, committed fold,
+# fold crashed before its _FOLD_COMMITTED marker, explicit repair —
+# and checks the two invariants that make the lake correct at any
+# scale: the resolver reads every landed row exactly once (no loss, no
+# duplicates), and live unit spans are pairwise disjoint.
+
+from aind_protein_data_transformation_spark.operators.layout import (  # noqa: E402
+    _ingest_unit_span,
+    _is_folded_name,
+    _subsumed_units,
+)
+
+
+class _LakeModel:
+    """Directory-name-level model of a batch-keyed ingest lake: each
+    unit maps to the SET of batch ids whose rows it contains."""
+
+    def __init__(self):
+        self.units: dict[str, frozenset[int]] = {}
+        self.committed: set[str] = set()
+        self.next_id = 0
+
+    def _spans_committed(self):
+        return {
+            n: _ingest_unit_span(n)
+            for n in self.units
+            if not _is_folded_name(n) or n in self.committed
+        }
+
+    def land(self):
+        self.units[f"batch={self.next_id}"] = frozenset({self.next_id})
+        self.next_id += 1
+
+    def replay_newest(self):
+        # at-least-once foreachBatch: the newest id re-lands, its unit
+        # OVERWRITTEN (idempotent landing)
+        if self.next_id:
+            i = self.next_id - 1
+            self.units[f"batch={i}"] = frozenset({i})
+
+    def repair(self):
+        spans = self._spans_committed()
+        dead = set(_subsumed_units(spans)) | {
+            n for n in self.units
+            if _is_folded_name(n) and n not in self.committed
+        }
+        for n in dead:
+            del self.units[n]
+
+    def fold(self, keep_last, crash_before_marker):
+        self.repair()
+        spans = self._spans_committed()
+        ordered = sorted(spans, key=lambda n: spans[n][1])
+        candidates = ordered[: max(0, len(ordered) - keep_last)]
+        if len(candidates) < 2:
+            return
+        lo = min(spans[n][0] for n in candidates)
+        hi = max(spans[n][1] for n in candidates)
+        name = f"batch=c{lo}-{hi}"
+        assert name not in self.units  # promote rename cannot collide
+        self.units[name] = frozenset().union(
+            *(self.units[n] for n in candidates)
+        )
+        if not crash_before_marker:
+            self.committed.add(name)
+        # the subsumed candidates are RETAINED (no deletes on fold)
+
+    def resolve(self):
+        spans = self._spans_committed()
+        dead = set(_subsumed_units(spans))
+        return [n for n in spans if n not in dead]
+
+
+_ops = st.lists(
+    st.one_of(
+        st.just(("land",)),
+        st.just(("replay",)),
+        st.just(("repair",)),
+        st.tuples(
+            st.just("fold"),
+            st.integers(min_value=1, max_value=3),
+            st.booleans(),
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(ops=_ops)
+@settings(max_examples=500, deadline=None)
+def test_fold_lifecycle_reads_every_row_exactly_once(ops):
+    m = _LakeModel()
+    for op in ops:
+        if op[0] == "land":
+            m.land()
+        elif op[0] == "replay":
+            m.replay_newest()
+        elif op[0] == "repair":
+            m.repair()
+        else:
+            m.fold(keep_last=op[1], crash_before_marker=op[2])
+        live = m.resolve()
+        # exactly-once: live unit contents are disjoint and their union
+        # is every id ever landed — in EVERY intermediate state
+        seen: set[int] = set()
+        for n in live:
+            ids = m.units[n]
+            assert not (seen & ids), f"duplicate rows via {n}"
+            seen |= ids
+        assert seen == set(range(m.next_id)), "resolver lost rows"
+        # live spans pairwise disjoint (nested-or-disjoint collapses
+        # to disjoint once contained units are filtered)
+        spans = sorted(_ingest_unit_span(n) for n in live)
+        for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+            assert ahi < blo, f"overlapping live spans {spans}"
