@@ -781,9 +781,10 @@ def q_salted_sum_skewproof(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation exchanges, key+salt then key) is plan-asserted in
     tests/test_scale.py.
 
-    Tail query (position >50): the hash-aggregate family's in-window
-    representative is q1_pricing_summary; this row keeps the salting
-    lever under the local oracle differential."""
+    In-window since round 15 (rotated in for q_math_functions per
+    VERDICT round 14 #2) and driver-green on first exposure: the
+    hash-aggregate family's skew-lever row sits beside
+    q1_pricing_summary in the driver window."""
     from ..plans.scale import salted_sum
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -383,41 +383,41 @@ def test_tail_components_are_covered_in_window():
 # (i.e. is scheduled for its first driver row this round).
 DRIVER_GREEN_ROUNDS = {
     "asof_inner_error_context": (3,),
-    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "dedup_cluster_components": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "asof_purchase_last_click": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "decontaminate_ngram_overlap": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "dedup_cluster_components": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "dedup_embedding_cosine": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "dedup_exact": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,),
-    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "dedup_minhash_lsh": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "dedup_ngram_jaccard": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
     "dedup_simhash": (1, 2, 3, 4, 5, 6, 7,),
     "doc_fingerprint_winnow": (1, 2, 3, 4),
-    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "grid_block_slices": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "multimodal_frame_sample": (2, 3, 4, 5, 6, 7, 8,),
     "multimodal_payload_stats": (2, 3),
-    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "ome_channel_windows": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "ome_scale_recurrence": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "pipeline_clean_corpus": (1, 2, 3, 4, 5, 6, 7, 8, 9,),
-    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "pyramid_cascade_l2": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "pyramid_windowed_mean": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "q10_returned_items": (1,),
     "q12_shipmode_priority": (2,),
     "q14_promo_share": (1,),
-    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q1_pricing_summary": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "q3_shipping_priority": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "q5_local_supplier_volume": (1,),
     "q7_nation_volume": (1,),
     "q8_market_share": (1,),
-    "q_anti_join_customers_without_orders": (1, 2, 3, 11, 12, 13, 14,),
+    "q_anti_join_customers_without_orders": (1, 2, 3, 11, 12, 13, 14, 15,),
     "q_approx_aggregates": (2, 3, 4, 5),
     "q_array_functions": (1, 2, 3, 4, 5, 6, 7,),
     "q_conditional_price_bands": (1, 2, 3, 4, 8, 9, 10, 11,),
-    "q_cube_status_priority": (1, 11, 12, 13, 14,),
+    "q_cube_status_priority": (1, 11, 12, 13, 14, 15,),
     "q_date_functions": (1, 2, 3, 4, 8, 9, 10,),
     "q_distinct_agg": (1,),
     "q_exists_subquery": (1,),
     "q_explode_tokens": (1,),
-    "q_grouping_sets": (1, 12, 13, 14,),
+    "q_grouping_sets": (1, 12, 13, 14, 15,),
     "q_json_functions": (2, 3, 4, 5, 6, 7, 8,),
     "q_lead_lag_gaps": (1, 5, 6, 7, 8, 9, 10,),
     "q_map_functions": (1,),
@@ -426,73 +426,78 @@ DRIVER_GREEN_ROUNDS = {
     "q_ntile_wealth_deciles": (1,),
     "q_outer_join_order_fill": (1, 2, 3, 4, 5, 6,),
     "q_percentiles_exact": (1,),
-    "q_percentiles_rank_select": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "q_pivot_status_by_priority": (5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q_percentiles_rank_select": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "q_pivot_status_by_priority": (5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "q_rank_variants": (1,),
-    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q_rollup_region_nation_revenue": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "q_scalar_subquery": (1, 2, 3),
     "q_semi_join_customers_with_orders": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,),
-    "q_sessionize_events": (5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q_sessionize_events": (5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "q_set_ops_customer_segments": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "q_stddev_variance": (1,),
     "q_string_functions": (1, 2, 3, 4, 5, 6, 7,),
     "q_theta_join_price_band": (1, 2, 3, 4, 5, 6, 7, 8,),
     "q_topk_per_group": (1,),
-    "q_window_interval_range": (5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "q_window_interval_range": (5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "q_window_running_totals": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "sample_hash_split": (4, 5, 6, 7,),
-    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "similarity_cosine_topk": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "similarity_ivf_ann": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "similarity_kmeans_assign": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "sink_parquet_roundtrip": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12,),
-    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "stack_deal_round_robin": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "stack_regex_rename": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "streaming_dedup_watermark": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "streaming_foreachbatch_sink": (2, 3, 4, 5),
-    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "streaming_session_window": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "streaming_late_data_policy": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "streaming_session_window": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "streaming_sliding_window": (3, 4, 5, 6, 7, 8, 9,),
-    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "streaming_stateful_totals": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "streaming_tumbling_window": (3, 4, 5, 6, 7, 8, 9, 10, 11, 12,),
     "text_lang_id": (1,),
-    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
+    "text_quality_stats": (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
     "text_repetition_stats": (3, 4, 5, 6, 7, 8, 9, 10, 11,),
-    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "text_unigram_logprob": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "q_corr_regr_aggregates": (6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "q_unpivot_flag_measures": (6, 7, 8, 9, 10, 11, 12, 13, 14,),
-    "pyramid_channel_stats": (7, 8, 9, 10, 11, 12, 13, 14,),
-    "dedup_embedding_srp": (8, 9, 10, 11, 12, 13, 14,),
+    "text_token_count_bpe": (2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "text_unigram_logprob": (4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "q_corr_regr_aggregates": (6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "q_unpivot_flag_measures": (6, 7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "pyramid_channel_stats": (7, 8, 9, 10, 11, 12, 13, 14, 15,),
+    "dedup_embedding_srp": (8, 9, 10, 11, 12, 13, 14, 15,),
     # first driver rows round 9 (the last three never-confirmed
     # components, VERDICT round 8 #2)
-    "embedding_quantize_int8": (9, 10, 11, 12, 13, 14,),
-    "streaming_stream_join": (9, 10, 11, 12, 13, 14,),
-    "pack_sequences_fixed": (9, 10, 11, 12, 13, 14,),
+    "embedding_quantize_int8": (9, 10, 11, 12, 13, 14, 15,),
+    "streaming_stream_join": (9, 10, 11, 12, 13, 14, 15,),
+    "pack_sequences_fixed": (9, 10, 11, 12, 13, 14, 15,),
     # first driver rows round 10 (VERDICT round 9 #4 rotations:
     # outer stream-join state, PII regex scan, A-ES reservoir)
-    "pii_redact_scan": (10, 11, 12, 13, 14,),
-    "sample_weighted_reservoir": (10, 11, 12, 13, 14,),
-    "streaming_stream_left_join": (10, 11, 12, 13, 14,),
+    "pii_redact_scan": (10, 11, 12, 13, 14, 15,),
+    "sample_weighted_reservoir": (10, 11, 12, 13, 14, 15,),
+    "streaming_stream_left_join": (10, 11, 12, 13, 14, 15,),
     # first driver row round 11 (VERDICT round 10 #2 rotation:
     # SemDeDup cluster-bucketed representative keep)
-    "dedup_semantic_keep": (11, 12, 13, 14,),
+    "dedup_semantic_keep": (11, 12, 13, 14, 15,),
     # first driver row round 12 (VERDICT round 11 #2 rotation: the
     # curation family's last never-driver-green algorithm; green on
     # first exposure alongside q_grouping_sets' first row completing
     # the rollup/cube/grouping-sets trio)
-    "text_tfidf_keywords": (12, 13, 14,),
+    "text_tfidf_keywords": (12, 13, 14, 15,),
     # first driver rows round 13 (VERDICT round 12 #6 + window note):
     # both green on first exposure — the round-12 clustered-layout
     # operator's own write→scan query and the foreachBatch +
     # append-clustering streaming-ingest composition
     "sink_zorder_clustered_scan": (13,),
-    "streaming_clustered_ingest": (13, 14,),
+    "streaming_clustered_ingest": (13, 14, 15,),
     # first driver rows round 14 (VERDICT round 13 #3/#4): both green on
     # first exposure — the zero-Exchange bucketed co-located join (plan
     # assertion inside the query) and the order-preserving
     # string-surrogate clustered write→scan
-    "sink_bucketed_join": (14,),
-    "sink_zorder_string_scan": (14,),
+    "sink_bucketed_join": (14, 15,),
+    "sink_zorder_string_scan": (14, 15,),
+    # first driver row round 15 (VERDICT round 14 #2 rotation: the
+    # skew-salting lever's two-phase exact-DECIMAL salted aggregate —
+    # green on first exposure; the last non-twin never-sampled query,
+    # rotation complete per the declared policy)
+    "q_salted_sum_skewproof": (15,),
 }
 
 # SURVEY.md §2B component families -> the registry queries that exercise
@@ -590,9 +595,9 @@ def test_rotated_out_queries_earned_their_rest():
     covered_by redundancy case). Guards against rotating a query out on
     its first green."""
     window = set(DRIVER_WINDOW)
-    promoted_this_round = {
-        "q_salted_sum_skewproof",
-    }
+    # Rotation completed in round 15 (every non-twin query now holds a
+    # driver-green row); no promotions outstanding.
+    promoted_this_round = set()
     fam_of = {}
     for fam, qs in COMPONENT_QUERIES.items():
         for q in qs:
