@@ -1270,13 +1270,26 @@ def repair_ingest_units(lake: str, spark=None) -> list[str]:
     readers (:func:`resolve_ingest_units`) that resolved BEFORE the
     previous fold lose their retained files here, exactly like
     outliving ``keep_versions`` in the manifest regime — loudly, never
-    silently wrong."""
+    silently wrong.
+
+    The returned names are CONFIRMED removed: every delete is
+    post-checked with ``_exists`` (``_delete_tree`` is deliberately
+    best-effort — rmtree ``ignore_errors`` locally, except-pass via
+    Hadoop), so a unit whose delete silently failed is NOT reported as
+    reclaimed. Callers that must not tolerate a survivor (the fold —
+    re-folding a surviving retired unit would double-count its rows,
+    and a surviving marker-less unit could collide with the promote
+    target) compare the fresh listing instead of this return value."""
     spans, uncommitted = _ingest_spans(lake, spark)
     dead = _subsumed_units(spans) + uncommitted
+    removed = []
     for name in dead:
-        _delete_tree(os.path.join(lake, name), spark)
+        target = os.path.join(lake, name)
+        _delete_tree(target, spark)
+        if not _exists(target, spark):
+            removed.append(name)
     _delete_tree(os.path.join(lake, ".fold_tmp"), spark)
-    return dead
+    return removed
 
 
 def compact_ingest_units(
@@ -1289,6 +1302,7 @@ def compact_ingest_units(
     compression: str = "zstd",
     curve: str = "morton",
     keep_last: int = 1,
+    promote: str = "rename",
 ) -> dict:
     """Fold the older ``batch=<id>`` units of a batch-keyed ingest lake
     (the ``streaming_clustered_ingest`` layout) into ONE re-clustered
@@ -1307,7 +1321,14 @@ def compact_ingest_units(
        marker-less folded unit (a promote that crashed before its
        commit marker; lossless to delete, its originals are all still
        live). Repair runs BEFORE candidates are chosen so a retry
-       converges instead of re-folding duplicates.
+       converges instead of re-folding duplicates. Because
+       ``_delete_tree`` is best-effort, the fold then re-lists and
+       RAISES if any dead unit survived its delete: a surviving
+       retired unit re-entering the candidate set would double-count
+       its rows into the folded unit (and pass the fingerprint gate,
+       which compares staging against the same duplicated union), and
+       a surviving marker-less unit could collide with the promote
+       target — a silently failed delete is never re-folded.
     2. Candidates = every live unit except the ``keep_last``
        newest-by-span-end (the hot tail the stream is still near);
        no-op with fewer than 2 candidates. ``keep_last >= 1`` is a
@@ -1317,26 +1338,54 @@ def compact_ingest_units(
        first copy were folded into a range, the next repair would
        delete the fully-replayed unit as "contained" and permanently
        lose the rows the partial copy was missing.
-    3. One ``zorder_layout`` over the union of candidate units into the
-       HIDDEN staging dir ``<lake>/.fold_tmp`` (dot-prefixed: invisible
-       to the resolver, any glob, and any flat listing), reusing the
-       lake's persisted edge snapshot when present so the folded unit
-       stays in the SAME key space as the stream's appends; multiset
-       fingerprint must equal the candidates' union BEFORE anything is
-       promoted. On a fingerprint mismatch the staging is renamed to
+    3. One ``zorder_layout`` over the union of candidate units,
+       reusing the lake's persisted edge snapshot when present so the
+       folded unit stays in the SAME key space as the stream's
+       appends; multiset fingerprint must equal the candidates' union
+       BEFORE anything is promoted. The write target depends on
+       ``promote``:
+
+       - ``promote="rename"`` (default): write into the HIDDEN staging
+         dir ``<lake>/.fold_tmp`` (dot-prefixed: invisible to the
+         resolver, any glob, and any flat listing), then promote with
+         ONE directory rename to ``batch=c<lo>-<hi>``. On local/HDFS
+         stores the rename is a cheap metadata move; on S3-class
+         stores it is a per-object COPY of the folded span — a cost,
+         never a correctness issue (see step 4).
+       - ``promote="direct"``: write STRAIGHT to ``batch=c<lo>-<hi>``
+         — no staging, no rename, NO per-object copy on any store.
+         This is safe for exactly the reason step 4 gives: a folded
+         unit without its ``_FOLD_COMMITTED`` marker does not exist as
+         far as the resolver and the repair sweep are concerned, so
+         the in-progress write is as invisible through the supported
+         read path as a dot-prefixed dir (only a raw ``batch=*`` glob
+         could see it mid-write, and glob reads are already documented
+         as valid only on never-folded lakes). This regime is the
+         prescribed choice on object stores; ``rename`` remains the
+         default because the dot-prefixed staging is additionally
+         invisible to flat listings and out-of-band tooling, which is
+         worth one free metadata move wherever rename IS cheap. A
+         manifest/pointer promote (the ``compact_clustered_table``
+         ``swap="manifest"`` machinery) would also avoid the copy but
+         needs a second reader protocol beside the span resolver;
+         ``direct`` closes the same cost with zero new read-path
+         surface, so it is the adjudicated alternative.
+
+       On a fingerprint mismatch the written output is renamed to
        ``<lake>/.fold_failed`` (replacing any earlier failure) so a
        routine retry's step-1 sweep cannot clobber the evidence, and
-       the call raises with the originals untouched.
-    4. Promote: ONE directory rename to ``batch=c<lo>-<hi>``, then the
-       ``_FOLD_COMMITTED`` marker is written INSIDE the folded unit —
-       strictly after every data object — as the COMMIT POINT (one
-       small PUT, atomic per object on every store). A folded unit
-       without its marker is invisible to the resolver and deleted by
-       the next repair, so even on stores whose rename is a non-atomic
-       per-object copy (S3-class) no reader can observe a partial
-       folded unit: correctness never depends on rename atomicity,
-       only the promote's COST does (per-object copy — budget it, or
-       fold into a manifest-compacted table instead). The subsumed
+       the call raises with the originals untouched. If that
+       evidence-preserving move itself fails, the ORIGINAL diagnostic
+       still raises (noting that the output stayed where it was
+       written and the next repair sweep will delete it).
+    4. Commit: the ``_FOLD_COMMITTED`` marker is written INSIDE the
+       folded unit — strictly after every data object — as the COMMIT
+       POINT (one small PUT, atomic per object on every store). A
+       folded unit without its marker is invisible to the resolver and
+       deleted by the next repair, so even on stores whose rename is a
+       non-atomic per-object copy (S3-class) no reader can observe a
+       partial folded unit: correctness never depends on rename
+       atomicity in EITHER promote regime. The subsumed
        units are RETAINED in place as the retired generation — deleted
        by the NEXT fold's repair pass (or an explicit
        :func:`repair_ingest_units`), never by this one. That is the
@@ -1368,8 +1417,26 @@ def compact_ingest_units(
             "next repair delete the fully-replayed unit as contained — "
             "permanent row loss, not a performance trade"
         )
+    if promote not in ("rename", "direct"):
+        raise ValueError(
+            f"promote must be 'rename' or 'direct' (got {promote!r})"
+        )
     repaired = repair_ingest_units(lake, spark)
-    spans, _ = _ingest_spans(lake, spark)
+    spans, uncommitted = _ingest_spans(lake, spark)
+    # _delete_tree is best-effort: a dead unit that survived repair's
+    # delete would re-enter the candidate union and double-count its
+    # rows past the fingerprint gate (which compares staging against
+    # the same duplicated union), or collide with the promote target.
+    # Never re-fold a silently failed delete — fail loudly instead.
+    leftover = sorted(set(_subsumed_units(spans)) | set(uncommitted))
+    if leftover:
+        raise RuntimeError(
+            f"repair left dead ingest units under {lake}: {leftover} — "
+            "a delete silently failed, and folding over a surviving "
+            "retired unit would permanently duplicate its rows. Fix "
+            "the store (permissions/consistency) and re-run "
+            "repair_ingest_units; no data was written"
+        )
 
     ordered = sorted(spans, key=lambda n: spans[n][1])
     candidates = ordered[: max(0, len(ordered) - int(keep_last))]
@@ -1381,7 +1448,12 @@ def compact_ingest_units(
     union = spark.read.parquet(
         *[os.path.join(lake, n) for n in candidates]
     )
-    staging = os.path.join(lake, ".fold_tmp")
+    folded_name = f"batch=c{lo}-{hi}"
+    # promote="direct" writes straight to the final name — marker-less,
+    # so invisible to the resolver until the commit point lands; no
+    # staging rename, no per-object copy on S3-class stores (step 3)
+    staging = (os.path.join(lake, folded_name) if promote == "direct"
+               else os.path.join(lake, ".fold_tmp"))
     edges = zorder_layout(
         union, list(cols), staging, bits=bits, num_files=num_files,
         row_group_bytes=row_group_bytes, compression=compression,
@@ -1390,15 +1462,30 @@ def compact_ingest_units(
     if (_multiset_fingerprint(spark.read.parquet(staging))
             != _multiset_fingerprint(union)):
         failed = os.path.join(lake, ".fold_failed")
-        _delete_tree(failed, spark)
-        _rename(staging, failed, spark)
-        raise RuntimeError(
-            f"ingest fold of {lake} changed the row multiset; staging "
-            f"kept for inspection at {failed} (replaces any earlier "
-            "failure; repair never touches it), original units untouched"
+        preserved = True
+        try:
+            _delete_tree(failed, spark)
+            if _exists(failed, spark):
+                raise OSError(f"earlier failure at {failed} not clearable")
+            _rename(staging, failed, spark)
+        except Exception:
+            # never mask the diagnostic below with a secondary failure
+            # of the evidence-preserving move itself
+            preserved = False
+        note = (
+            f"staging kept for inspection at {failed} (replaces any "
+            "earlier failure; repair never touches it)"
+            if preserved else
+            f"moving the staging from {staging} to {failed} FAILED — "
+            "it remains where it was written and the NEXT repair sweep "
+            "will delete it; inspect before re-running"
         )
-    folded_name = f"batch=c{lo}-{hi}"
-    _rename(staging, os.path.join(lake, folded_name), spark)
+        raise RuntimeError(
+            f"ingest fold of {lake} changed the row multiset; {note}; "
+            "original units untouched"
+        )
+    if promote == "rename":
+        _rename(staging, os.path.join(lake, folded_name), spark)
     # the commit point: one small PUT strictly after every data object
     # (see step 4 above) — before this lands the folded unit does not
     # exist as far as the resolver and the next repair are concerned

@@ -605,6 +605,198 @@ def test_fold_gate_failure_keeps_staging_for_inspection(
     assert fp(read_ingest_lake(spark, lake)) == one_copy
 
 
+def _mini_lake(spark, split_sf_dir, tmp_path, n=3):
+    """A small batch-keyed lake (n units + edge snapshot) and its
+    one-copy fingerprint — shared scaffolding for the failure-injection
+    fold tests below."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        save_edge_snapshot,
+    )
+
+    lake = str(tmp_path / "lake")
+    cols = ["user_id", "value"]
+    ev = load_table(spark, split_sf_dir, "events")
+    edges = None
+    for i in range(n):
+        edges = zorder_layout(
+            ev.filter(F.pmod(F.xxhash64("event_id"), F.lit(n)) == i),
+            cols, f"{lake}/batch={i}", bits=5, num_files=1,
+            mode="overwrite", edges=edges,
+        )
+    save_edge_snapshot(lake, edges, spark)
+
+    def fp(d):
+        cs = sorted(d.columns)
+        return tuple(d.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64(F.to_json(F.struct(*cs)))
+                  .cast("decimal(38,0)")),
+        ).collect()[0])
+
+    return lake, cols, fp
+
+
+def test_repair_reports_only_confirmed_deletes(
+    spark, split_sf_dir, tmp_path, monkeypatch
+):
+    """``repair_ingest_units`` post-checks every delete with ``_exists``
+    and returns only the units CONFIRMED gone (ADVICE round 15):
+    ``_delete_tree`` is best-effort, so a silently failed delete must
+    not be reported as reclaimed storage — callers doing a raw glob or
+    footer walk would otherwise trust a double-counting lake."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_ingest_units,
+        repair_ingest_units,
+    )
+
+    lake, cols, fp = _mini_lake(spark, split_sf_dir, tmp_path, n=3)
+    compact_ingest_units(lake, cols, spark, bits=5, num_files=1,
+                         keep_last=1)   # retires batch=0, batch=1
+
+    real_delete = layout_mod._delete_tree
+
+    def skip_batch0(p, spark_):
+        if os.path.basename(p) == "batch=0":
+            return   # the silent failure: rmtree(ignore_errors=True)
+        real_delete(p, spark_)
+
+    monkeypatch.setattr(layout_mod, "_delete_tree", skip_batch0)
+    dead = repair_ingest_units(lake, spark)
+    assert dead == ["batch=1"]          # batch=0 attempted, NOT confirmed
+    assert os.path.isdir(os.path.join(lake, "batch=0"))
+
+    # once the store behaves, a plain retry reclaims the survivor
+    monkeypatch.setattr(layout_mod, "_delete_tree", real_delete)
+    assert repair_ingest_units(lake, spark) == ["batch=0"]
+
+
+def test_fold_refuses_to_refold_surviving_dead_unit(
+    spark, split_sf_dir, tmp_path, monkeypatch
+):
+    """A retired unit whose repair delete silently failed must NEVER
+    re-enter the fold's candidate set (ADVICE round 15, medium): its
+    rows would double-count into the folded unit AND pass the
+    fingerprint gate (staging is compared against the same duplicated
+    union). The fold re-lists after repair and raises on any survivor,
+    writing nothing; the resolver keeps reading exactly one copy."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_ingest_units,
+        read_ingest_lake,
+    )
+
+    lake, cols, fp = _mini_lake(spark, split_sf_dir, tmp_path, n=4)
+    one_copy = fp(read_ingest_lake(spark, lake))
+    compact_ingest_units(lake, cols, spark, bits=5, num_files=1,
+                         keep_last=1)   # c0-2 committed; 0..2 retired
+
+    def silent_noop(p, spark_):
+        return   # every delete silently fails
+
+    monkeypatch.setattr(layout_mod, "_delete_tree", silent_noop)
+    with pytest.raises(RuntimeError, match="repair left dead ingest"):
+        compact_ingest_units(lake, cols, spark, bits=5, num_files=1,
+                             keep_last=1)
+    # nothing was folded or staged; one exact copy through the resolver
+    names = sorted(n for n in os.listdir(lake) if n.startswith("batch="))
+    assert names == ["batch=0", "batch=1", "batch=2", "batch=3",
+                     "batch=c0-2"]
+    assert not os.path.exists(os.path.join(lake, ".fold_tmp"))
+    assert fp(read_ingest_lake(spark, lake)) == one_copy
+
+
+def test_fold_gate_secondary_failure_raises_original(
+    spark, split_sf_dir, tmp_path, monkeypatch
+):
+    """If the fingerprint gate trips AND the evidence-preserving move
+    to ``.fold_failed`` itself fails, the ORIGINAL multiset diagnostic
+    still raises — noting that the staging stayed put and the next
+    repair sweep will delete it (ADVICE round 15: the secondary OSError
+    must not mask the RuntimeError)."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_ingest_units,
+        read_ingest_lake,
+    )
+
+    lake, cols, fp = _mini_lake(spark, split_sf_dir, tmp_path, n=3)
+    one_copy = fp(read_ingest_lake(spark, lake))
+
+    real_fp = layout_mod._multiset_fingerprint
+    calls = {"n": 0}
+
+    def lying_once(d):
+        calls["n"] += 1
+        return ("corrupt",) if calls["n"] == 1 else real_fp(d)
+
+    def broken_rename(src, dst, spark_):
+        raise OSError("simulated store failure during evidence move")
+
+    monkeypatch.setattr(layout_mod, "_multiset_fingerprint", lying_once)
+    monkeypatch.setattr(layout_mod, "_rename", broken_rename)
+    with pytest.raises(RuntimeError,
+                       match="changed the row multiset.*FAILED"):
+        compact_ingest_units(lake, cols, spark, bits=5, num_files=1,
+                             keep_last=1)
+    # staging stayed where it was written; originals untouched
+    assert os.path.isdir(os.path.join(lake, ".fold_tmp"))
+    assert not os.path.exists(os.path.join(lake, ".fold_failed"))
+    assert fp(read_ingest_lake(spark, lake)) == one_copy
+
+
+def test_fold_promote_direct_no_rename(
+    spark, split_sf_dir, tmp_path, monkeypatch
+):
+    """``promote="direct"`` writes the folded unit STRAIGHT to its
+    final ``batch=c<lo>-<hi>`` name — zero renames, so zero per-object
+    copies on S3-class stores (VERDICT round 15 #3: the fold's last
+    object-store boundary closed as a choice). The marker is still the
+    commit point: mid-write the unit is marker-less and invisible to
+    the resolver, a pre-marker crash is repaired losslessly, and the
+    committed result is observation-identical to the rename regime."""
+    from aind_protein_data_transformation_spark.operators.layout import (
+        _FOLD_MARKER,
+        compact_ingest_units,
+        read_ingest_lake,
+        resolve_ingest_units,
+    )
+
+    lake, cols, fp = _mini_lake(spark, split_sf_dir, tmp_path, n=4)
+    one_copy = fp(read_ingest_lake(spark, lake))
+
+    def no_renames(src, dst, spark_):
+        raise AssertionError(f"direct promote must not rename ({src})")
+
+    monkeypatch.setattr(layout_mod, "_rename", no_renames)
+    report = compact_ingest_units(lake, cols, spark, bits=5,
+                                  num_files=1, keep_last=1,
+                                  promote="direct")
+    assert report["folded"] == 3 and report["unit"] == "batch=c0-2"
+    assert report["retired"] == ["batch=0", "batch=1", "batch=2"]
+    assert os.path.isfile(
+        os.path.join(lake, "batch=c0-2", _FOLD_MARKER)
+    )
+    assert not os.path.exists(os.path.join(lake, ".fold_tmp"))
+    assert fp(read_ingest_lake(spark, lake)) == one_copy
+    monkeypatch.undo()
+
+    # pre-marker crash in the direct regime: the final-named unit exists
+    # but is uncommitted — resolver-invisible, repaired, retry converges
+    os.remove(os.path.join(lake, "batch=c0-2", _FOLD_MARKER))
+    assert [os.path.basename(u) for u in resolve_ingest_units(lake)] == [
+        "batch=0", "batch=1", "batch=2", "batch=3"
+    ]
+    assert fp(read_ingest_lake(spark, lake)) == one_copy
+    report2 = compact_ingest_units(lake, cols, spark, bits=5,
+                                   num_files=1, keep_last=1,
+                                   promote="direct")
+    assert report2["repaired"] == ["batch=c0-2"]
+    assert report2["folded"] == 3 and report2["unit"] == "batch=c0-2"
+    assert fp(read_ingest_lake(spark, lake)) == one_copy
+
+    with pytest.raises(ValueError, match="promote must be"):
+        compact_ingest_units(lake, cols, spark, keep_last=1,
+                             promote="pointer")
+
+
 def test_ingest_lifecycle_end_to_end(spark, split_sf_dir, tmp_path):
     """The FULL ingest lifecycle in one pin (VERDICT round 14 #4):
     stream (availableNow, one micro-batch per file) → driver restart
