@@ -690,10 +690,15 @@ def test_zorder_key_matches_python_twin_property(spark, data):
 # algebra (layout._ingest_unit_span / _subsumed_units — the functions
 # the resolver and repair run). Simulates every reachable lifecycle
 # state — land, at-least-once replay of the newest id, committed fold,
-# fold crashed before its _FOLD_COMMITTED marker, explicit repair —
-# and checks the two invariants that make the lake correct at any
-# scale: the resolver reads every landed row exactly once (no loss, no
-# duplicates), and live unit spans are pairwise disjoint.
+# fold crashed before its _FOLD_COMMITTED marker, explicit repair,
+# and (round 16) repairs whose best-effort deletes SILENTLY FAIL for
+# an arbitrary subset of dead units (the real _delete_tree is
+# rmtree(ignore_errors)/except-pass) — and checks the two invariants
+# that make the lake correct at any scale: the resolver reads every
+# landed row exactly once (no loss, no duplicates), and live unit
+# spans are pairwise disjoint. A fold whose own repair left survivors
+# REFUSES (mirrors compact_ingest_units' raise): folding over a
+# surviving retired unit would double-count its rows.
 
 from aind_protein_data_transformation_spark.operators.layout import (  # noqa: E402
     _ingest_unit_span,
@@ -729,17 +734,30 @@ class _LakeModel:
             i = self.next_id - 1
             self.units[f"batch={i}"] = frozenset({i})
 
-    def repair(self):
+    def _dead(self):
         spans = self._spans_committed()
-        dead = set(_subsumed_units(spans)) | {
+        return set(_subsumed_units(spans)) | {
             n for n in self.units
             if _is_folded_name(n) and n not in self.committed
         }
-        for n in dead:
+
+    def repair(self, fail_salt=None):
+        # fail_salt models _delete_tree's silent best-effort failures:
+        # a deterministic arbitrary subset of the dead units survives
+        # their delete (crc32-keyed so hypothesis shrinks cleanly)
+        for n in self._dead():
+            if fail_salt is not None and _crc(n, fail_salt) % 2:
+                continue  # delete silently failed; unit survives
             del self.units[n]
 
-    def fold(self, keep_last, crash_before_marker):
-        self.repair()
+    def fold(self, keep_last, crash_before_marker, fail_salt=None):
+        self.repair(fail_salt)
+        if self._dead():
+            # compact_ingest_units re-lists and RAISES on any survivor
+            # of its repair sweep — nothing is written; model the
+            # refusal as a no-op so the invariants are checked on the
+            # unchanged lake
+            return
         spans = self._spans_committed()
         ordered = sorted(spans, key=lambda n: spans[n][1])
         candidates = ordered[: max(0, len(ordered) - keep_last)]
@@ -762,15 +780,31 @@ class _LakeModel:
         return [n for n in spans if n not in dead]
 
 
+def _crc(name: str, salt: int) -> int:
+    import zlib
+
+    return zlib.crc32(f"{salt}:{name}".encode())
+
+
 _ops = st.lists(
     st.one_of(
         st.just(("land",)),
         st.just(("replay",)),
         st.just(("repair",)),
         st.tuples(
+            st.just("repair_flaky"),
+            st.integers(min_value=0, max_value=7),
+        ),
+        st.tuples(
             st.just("fold"),
             st.integers(min_value=1, max_value=3),
             st.booleans(),
+        ),
+        st.tuples(
+            st.just("fold_flaky"),
+            st.integers(min_value=1, max_value=3),
+            st.booleans(),
+            st.integers(min_value=0, max_value=7),
         ),
     ),
     min_size=1,
@@ -789,6 +823,11 @@ def test_fold_lifecycle_reads_every_row_exactly_once(ops):
             m.replay_newest()
         elif op[0] == "repair":
             m.repair()
+        elif op[0] == "repair_flaky":
+            m.repair(fail_salt=op[1])
+        elif op[0] == "fold_flaky":
+            m.fold(keep_last=op[1], crash_before_marker=op[2],
+                   fail_salt=op[3])
         else:
             m.fold(keep_last=op[1], crash_before_marker=op[2])
         live = m.resolve()
