@@ -1232,3 +1232,52 @@ def test_ingest_fold_through_hadoop_filesystem_branch(spark, tmp_path):
     assert repair_ingest_units(uri, spark) == ["batch=0", "batch=1"]
     assert not (local_root / "batch=0").exists()
     assert read_ingest_lake(spark, uri).count() == 1024
+
+
+def test_ingest_fold_direct_promote_through_hadoop_branch(spark, tmp_path):
+    """``promote="direct"`` over an explicit ``file:`` URI — the regime
+    prescribed for object stores running the same Hadoop FileSystem
+    code an s3a:// lake would, with ZERO renames asserted: the folded
+    unit is written straight to its marker-gated final name, the
+    ``_FOLD_COMMITTED`` PUT goes through ``fs.create``, and the
+    ``_rename`` helper is never invoked (monkeypatch-asserted), so on a
+    real object store no per-object copy ever happens."""
+    import aind_protein_data_transformation_spark.operators.layout as lm
+    from aind_protein_data_transformation_spark.operators.layout import (
+        compact_ingest_units,
+        read_ingest_lake,
+        resolve_ingest_units,
+        save_edge_snapshot,
+    )
+
+    local_root = tmp_path / "lake"
+    uri = "file:" + str(local_root)
+    df = spark.createDataFrame(
+        [Row(a=float(a), b=float(b)) for a in range(32) for b in range(32)]
+    )
+    edges = None
+    for i in range(3):
+        edges = zorder_layout(
+            df.filter((F.col("a").cast("int") % 3) == i), ["a", "b"],
+            f"{uri}/batch={i}", bits=4, num_files=1, mode="overwrite",
+            edges=edges,
+        )
+    save_edge_snapshot(uri, edges, spark)
+
+    real_rename = lm._rename
+
+    def forbid(src, dst, spark_):
+        raise AssertionError(f"direct promote must not rename ({src})")
+
+    lm._rename = forbid
+    try:
+        report = compact_ingest_units(uri, ["a", "b"], spark, bits=4,
+                                      num_files=1, keep_last=1,
+                                      promote="direct")
+    finally:
+        lm._rename = real_rename
+    assert report["folded"] == 2 and report["unit"] == "batch=c0-1"
+    assert (local_root / "batch=c0-1" / "_FOLD_COMMITTED").exists()
+    assert [os.path.basename(u) for u in resolve_ingest_units(uri, spark)] \
+        == ["batch=c0-1", "batch=2"]
+    assert read_ingest_lake(spark, uri).count() == 1024
