@@ -242,36 +242,38 @@ _MH_BAND_STRUCTS = ", ".join(
     for b in range(MINHASH_PERMS // LSH_BAND_SIZE)
 )
 _MH_BAND_EQ = "a.p01 = b.p01 AND a.p23 = b.p23"
+#: r16: the verify statement is pure NESTED SUBQUERIES — no WITH at
+#: all. On this Spark (4.1.2) the cache manager does not substitute a
+#: persisted relation referenced inside ANY WithCTE/CTERelationDef
+#: (single- or multi-ref; bisected empirically), so the old CTE chain
+#: re-inlined ``_mh_sig`` and the whole shingle+signature pipeline
+#: executed FOUR times per run — the dominant cost of the query. With
+#: the CTEs inlined as subqueries every ``_mh_sig`` mention resolves to
+#: the cached relation (4x InMemoryTableScan, plan-asserted in
+#: tests/test_scale.py).
+#:
+#: Join-hint placement is unchanged in intent: only the (doc_a, doc_b)
+#: PAIR KEYS are hint-broadcast (bounded by the LSH candidate count);
+#: the second join carries ha on the STREAMED side and gets no hint —
+#: AQE broadcasts it at candidate counts that fit and degrades to a
+#: spillable doc_id shuffle join on a dup-heavy corpus instead of an
+#: OOM a forced hint would cause.
+_MH_BANDED_SUB = f"(SELECT doc_id, inline(array({_MH_BAND_STRUCTS})) FROM _mh_sig)"
 _MH_VERIFY_SQL = f"""
-    WITH banded AS (
-        SELECT doc_id, inline(array({_MH_BAND_STRUCTS})) FROM _mh_sig
-    ),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND {_MH_BAND_EQ} AND a.doc_id < b.doc_id
-    ),
-    withA AS (
-        -- only the (doc_a, doc_b) PAIR KEYS are hint-broadcast: their
-        -- size is bounded by the LSH candidate count alone. The probe
-        -- side joins the hash sets in. The second join carries ha on
-        -- the STREAMED side and gets no hint — at fixture scale AQE
-        -- turns it into a broadcast of the pair+ha rows anyway, and on
-        -- a dup-heavy / long-document corpus (where pairs x shingles
-        -- outgrows the driver) it degrades to a spillable shuffle join
-        -- on doc_id instead of an OOM, which a forced BROADCAST(w)
-        -- hint would bypass.
-        SELECT /*+ BROADCAST(p) */ p.doc_a, p.doc_b, d.hs AS ha, d.n AS na
-        FROM pairs p JOIN _mh_sig d ON d.doc_id = p.doc_a
-    ),
-    shared AS (
-        SELECT w.doc_a, w.doc_b, w.na, d.n AS nb,
-               size(array_intersect(w.ha, d.hs)) AS shared
-        FROM withA w JOIN _mh_sig d ON d.doc_id = w.doc_b
-    )
     SELECT doc_a, doc_b,
            CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
-    FROM shared
+    FROM (
+        SELECT w.doc_a, w.doc_b, w.na, d.n AS nb,
+               size(array_intersect(w.ha, d.hs)) AS shared
+        FROM (
+            SELECT /*+ BROADCAST(p) */ p.doc_a, p.doc_b, d.hs AS ha, d.n AS na
+            FROM (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM {_MH_BANDED_SUB} a JOIN {_MH_BANDED_SUB} b
+                  ON a.band = b.band AND {_MH_BAND_EQ} AND a.doc_id < b.doc_id
+            ) p JOIN _mh_sig d ON d.doc_id = p.doc_a
+        ) w JOIN _mh_sig d ON d.doc_id = w.doc_b
+    )
     WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.4
 """
 
@@ -287,9 +289,18 @@ _MH_VERIFY_SQL = f"""
 #: ``{fan}`` = plans.scale.fanout_width at call time — the narrow-scan
 #: fan-out ahead of the tokenize+shingle+md5 kernel (the single-row-
 #: group scan otherwise serializes the kernel).
+#:
+#: r16 (guide §2.4 "share one exchange"): the fan-out hashes on doc_id
+#: instead of round-robin. Every downstream keying — the DISTINCT on
+#: (doc_id, h) and the per-doc signature GROUP BY — is then already
+#: clustered, so BOTH of their exchanges (the two largest in the query,
+#: carrying the exploded hashed-shingle relation) vanish from the plan;
+#: the one remaining exchange moves the raw corpus rows. Hash-by-doc
+#: spreads 15k+ docs over the fan width, preserving the kernel
+#: parallelism + skew balance the round-robin bought.
 _MH_SHINGLES_SQL = f"""
 WITH corpus AS (
-    SELECT /*+ REPARTITION({{fan}}) */ doc_id, text FROM (
+    SELECT /*+ REPARTITION({{fan}}, doc_id) */ doc_id, text FROM (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id,

@@ -62,11 +62,16 @@ hashed AS (
     FROM quality
 ),
 survivors AS (
-    SELECT lang, source FROM (
-        SELECT lang, source,
-               ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
-        FROM hashed
-    ) WHERE rn = 1
+    -- r16 (guide §2.3 "aggregate before you shuffle"): the survivor
+    -- pick (row with MIN doc_id per content_hash) was a ROW_NUMBER
+    -- window, which ships EVERY hashed row through the exchange and
+    -- sorts each group; min_by is a declarative aggregate with
+    -- map-side partial combine, so the exchange carries one partial
+    -- row per (map task, hash). doc_id is unique, so min_by is
+    -- deterministic and picks the identical row.
+    SELECT min_by(lang, doc_id) AS lang, min_by(source, doc_id) AS source
+    FROM hashed
+    GROUP BY content_hash
 )
 SELECT source, lang, COUNT(*) AS n_docs
 FROM survivors
@@ -82,11 +87,28 @@ _SPARK_EN_ARRAY = "array(" + ", ".join(
 #: is one task per row group, and this projection (two HOF stopword
 #: filters + four regexes per doc) is the query's entire cost — fanning
 #: the raw rows out first parallelizes it (0.65s -> 0.35s at sf0.1).
+#:
+#: Round 16 (guide §2.4/§4.4): two plan fixes, same results.
+#: 1. The old ``WHERE size(t) > 0`` was pushed below the repartition and
+#:    inlined, so the tokenize HOF ran TWICE per row — once
+#:    single-threaded in the scan stage, once post-exchange. The filter
+#:    is now the equivalent cheap scan-side predicate ``text RLIKE
+#:    '\\S'`` (a row survives iff it holds one non-whitespace char,
+#:    exactly when filter(split(text,'\\s+'), t -> t <> '') is
+#:    non-empty; NULL text fails both), and the tokenize runs once,
+#:    parallel.
+#: 2. The fan-out is REPARTITION_BY_RANGE(doc_id) instead of
+#:    round-robin, so the final ORDER BY is a partition-local SORT BY:
+#:    one exchange instead of two, and the range sampler reads only the
+#:    cheap scan side (the old global sort's sampler re-executed the
+#:    whole regex projection). Output order is identical (range
+#:    partitions are ascending in doc_id, rows sorted within).
 _QUALITY_SQL = f"""
 WITH toks AS (
     SELECT doc_id, lang, source, text,
            filter(split(text, '\\\\s+'), t -> t <> '') AS t
-    FROM (SELECT /*+ REPARTITION({{fan}}) */ * FROM documents)
+    FROM (SELECT /*+ REPARTITION_BY_RANGE({{fan}}, doc_id) */ * FROM documents
+          WHERE text RLIKE '\\\\S')
 )
 SELECT doc_id, lang, source,
        length(text) AS n_chars,
@@ -102,8 +124,7 @@ SELECT doc_id, lang, source,
            / size(t) AS stopword_ratio,
        CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS lexical_diversity
 FROM toks
-WHERE size(t) > 0
-ORDER BY doc_id
+SORT BY doc_id
 """
 
 

@@ -147,6 +147,15 @@ FROM (
 """
 
 
+#: Round 16 (guide §2.4): the window partitions by o_custkey and the
+#: final (data-sized) output order is (o_custkey, o_orderkey), so ONE
+#: range exchange on o_custkey serves both — the window's
+#: ClusteredDistribution(o_custkey) is satisfied by RangePartitioning
+#: (equal keys land in one partition), and the global order then needs
+#: only a partition-local SORT BY. The old ORDER BY planned a second
+#: full exchange whose range sampler re-executed the entire window
+#: subtree; the new sampler reads just the scan. Rows and their values
+#: are identical (same window partitions, same in-partition order).
 _WINDOW_PACK_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
        ROW_NUMBER() OVER w AS order_seq,
@@ -159,9 +168,9 @@ SELECT o_custkey, o_orderkey, o_orderdate,
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS DOUBLE) AS running_spend
-FROM orders
+FROM (SELECT /*+ REPARTITION_BY_RANGE(o_custkey) */ * FROM orders)
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-ORDER BY o_custkey, o_orderkey
+SORT BY o_custkey, o_orderkey
 """
 
 
@@ -382,11 +391,17 @@ boundary AS (
     GROUP BY s_suppkey, s_name, s_acctbal
 ),
 counted AS (
-    SELECT b.s_suppkey, b.s_name,
+    -- r16: BROADCAST(d) — boundary is bounded by the supplier
+    -- (probe-side) cardinality, but its size estimate sits behind a
+    -- join+agg so the planner defaulted this probe-row-count join to
+    -- SortMergeJoin (2 exchanges + 2 sorts of supplier-sized rows;
+    -- guide §3.1: pick the strategy deliberately). Join keyed on
+    -- s_suppkey alone (the supplier PK; name/acctbal were redundant
+    -- key columns widening the comparator).
+    SELECT /*+ BROADCAST(d) */ b.s_suppkey, b.s_name,
            COALESCE(b.above, 0L) + COALESCE(d.bnd, 0L) AS n_richer_customers
     FROM based b LEFT JOIN boundary d
-      ON b.s_suppkey = d.s_suppkey AND b.s_name = d.s_name
-         AND b.s_acctbal = d.s_acctbal
+      ON b.s_suppkey = d.s_suppkey
 )
 SELECT s_suppkey, s_name, n_richer_customers
 FROM counted WHERE n_richer_customers > 0
