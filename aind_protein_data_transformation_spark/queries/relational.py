@@ -274,6 +274,11 @@ def q_semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataF
     """Left-semi join (EXISTS): customers having at least one big order.
     Semi join never duplicates the left side — at scale this avoids the
     join-then-distinct anti-pattern entirely."""
+    # r16: a range-prepartition rewrite (sort fused into the probe-side
+    # exchange) measured a WASH here at sf0.1 (interleaved, 6 rounds:
+    # best +8%, median -2%) while shuffling every customer row where
+    # this form shuffles only the semi-join survivors — kept as-is; the
+    # ORDER BY's sampler re-executes just a broadcast-semi probe.
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
     return (
@@ -334,16 +339,20 @@ def q_outer_join_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_OUTER_FILL_SQL)
 
 
+#: r16: range-prepartition customer on the output sort key; the
+#: broadcast left join preserves it, so the final order is a local
+#: SORT BY (one exchange total; the old ORDER BY's sampler re-executed
+#: the join) and the probe parallelizes past the single-row-group scan.
 _OUTER_FILL_SQL = """
 SELECT c.c_custkey, c.c_name,
        COALESCE(o.n_orders, 0L) AS n_orders,
        COALESCE(o.max_price, 0.0D) AS max_price
-FROM customer c
+FROM (SELECT /*+ REPARTITION_BY_RANGE(c_custkey) */ * FROM customer) c
 LEFT JOIN (
     SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
     FROM orders GROUP BY o_custkey
 ) o ON c.c_custkey = o.o_custkey
-ORDER BY c_custkey
+SORT BY c_custkey
 """
 
 
@@ -464,14 +473,21 @@ def q_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_WINDOW_PACK_SQL)
 
 
+#: r16: same range-prefusion as _WINDOW_PACK_SQL — the rank window
+#: partitions by o_custkey and the final order starts with o_custkey,
+#: so one range exchange serves both; the old ORDER BY's sampler
+#: re-executed the whole window+filter subtree. Trade-off noted: the
+#: range exchange carries all rows where the old plan's pre-shuffle
+#: WindowGroupLimit shipped <= k per group per map task — measured
+#: interleaved A/B decides (see OPTIMIZATION_r16.md).
 _TOPK_GROUP_SQL = """
 SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
     SELECT o_custkey, o_orderkey, o_totalprice,
            RANK() OVER (PARTITION BY o_custkey
                         ORDER BY o_totalprice DESC, o_orderkey) AS rk
-    FROM orders
+    FROM (SELECT /*+ REPARTITION_BY_RANGE(o_custkey) */ * FROM orders)
 ) WHERE rk <= 3
-ORDER BY o_custkey, rk, o_orderkey
+SORT BY o_custkey, rk, o_orderkey
 """
 
 

@@ -159,6 +159,12 @@ def q_corr_regr_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: seconds-truncation boundary differently per engine.
 _SESSION_GAP_US = 6 * 3600 * 1_000_000
 
+#: r16 range-prefusion (guide §2.4, same proof as q_window_running_
+#: totals): every window and the session aggregate key on user_id and
+#: the final order starts with user_id, so ONE range exchange up front
+#: serves the whole query and the final ORDER BY becomes a local
+#: SORT BY (the old plan's range sampler re-executed the entire
+#: window+aggregate subtree).
 _SESSIONIZE_SQL = f"""
 WITH gapped AS (
     SELECT user_id, ts, event_id,
@@ -168,7 +174,7 @@ WITH gapped AS (
                   OR LAG(ts) OVER
                      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS is_new
-    FROM events
+    FROM (SELECT /*+ REPARTITION_BY_RANGE(user_id) */ * FROM events)
 ),
 numbered AS (
     SELECT user_id, ts, event_id,
@@ -183,7 +189,7 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            AS duration_s
 FROM numbered
 GROUP BY user_id, session_id
-ORDER BY user_id, session_id
+SORT BY user_id, session_id
 """
 
 
@@ -273,6 +279,7 @@ def q_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- interval range window
 
+#: oracle form: portable ANSI, shared verbatim with DuckDB.
 _ROLLING_SQL = """
 SELECT user_id, event_id, ts,
        SUM(value) OVER (PARTITION BY user_id ORDER BY ts
@@ -280,6 +287,20 @@ SELECT user_id, event_id, ts,
                               AND CURRENT ROW) AS rolling_1h
 FROM events
 ORDER BY user_id, event_id
+"""
+
+#: Spark form — r16 range-prefusion: window keys on user_id, output
+#: order starts with user_id: one range exchange, local final sort
+#: (see _SESSIONIZE_SQL note). Identical rows and order; the hint and
+#: SORT BY are Spark-only syntax, so the oracle keeps the portable
+#: statement above.
+_ROLLING_SPARK_SQL = """
+SELECT user_id, event_id, ts,
+       SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                              AND CURRENT ROW) AS rolling_1h
+FROM (SELECT /*+ REPARTITION_BY_RANGE(user_id) */ * FROM events)
+SORT BY user_id, event_id
 """
 
 
@@ -293,4 +314,4 @@ def q_window_interval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange on user_id; per-user frames are the bounded batch twin of
     streaming_sliding_window's state."""
     ensure_views(spark, sf_dir, "events")
-    return spark.sql(_ROLLING_SQL)
+    return spark.sql(_ROLLING_SPARK_SQL)
