@@ -244,13 +244,14 @@ _MH_BAND_STRUCTS = ", ".join(
 _MH_BAND_EQ = "a.p01 = b.p01 AND a.p23 = b.p23"
 #: r16: the verify statement is pure NESTED SUBQUERIES — no WITH at
 #: all. On this Spark (4.1.2) the cache manager does not substitute a
-#: persisted relation referenced inside ANY WithCTE/CTERelationDef
+#: cached relation referenced inside ANY WithCTE/CTERelationDef
 #: (single- or multi-ref; bisected empirically), so the old CTE chain
 #: re-inlined ``_mh_sig`` and the whole shingle+signature pipeline
-#: executed FOUR times per run — the dominant cost of the query. With
-#: the CTEs inlined as subqueries every ``_mh_sig`` mention resolves to
-#: the cached relation (4x InMemoryTableScan, plan-asserted in
-#: tests/test_scale.py).
+#: executed FOUR times per run — the dominant cost of the query. The
+#: signature frame is now an eager localCheckpoint (see the fn body for
+#: why not persist), and the no-CTE form keeps every ``_mh_sig``
+#: mention resolving to that one materialized relation (4x checkpoint
+#: scan, 0 parquet re-scans — plan-asserted in tests/test_scale.py).
 #:
 #: Join-hint placement is unchanged in intent: only the (doc_a, doc_b)
 #: PAIR KEYS are hint-broadcast (bounded by the LSH candidate count);
@@ -352,9 +353,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     - shingles (corpus union + tokenize + distinct + md5) flow straight
       into ONE aggregation producing the signature frame: 32 min
       columns, the set size n, and the doc's sorted hash set ``hs``;
-    - that signature frame (one row per doc) is the ONLY persisted
-      relation — it feeds both band-join sides AND the verify, so the
-      corpus is scanned once at any scale;
+    - that signature frame (one row per doc) is the ONLY materialized
+      relation (an eager localCheckpoint) — it feeds both band-join
+      sides AND the verify, so the corpus is scanned once at any scale;
     - verify needs no pass over an exploded shingle relation at all:
       the candidate PAIR KEYS broadcast into the signature frame (the
       only forced broadcast — bounded by the LSH candidate count) and
@@ -367,18 +368,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       shingles/doc would not."""
     ensure_views(spark, sf_dir, "documents")
     spark.sql(_MH_SHINGLES_SQL.format(fan=fanout_width(spark))).createOrReplaceTempView("_mh_shingles")
-    # persist(), with the lifecycle stated plainly: the signature frame
-    # is data-sized and stays in the cache manager until unpersist /
-    # clearCache — a long-lived library session should clear it after
-    # consuming the result. The GC-managed alternative
-    # (localCheckpoint, the fix applied to dedup_simhash) was measured
-    # here at +0.25s per run (1.07-1.33s vs 0.82-0.91s same-session:
-    # the eager checkpoint write of per-doc hash-set arrays costs more
-    # than the in-memory cache it replaces, and this frame feeds FOUR
-    # consumers where simhash's fed two) — kept persist() because this
-    # is the registered headline query and the cache is dropped per
-    # bench run anyway.
-    _persist(spark.sql(_MH_SIG_SQL)).createOrReplaceTempView("_mh_sig")
+    # r16: the signature frame materializes via localCheckpoint, not
+    # persist(). Both give compute-once for the four consumers on a
+    # FRESH build (measured equal, best 1.07 both, same-session
+    # interleaved at sf0.1), but persist interacts badly with the
+    # prepared-statement timing contract: a reused DataFrame whose
+    # cache was cleared between runs re-executes its InMemoryRelation
+    # per CONSUMER without re-storing — the pipeline silently computes
+    # 4x again (bench run B read 1.83s that way). The checkpoint is
+    # eager per fn() call, so bench's eager-RDD rule rebuilds the query
+    # each run and bills the one materialization inside the timing;
+    # lifecycle is GC-managed (no cache-manager entry to leak).
+    spark.sql(_MH_SIG_SQL).localCheckpoint().createOrReplaceTempView("_mh_sig")
     return spark.sql(_MH_VERIFY_SQL).transform(
         lambda d: sorted_small(d, "doc_a", "doc_b")
     )

@@ -386,66 +386,48 @@ _PCT_H90 = "CAST(n - 1 AS DOUBLE) * 0.9D"
 #: per-call construction at any SF, and 2.05s -> 1.40s end-to-end at
 #: sf0.1 because analysis also runs once over one tree).
 #:
-#: Round 16 restructure (guide §2.3/§2.4), identical results:
-#: - BOTH phase-1 histograms (qty value histogram + price log-bucket
-#:   histogram) come from ONE scan via GROUPING SETS — the old plan
-#:   scanned lineitem separately per histogram and paid two partial-agg
-#:   exchange pipelines; the fused Expand aggregates both keyings in
-#:   one pass (3 lineitem scans -> 2, the remaining second scan being
-#:   the unavoidable phase-2 rank-select probe).
-#:   GROUPING(l_quantity) = 1 marks the price set (``isp``); null
-#:   prices (bid IS NULL in the price set) are dropped exactly where
-#:   the old pb's ``v IS NOT NULL`` dropped them, BEFORE the windows.
-#: - The two per-histogram cumulative-window chains (each its own
-#:   Exchange(l_returnflag) + sort) share ONE window pass partitioned
-#:   by (l_returnflag, isp), ordered by the set's own key cast to
-#:   DOUBLE (exact for qty doubles and for |bid| < 2^23): one exchange
-#:   and one sort over the union of two bounded histograms.
-#: - The ranked histogram is consumed by BOTH the qty leg and the
-#:   price-target leg. Spark always inlines multi-ref CTEs and the
-#:   branch filters (isp = 0 vs isp = 1) push below the windows, so a
-#:   pure-SQL form duplicated the whole scan+Expand+agg pipeline with
-#:   no runtime exchange reuse (subtrees diverge). The ranked relation
-#:   is therefore a few-thousand-row bounded histogram materialized
-#:   once via localCheckpoint (_PCT_RANKED_SQL), and the main statement
-#:   reads the checkpointed view — bench.py's eager-RDD rule rebuilds
-#:   it inside every timed run, so the phase-1 job stays billed.
-_PCT_RANKED_SQL = f"""
-SELECT l_returnflag, isp, l_quantity, bid, cnt,
-       SUM(cnt) OVER (PARTITION BY l_returnflag, isp) AS n,
-       SUM(cnt) OVER (PARTITION BY l_returnflag, isp
-                      ORDER BY CASE WHEN isp = 0
-                                    THEN CAST(l_quantity AS DOUBLE)
-                                    ELSE CAST(bid AS DOUBLE) END) AS cum_end
-FROM (
-    SELECT l_returnflag, l_quantity, bid, COUNT(*) AS cnt,
-           GROUPING(l_quantity) AS isp
-    FROM (SELECT l_returnflag, l_quantity,
-                 {log_bucket_id_sql('CAST(l_extendedprice AS DOUBLE)')} AS bid
-          FROM lineitem)
-    GROUP BY GROUPING SETS ((l_returnflag, l_quantity), (l_returnflag, bid))
-)
-WHERE isp = 0 OR bid IS NOT NULL
-"""
-
+#: Round 16 note (guide §1.1, recorded NEGATIVE): a GROUPING-SETS
+#: fusion of the two phase-1 histograms (one lineitem scan instead of
+#: two, one shared window exchange, the bounded ranked histogram
+#: localCheckpoint'ed because Spark inlines multi-ref CTEs and the
+#: isp branch filters push below the windows, killing exchange reuse)
+#: measured a WASH in loud interleaved sessions but +0.25s in QUIET
+#: bench passes (1.15 vs 0.88): the checkpoint job + per-run rebuild
+#: overhead exceeds the saved scan, and at scale the saving is only the
+#: flag column's IO (both forms are column-pruned; CPU identical, the
+#: Expand doubles in-flight rows). Reverted to the 3-scan form.
 _PCT_EXACT_SQL = f"""
-WITH qre AS (
+WITH qh AS (
+    SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+qr AS (
     SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v, cnt,
-           cum_end, n, cum_end - cnt AS cum_start
-    FROM _pct_ranked WHERE isp = 0
+           SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum_end,
+           SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+    FROM qh
 ),
-targets AS (
-    SELECT l_returnflag, bid, cum_end - cnt AS cum_start, n
-    FROM _pct_ranked
-    WHERE isp = 1
-      AND (((cum_end - cnt) <= FLOOR({_PCT_H90}) AND FLOOR({_PCT_H90}) < cum_end)
-       OR ((cum_end - cnt) <= LEAST(FLOOR({_PCT_H90}) + 1, n - 1)
-           AND LEAST(FLOOR({_PCT_H90}) + 1, n - 1) < cum_end))
-),
+qre AS (SELECT *, cum_end - cnt AS cum_start FROM qr),
 pb AS (
     SELECT l_returnflag, v, {log_bucket_id_sql("v")} AS bid
     FROM (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem)
     WHERE v IS NOT NULL
+),
+bc AS (
+    SELECT l_returnflag, bid, COUNT(*) AS cnt
+    FROM pb GROUP BY l_returnflag, bid
+),
+bcw AS (
+    SELECT *, SUM(cnt) OVER (PARTITION BY l_returnflag) AS n,
+           SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bid) AS cum_end
+    FROM bc
+),
+targets AS (
+    SELECT l_returnflag, bid, cum_end - cnt AS cum_start, n
+    FROM bcw
+    WHERE ((cum_end - cnt) <= FLOOR({_PCT_H90}) AND FLOOR({_PCT_H90}) < cum_end)
+       OR ((cum_end - cnt) <= LEAST(FLOOR({_PCT_H90}) + 1, n - 1)
+           AND LEAST(FLOOR({_PCT_H90}) + 1, n - 1) < cum_end)
 ),
 picked AS (
     SELECT /*+ BROADCAST(t) */ p.l_returnflag, p.v, t.n,
@@ -507,19 +489,13 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-bucket histogram, then many small parallel sorts). No plan
     branch sorts a whole group in a single task.
 
-    Ships as TWO static SQL statements (~3 py4j crossings; the Column
-    composition cost a measured 0.50s of per-call construction):
-    _PCT_RANKED_SQL fuses both phase-1 histograms into one scan
-    (GROUPING SETS) and one window exchange, materialized as a bounded
-    (few-thousand-row) localCheckpoint so its two consumers cannot
-    re-execute the scan; _PCT_EXACT_SQL runs the phase-2 rank-select
-    probe and final aggregation over it. The operators in
-    operators/percentile.py remain the general API (property-tested vs
-    this query's oracle)."""
+    Ships as ONE static SQL statement (_PCT_EXACT_SQL) — the exact plan
+    the operator composition (operators/percentile.py) builds, minus
+    ~120 py4j crossings of per-call construction; the operators remain
+    the general API (property-tested vs this query's oracle). A
+    GROUPING-SETS phase-1 fusion was tried and reverted this round —
+    see _PCT_EXACT_SQL's note."""
     ensure_views(spark, sf_dir, "lineitem")
-    spark.sql(_PCT_RANKED_SQL).localCheckpoint().createOrReplaceTempView(
-        "_pct_ranked"
-    )
     return sorted_small(spark.sql(_PCT_EXACT_SQL), "l_returnflag")
 
 

@@ -25,7 +25,10 @@ def _cache_manager_empty(spark) -> bool:
 @pytest.mark.parametrize(
     "fn",
     [
-        llm_dedup.dedup_minhash_lsh,
+        # dedup_minhash_lsh left r16: its signature frame is now an
+        # eager GC-managed localCheckpoint (no cache-manager entry) —
+        # persist interacted badly with the bench's cleared-cache reuse
+        # contract; see the query body.
         llm_dedup.dedup_ngram_jaccard,
         llm_dedup.dedup_cluster_components,
         llm_similarity.dedup_embedding_cosine,
@@ -64,7 +67,7 @@ def test_bounded_caches_scope_releases_on_exit(spark, sf_dir):
     spark.catalog.clearCache()
     qcache.release_caches()
     with qcache.bounded_caches():
-        n = llm_dedup.dedup_minhash_lsh(spark, sf_dir).count()
+        n = llm_dedup.dedup_ngram_jaccard(spark, sf_dir).count()
         assert n > 0
         assert not _cache_manager_empty(spark)
         assert not qcache._PERSISTED  # scoped, not on the global list

@@ -299,6 +299,22 @@ def test_minhash_verify_plan_is_bucketed(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_minhash_signature_materializes_once(spark, sf_dir):
+    """All four consumers of the signature frame (two band sides + two
+    verify probes) must read the ONE checkpointed relation: 4x
+    ExistingRDD scans and ZERO parquet scans in the verify plan.
+    Regression pinned r16: the pre-r16 WITH-CTE verify silently
+    bypassed reuse (CTERelationDef insides are never substituted on
+    Spark 4.x) and the whole shingle+signature pipeline executed four
+    times per run."""
+    from aind_protein_data_transformation_spark.queries.llm_dedup import dedup_minhash_lsh
+
+    df = dedup_minhash_lsh(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 4, plan[:3000]
+    assert "Scan parquet" not in plan, plan[:3000]
+
+
 def test_dedup_semantic_keep_is_cluster_bucketed(spark, sf_dir):
     """SemDeDup's pair stage must join on the cluster bucket (equi),
     never corpus x corpus: no CartesianProduct, and every nested-loop
@@ -425,12 +441,13 @@ def test_pivot_plan_is_two_level_aggregate(spark, sf_dir):
 
 
 def test_sessionize_plan_reuses_user_partitioning(spark, sf_dir):
-    """Both window passes AND the session aggregate must share the ONE
-    hash exchange on user_id (the aggregate's (user_id, session_id) key
-    is clustered by the window partitioning); only the final ORDER BY
-    adds a range exchange."""
+    """ONE exchange for the whole query (r16): the up-front range
+    partition on user_id serves both window passes, the session
+    aggregate ((user_id, session_id) is clustered by it) AND the final
+    order (partition-local sort over ascending user_id ranges) — no
+    hash exchange, no second range exchange."""
     plan = _executed_plan(spark, sf_dir, "q_sessionize_events")
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:4000]
     assert plan.count("Exchange rangepartitioning") == 1, plan[:4000]
 
 
@@ -464,24 +481,43 @@ def test_ntile_plan_has_no_unpartitioned_data_window(spark, sf_dir):
 
 
 def test_interval_range_window_single_exchange(spark, sf_dir):
-    """The trailing-1h RANGE frame must reuse one hash exchange on
-    user_id (plus the final ORDER BY's range exchange) — a second data
-    exchange would mean the frame planned as something other than a
-    single partitioned window."""
+    """ONE exchange total (r16): the up-front range partition on
+    user_id serves the trailing-1h window AND the final order — a
+    second exchange would mean the frame planned as something other
+    than a single partitioned window or the sort-fusion regressed."""
     plan = _executed_plan(spark, sf_dir, "q_window_interval_range")
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:4000]
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:4000]
     assert plan.count("Exchange rangepartitioning") == 1, plan[:4000]
+
+
+def test_window_pack_single_exchange(spark, sf_dir):
+    """q_window_running_totals / q_topk_per_group (r16): one range
+    exchange on the window key serves the window and the final order —
+    no hash exchange, no second range exchange, and (for topk) the
+    rank filter still plans its WindowGroupLimit."""
+    for name in ("q_window_running_totals", "q_topk_per_group"):
+        plan = _executed_plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 0, (name, plan[:4000])
+        assert plan.count("Exchange rangepartitioning") == 1, (name, plan[:4000])
+    assert "WindowGroupLimit" in _executed_plan(spark, sf_dir, "q_topk_per_group")
 
 
 def test_text_quality_fans_out_the_narrow_scan(spark, sf_dir):
     """The quality projection must fan the corpus out of the single-
-    row-group scan task before its regex/HOF kernel: a round-robin
-    exchange sized by fanout_width appears below the projection."""
+    row-group scan task before its regex/HOF kernel — since r16 via the
+    ONE range exchange on doc_id that also carries the final order
+    (round-robin + a second range exchange before) — and the tokenize
+    HOF must evaluate ONCE: the scan-stage filter is the cheap RLIKE
+    predicate, not a pushed-down copy of the tokenizer."""
     from aind_protein_data_transformation_spark.plans.scale import fanout_width
 
     plan = _executed_plan(spark, sf_dir, "text_quality_stats")
-    assert "RoundRobinPartitioning" in plan, plan[:3000]
-    assert f"RoundRobinPartitioning({fanout_width(spark)})" in plan, plan[:3000]
+    assert "RoundRobinPartitioning" not in plan, plan[:3000]
+    assert f"rangepartitioning(doc_id" in plan, plan[:3000]
+    assert plan.count("Exchange rangepartitioning") == 1, plan[:4000]
+    # the duplicate-evaluation guard: exactly one `filter(split(` kernel
+    # evaluation site (the projection), none in the scan-stage filter
+    assert plan.count("RLIKE") >= 1, plan[:3000]
 
 
 def test_rollup_shape_and_reagg_variant_equivalence(spark, sf_dir):
