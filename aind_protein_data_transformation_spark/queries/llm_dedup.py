@@ -217,7 +217,8 @@ def _minhash_oracle() -> str:
 
 
 # Spark-side band join + Jaccard verify, mirroring lsh_candidate_pairs +
-# jaccard_for_pairs over the persisted _mh_shingles/_mh_sig views.
+# jaccard_for_pairs over the _mh_shingles/_mh_sig views (the sig view
+# is an eager localCheckpoint since r16).
 # Static module-level string: zero per-call construction cost.
 #
 # Band keys are PACKED bijectively into two bigints (p01 = m0*P + m1,
