@@ -299,23 +299,62 @@ def assign_buckets(
     dropped. try_divide, NOT a CASE guard: a when(denom == 0, ...)
     evaluates the two norm folds twice (condition + value branch are
     not CSE'd), which measured +60% on the fold-heavy kmeans sweep —
-    try_divide keeps the original three folds per pair."""
-    valid = F.broadcast(centroids.filter(norm("centroid_vec") != 0))
+    try_divide keeps the original three folds per pair.
+
+    Round-17 shape (guide §1.2 per-task work + §2.3 aggregate before
+    you shuffle), result identical by construction:
+
+    - The two norm folds are hoisted OUT of the pair loop: the vector
+      norm is projected once per vector below the broadcast join and
+      the centroid norm once per centroid inside the broadcast build,
+      so each of the n*k pairs pays ONE interpreted HOF fold (the dot)
+      instead of three. Same doubles, same divisions — sqrt(fold) per
+      row is the same value whether computed per row or per pair.
+    - The per-vector argmax is a declarative max(struct) aggregate with
+      map-side partial combine instead of row_number over a window: the
+      exchange carries one row per VECTOR, not one per (vector,
+      centroid) pair, and no per-partition sort runs. The struct key
+      (c_cos IS NOT NULL, coalesce(c_cos, -Infinity), -centroid_id)
+      replays the window's exact total order: any non-null cosine beats
+      null (desc NULLS LAST), doubles compare identically (Spark's
+      total order, NaN greatest, in both sort and struct comparison —
+      the boolean field keeps a hypothetical -Infinity cosine from
+      tying with the nulls), and equal cosines break to the LOWEST
+      centroid_id (max of the negated id). Zero-norm vectors (all
+      cosines null) take max over equal (false, -Infinity, ·) keys —
+      the lowest-id valid bucket, exactly rk=1 under NULLS LAST.
+      Agreement is pinned by tests/test_operators.py
+      (gemm-agreement, zero-norm edges, and the argmax property test).
+    Measured same-session interleaved at sf0.1: see
+    OPTIMIZATION_r17.md (kmeans/semantic-keep rows)."""
+    valid = F.broadcast(
+        centroids.filter(norm("centroid_vec") != 0).withColumn(
+            "_cn", norm("centroid_vec")
+        )
+    )
     guarded = F.try_divide(
         dot(vec_col, "centroid_vec"),
-        norm(vec_col) * norm("centroid_vec"),
+        F.col("_vn") * F.col("_cn"),
     )
-    w = Window.partitionBy(vec_id).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    best = F.max(
+        F.struct(
+            F.col("c_cos").isNotNull().alias("has_cos"),
+            F.coalesce(F.col("c_cos"), F.lit(float("-inf"))).alias("cos"),
+            (-F.col("centroid_id")).alias("neg_id"),
+            F.col("centroid_id").alias("centroid_id"),
+        )
+    )
     return (
-        vectors.crossJoin(valid)
+        vectors.withColumn("_vn", norm(vec_col))
+        .crossJoin(valid)
         .select(
             vec_id,
             "centroid_id",
             guarded.alias("c_cos"),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(vec_id, F.col("centroid_id").alias("bucket"))
+        .groupBy(vec_id)
+        .agg(best.alias("_best"))
+        .select(vec_id, F.col("_best.centroid_id").alias("bucket"))
     )
 
 

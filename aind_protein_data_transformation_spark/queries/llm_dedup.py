@@ -24,10 +24,7 @@ from ..operators.dedup import (
     LSH_BAND_SIZE,
     MINHASH_PERMS,
     MINHASH_PRIME,
-    jaccard_for_pairs,
-    lsh_candidate_pairs,
     minhash_coeffs,
-    minhash_signatures,
     shingle_set,
     simhash,
     simhash_near_pairs,
@@ -534,6 +531,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- cluster components
 
+#: r17 (VERDICT r16 #4): static-SQL one-pass pipeline for the cluster
+#: edge relation — the r16 minhash treatment applied under THIS query's
+#: semantics: DISTINCT on the shingle STRING then hash (shingle_set's
+#: order) and the exploded COUNT(*) pair verify (multiset semantics its
+#: recursive oracle replays; minhash's array_intersect SET verify would
+#: not be equivalent on an intra-document hash collision). The corpus
+#: fans out hashed on doc_id so the string DISTINCT and the signature
+#: GROUP BY are partition-local (guide §2.4); the (doc_id, h) relation
+#: and the signature frame are the two eager localCheckpoints — the
+#: operator composition re-ran the tokenize+shingle+md5 pipeline per
+#: consumer above the fan exchange (2 verify probes) and the 33-agg
+#: signature pass per band-join side. Same plan-shape rules as
+#: _MH_VERIFY_SQL: packed band keys (bijective — identical collision
+#: set), broadcast hint only on the bounded candidate PAIR relation.
+_CC_SHINGLES_SQL = f"""
+WITH corpus AS (
+    SELECT /*+ REPARTITION({{fan}}, doc_id) */ doc_id, text FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               regexp_replace(text, '^\\\\S+\\\\s+', '') AS text
+        FROM documents WHERE doc_id % 20 = 0
+    )
+),
+toks AS (
+    SELECT doc_id, filter(split(text, '\\\\s+'), t -> t <> '') AS tk
+    FROM corpus
+),
+pos AS (
+    SELECT doc_id, tk, explode(sequence(1, size(tk) - 2)) AS i
+    FROM toks WHERE size(tk) >= 3
+),
+dist AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+                     element_at(tk, i + 2)) AS shingle
+    FROM pos
+)
+SELECT doc_id,
+       CAST(CONV(SUBSTRING(MD5(shingle), 1, 15), 16, 10) AS BIGINT)
+           % {MINHASH_PRIME} AS h
+FROM dist
+"""
+
+_CC_SIG_SQL = "SELECT doc_id, " + ", ".join(
+    f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS m{i}"
+    for i, (a, b) in ((i, minhash_coeffs(i)) for i in range(MINHASH_PERMS))
+) + ", count(*) AS n FROM _cc_sh GROUP BY doc_id"
+
+_CC_BANDED_SUB = f"(SELECT doc_id, inline(array({_MH_BAND_STRUCTS})) FROM _cc_sig)"
+_CC_VERIFY_SQL = f"""
+    SELECT doc_a, doc_b FROM (
+        SELECT i.doc_a, i.doc_b, i.shared, na.n AS n_a, nb.n AS n_b
+        FROM (
+            SELECT /*+ BROADCAST(p) */ p.doc_a, p.doc_b, COUNT(*) AS shared
+            FROM (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM {_CC_BANDED_SUB} a JOIN {_CC_BANDED_SUB} b
+                  ON a.band = b.band AND {_MH_BAND_EQ} AND a.doc_id < b.doc_id
+            ) p
+            JOIN _cc_sh sa ON sa.doc_id = p.doc_a
+            JOIN _cc_sh sb ON sb.doc_id = p.doc_b AND sb.h = sa.h
+            GROUP BY p.doc_a, p.doc_b
+        ) i
+        JOIN _cc_sig na ON na.doc_id = i.doc_a
+        JOIN _cc_sig nb ON nb.doc_id = i.doc_b
+    )
+    WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.4
+"""
+
+
 def _cluster_oracle() -> str:
     return f"""
     {_minhash_chain(recursive=True)},
@@ -564,16 +632,21 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs iterative min-label propagation (operators/graph.py; rounds =
     cluster diameter, each round one join + one agg, lineage truncated
     per round); the oracle replays it as a recursive CTE — the same
-    fixpoint, reached by a strategy only viable single-node."""
-    corpus = _corpus_near(spark, sf_dir)
-    shingles = _persist(shingle_set(corpus, k=3))
-    sig = minhash_signatures(shingles)
-    pairs = lsh_candidate_pairs(sig)
-    verified = (
-        jaccard_for_pairs(pairs, shingles, sizes=sig.select("doc_id", "n"))
-        .filter(F.col("jaccard") >= 0.4)
-        .select("doc_a", "doc_b")
-    )
+    fixpoint, reached by a strategy only viable single-node.
+
+    r17: the edge pipeline is the static-SQL checkpointed form (see
+    _CC_SHINGLES_SQL note) — identical values to the former
+    shingle_set + minhash_signatures + lsh_candidate_pairs +
+    jaccard_for_pairs composition (equality-checked same-session in
+    scripts/exp_r17_trio.py; the operators remain the general API),
+    with the shingle pipeline and the 33-agg signature pass each
+    computed ONCE instead of per consumer."""
+    ensure_views(spark, sf_dir, "documents")
+    spark.sql(
+        _CC_SHINGLES_SQL.format(fan=fanout_width(spark))
+    ).localCheckpoint().createOrReplaceTempView("_cc_sh")
+    spark.sql(_CC_SIG_SQL).localCheckpoint().createOrReplaceTempView("_cc_sig")
+    verified = spark.sql(_CC_VERIFY_SQL)
     comp = connected_components(verified, "doc_a", "doc_b")
     w = Window.partitionBy("component")
     return (

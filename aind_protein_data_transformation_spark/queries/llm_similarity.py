@@ -21,7 +21,7 @@ from ..functions.vector import (
     sql_unit_normalize,
     unit_normalize,
 )
-from ..plans.scale import sorted_small
+from ..plans.scale import fanout_width, sorted_small
 from ..operators.similarity import (
     SRP_W_MOD,
     SRP_W_OFF,
@@ -208,9 +208,22 @@ def similarity_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid assignment, DECIMAL-mean centroid update (bit-identical
     across engines, see centroid_update_exact), then re-assignment.
     The production multi-iteration path is operators.similarity.
-    train_centroids; this query pins its per-iteration semantics."""
+    train_centroids; this query pins its per-iteration semantics.
+
+    r17: the corpus fans out hashed on vid ahead of the two assignment
+    passes (guide §2.5 "one huge unsplittable file" + the r16 minhash
+    doc_id-fan precedent): the broadcast-argmax probe inherits the
+    scan's task layout, and a one-row-group file serializes ~n*k
+    interpreted dot folds onto ONE core. Hash-by-vid (deterministic,
+    retry-safe) buys fold parallelism AND pre-clusters every downstream
+    vid keying — the argmax groupBy, the centroid-update join — so no
+    further exchange of the vectors is needed. Values are unchanged:
+    the per-pair folds are row-local and the centroid means are
+    DECIMAL sums (order-independent by construction)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
+    corpus = emb.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("ve")
+    ).repartition(fanout_width(spark), "vid")
     cent0 = stride_centroids(corpus, KMEANS_STRIDE)
     assign1 = assign_buckets(corpus, cent0, "vid", "ve")
     cent1 = centroid_update_exact(corpus, assign1)
@@ -646,7 +659,13 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — ``assign_buckets_gemm`` absorbs that at any
     driver-sized codebook, and past the driver budget
     ``operators.similarity.assign_buckets_ivf`` is the fully
-    distributed two-level regime (same measurement)."""
+    distributed two-level regime (same measurement).
+
+    r17: the persisted corpus fans out hashed on vec_id (guide §2.5;
+    the r16 minhash doc_id-fan precedent): the one-row-group scan
+    otherwise serializes the normalize folds, the broadcast-argmax
+    assignment, and the in-bucket pair folds onto single tasks. Values
+    unchanged — every fold is row- or pair-local."""
     emb = load_table(spark, sf_dir, "embeddings")
     perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -661,6 +680,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _persist(
         emb.select("vec_id", "embedding")
         .unionByName(perturbed)
+        .repartition(fanout_width(spark), "vec_id")
         .select("vec_id", unit_normalize("embedding").alias("en"))
     )
     cents = corpus.filter(

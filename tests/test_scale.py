@@ -592,3 +592,132 @@ def test_rollup_empty_input_yields_no_rows(spark):
         for t in ("customer", "nation", "region"):
             spark.catalog.dropTempView(t)
             memo.pop(t, None)
+
+
+def test_assign_buckets_aggregate_argmax_matches_brute_force(spark):
+    """r17: assign_buckets' per-vector argmax became a max(struct)
+    aggregate (map-side combine; the exchange carries one row per
+    VECTOR) instead of a row_number window. The struct key must replay
+    the window's exact order: highest cosine wins, NULL cosines lose to
+    any real cosine, exact ties break to the LOWEST centroid_id, and a
+    zero-norm vector (all cosines null) lands in the lowest-id valid
+    bucket. Brute-forced here in Python with the same rules, on data
+    engineered to hit every branch: exact cosine ties (colinear
+    centroids), a zero-norm vector, and a zero-norm (excluded)
+    centroid."""
+    import math
+
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        assign_buckets,
+    )
+
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 2.0]),
+        (3, [3.0, 3.0]),
+        (4, [0.0, 0.0]),   # zero-norm: all cosines null
+        (5, [-1.0, -1.0]),
+    ]
+    cents = [
+        (0, [0.0, 0.0]),   # zero-norm centroid: excluded
+        (7, [2.0, 2.0]),
+        (9, [1.0, 1.0]),   # colinear with 7: exact tie on every vector
+        (11, [1.0, 0.0]),
+    ]
+    got = {
+        r.vid: r.bucket
+        for r in assign_buckets(
+            spark.createDataFrame(vecs, "vid bigint, ve array<double>"),
+            spark.createDataFrame(
+                cents, "centroid_id bigint, centroid_vec array<double>"
+            ),
+        ).collect()
+    }
+
+    def brute(ve):
+        best = None
+        for cid, cv in cents:
+            cn = math.sqrt(sum(x * x for x in cv))
+            if cn == 0:
+                continue  # excluded centroid
+            vn = math.sqrt(sum(x * x for x in ve))
+            cos = None if vn == 0 else sum(a * b for a, b in zip(ve, cv)) / (vn * cn)
+            key = (cos is not None, cos if cos is not None else float("-inf"), -cid)
+            if best is None or key > best[0]:
+                best = (key, cid)
+        return best[1]
+
+    assert got == {vid: brute(ve) for vid, ve in vecs}
+    assert got[4] == 7  # zero-norm vector -> lowest-id valid bucket
+    assert got[3] == 7  # tie between colinear 7 and 9 -> lower id
+
+
+def test_assign_buckets_plans_partial_aggregate_not_window(spark):
+    """r17 plan shape (guide §2.3): the argmax must be a partial+final
+    aggregate around the exchange — no Window, no per-pair rows through
+    the shuffle — and the norms must be hoisted (one _vn projection
+    below the join, not three folds per pair). The struct-keyed max
+    plans as SortAggregate (struct buffers are not hash-aggregable);
+    what matters is the PARTIAL side: map-side combine shrinks the
+    exchange to one row per vector."""
+    from aind_protein_data_transformation_spark.operators.similarity import (
+        assign_buckets,
+    )
+
+    vecs = spark.range(100).selectExpr(
+        "id AS vid", "array(CAST(id AS DOUBLE), 1.0) AS ve"
+    )
+    cents = spark.range(0, 100, 25).selectExpr(
+        "id AS centroid_id", "array(1.0, CAST(id AS DOUBLE)) AS centroid_vec"
+    )
+    plan = (
+        assign_buckets(vecs, cents)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan[:3000]
+    assert "partial_max" in plan, plan[:3000]
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan[:3000]
+    assert "_vn" in plan, plan[:3000]
+
+
+def test_cluster_components_static_sql_matches_operator_composition(spark, sf_dir):
+    """r17: dedup_cluster_components' edge pipeline became the
+    checkpointed static-SQL form. Its verified pairs must equal the
+    operator composition (shingle_set + minhash_signatures +
+    lsh_candidate_pairs + jaccard_for_pairs) row for row — the
+    operators stay the general API and the oracle replays THEIR
+    semantics (distinct-string-then-hash, exploded COUNT(*) verify)."""
+    from pyspark.sql import functions as F
+
+    from aind_protein_data_transformation_spark.catalog import ensure_views
+    from aind_protein_data_transformation_spark.operators.dedup import (
+        jaccard_for_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_set,
+    )
+    from aind_protein_data_transformation_spark.plans.scale import fanout_width
+    from aind_protein_data_transformation_spark.queries.llm_dedup import (
+        _CC_SHINGLES_SQL,
+        _CC_SIG_SQL,
+        _CC_VERIFY_SQL,
+        _corpus_near,
+    )
+
+    shingles = shingle_set(_corpus_near(spark, sf_dir), k=3)
+    sig = minhash_signatures(shingles)
+    composed = (
+        jaccard_for_pairs(
+            lsh_candidate_pairs(sig), shingles, sizes=sig.select("doc_id", "n")
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("doc_a", "doc_b")
+    )
+    ensure_views(spark, sf_dir, "documents")
+    spark.sql(
+        _CC_SHINGLES_SQL.format(fan=fanout_width(spark))
+    ).localCheckpoint().createOrReplaceTempView("_cc_sh")
+    spark.sql(_CC_SIG_SQL).localCheckpoint().createOrReplaceTempView("_cc_sig")
+    static = spark.sql(_CC_VERIFY_SQL)
+    assert sorted(map(tuple, composed.collect())) == sorted(
+        map(tuple, static.collect())
+    )
