@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.scale import materialize
+
 
 def connected_components(
     edges: DataFrame,
@@ -73,13 +75,13 @@ def connected_components(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = (
         sym.select(F.col("e_src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     # Labels only ever decrease under min-propagation, so the label sum
@@ -139,7 +141,7 @@ def connected_components(
     # costs more than the saved barrier at any local size — recorded
     # negative, guide §1.1.
     for it in range(max_iter):
-        labels = hop(labels, it).localCheckpoint(eager=False)
+        labels = materialize(hop(labels, it), eager=False)
         cur = label_sum(labels)
         if cur == prev:
             converged = True
