@@ -480,6 +480,18 @@ def q_window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: range exchange carries all rows where the old plan's pre-shuffle
 #: WindowGroupLimit shipped <= k per group per map task — measured
 #: interleaved A/B decides (see OPTIMIZATION_r16.md).
+#:
+#: r17 at-scale A/B (VERDICT r16 #5; scripts/exp_r17_topk.py, both
+#: forms row-equal, interleaved best-of-8): at the 10x layout with the
+#: data's real orders-per-customer ratio (~10, constant in SF) this
+#: prefused form wins — 0.563s vs 0.625s for the WindowGroupLimit form
+#: — because at g≈10 rows/group/map-task the limit only trims ~3x the
+#: bytes while the ORDER-BY form pays a second exchange plus the
+#: sampler's re-execution of the window+filter subtree. On a HOT-group
+#: variant (custkey folded mod 1500 → g≈1000) the byte math inverts as
+#: predicted and the WindowGroupLimit form reads 0.466s vs 0.514s
+#: (−9%): a deployment whose groups are orders of magnitude hotter
+#: than the keyspace should prefer the plain ORDER-BY form there.
 _TOPK_GROUP_SQL = """
 SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
     SELECT o_custkey, o_orderkey, o_totalprice,
