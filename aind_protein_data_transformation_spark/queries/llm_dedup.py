@@ -251,6 +251,15 @@ _MH_BAND_EQ = "a.p01 = b.p01 AND a.p23 = b.p23"
 #: mention resolving to that one materialized relation (4x checkpoint
 #: scan, 0 parquet re-scans — plan-asserted in tests/test_scale.py).
 #:
+#: r17 recorded NEGATIVE (VERDICT r16 #7, guide §1.1): the packed-pair
+#: candidate DISTINCT (dedupe on doc_a*2^31+doc_b, one bigint instead of
+#: two) measured no win — interleaved best 0.474 vs 0.382, medians
+#: equal — because the candidate relation is bounded by LSH collisions
+#: (533 pairs at sf0.1): the DISTINCT's cost is its exchange BARRIER,
+#: not its key width. Kept the two-column form (it reads better and the
+#: packing adds a doc_id < 2^31 domain coupling the band packing already
+#: carries but the pair stage otherwise would not).
+#:
 #: Join-hint placement is unchanged in intent: only the (doc_a, doc_b)
 #: PAIR KEYS are hint-broadcast (bounded by the LSH candidate count);
 #: the second join carries ha on the STREAMED side and gets no hint —
