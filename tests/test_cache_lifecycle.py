@@ -25,12 +25,12 @@ def _cache_manager_empty(spark) -> bool:
 @pytest.mark.parametrize(
     "fn",
     [
-        # dedup_minhash_lsh left r16: its signature frame is now an
-        # eager GC-managed localCheckpoint (no cache-manager entry) —
-        # persist interacted badly with the bench's cleared-cache reuse
-        # contract; see the query body.
+        # dedup_minhash_lsh left r16, dedup_cluster_components r17: their
+        # shared subtrees are now eager GC-managed materializations
+        # (plans.scale.materialize — no cache-manager entry); persist
+        # interacted badly with the bench's cleared-cache reuse contract.
+        # See the query bodies.
         llm_dedup.dedup_ngram_jaccard,
-        llm_dedup.dedup_cluster_components,
         llm_similarity.dedup_embedding_cosine,
         llm_text.text_tfidf_keywords,
         curation.decontaminate_ngram_overlap,
